@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is run
+  * twice and the faster run reported — the first run pays JIT + codegen +
+  * file-listing costs that a warm cluster would not.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +14,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to 2).map { _ =>
+        try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      }
+      name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,13 +1,54 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{RelationalQueries => R, DocQueries => D, OracleSql}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 (plus the
+  * LLM-data-pipeline extensions) to a DataFrame program over a testdata
+  * dir; `oracleSql` carries the DuckDB-equivalent SQL for the driver's
+  * hash compare. Queries without an oracle entry (hash-family-specific
+  * LSH pipelines) get rows-only checks and are pinned by ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The 5-way broadcast star join + aggregation — the engine's spine.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    R.q05StarJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational / SURVEY §2 operator coverage
+    "q01_scalar_agg"     -> (R.q01ScalarAgg(_, _)),
+    "q02_group_agg"      -> (R.q02GroupAgg(_, _)),
+    "q03_cond_agg"       -> (R.q03CondAgg(_, _)),
+    "q04_join_lookup"    -> (R.q04JoinLookup(_, _)),
+    "q05_star_join"      -> (R.q05StarJoin(_, _)),
+    "q06_topk"           -> (R.q06TopK(_, _)),
+    "q07_dim_dedup_key"  -> (R.q07DimDedupKey(_, _)),
+    "q08_calendar_dim"   -> (R.q08CalendarDim(_, _)),
+    "q09_null_fill"      -> (R.q09NullFill(_, _)),
+    "q10_string_clean"   -> (R.q10StringClean(_, _)),
+    "q11_distinct"       -> (R.q11Distinct(_, _)),
+    "q12_window_rank"    -> (R.q12WindowRank(_, _)),
+    "q13_events_hourly"  -> (R.q13EventsHourly(_, _)),
+    "q14_sessionize"     -> (R.q14Sessionize(_, _)),
+    "q15_case_bucket"    -> (R.q15CaseBucket(_, _)),
+    // LLM-data-pipeline operators
+    "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
+    "q21_token_count"    -> (D.q21TokenCount(_, _)),
+    "q22_quality"        -> (D.q22Quality(_, _)),
+    "q23_langid"         -> (D.q23LangId(_, _)),
+    "q24_fingerprint"    -> (D.q24Fingerprint(_, _)),
+    "q25_cosine_topk"    -> (D.q25CosineTopK(_, _)),
+    "q26_ngram_jaccard"  -> (D.q26NgramJaccard(_, _)),
+    "q27_minhash_pairs"  -> (D.q27MinhashPairs(_, _)),
+    "q28_simhash"        -> (D.q28Simhash(_, _)),
+    "q29_ann_lsh"        -> (D.q29AnnLsh(_, _)),
+    "q30_multimodal_meta" -> (D.q30MultimodalMeta(_, _))
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

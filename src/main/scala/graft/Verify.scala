@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // pandas/DuckDB-style coerce semantics (cast failure → null, no
+      // overflow errors) instead of Spark 4's ANSI default:
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet has TIMESTAMP(NANOS); read as long, converted in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads travel as opaque `binary` columns next to typed metadata,
+  * the standard Spark pattern for petabyte media corpora: parquet stores the
+  * bytes inline (small assets) or a URI (large assets), partitioning and
+  * shuffles treat the payload as a blob, and per-record decode runs inside
+  * `mapPartitions` so each task amortizes codec initialization across its
+  * whole partition (the JVM-side equivalent of `mapInPandas` batching).
+  *
+  * The actual codecs (JPEG/PNG decode, audio resample, video demux) are NOT
+  * available in this container — the decode kernels below are clearly-marked
+  * DETERMINISTIC STUBS: they produce fake-but-stable features derived from
+  * the bytes so the surrounding Spark plumbing (schema, batching,
+  * partitioning, joins against feature tables) is real and testable.
+  */
+object Multimodal {
+
+  /** A media asset row: payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      modality: String,          // "image" | "audio" | "video"
+      content: Array[Byte],
+      mime_type: String,
+      width: Option[Int],        // images/video
+      height: Option[Int],
+      sample_rate: Option[Int],  // audio
+      duration_ms: Option[Long]  // audio/video
+  )
+
+  /** Extracted feature row (decode output). */
+  case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      content_digest: String,
+      feature: Array[Float]      // fixed-size feature vector
+  )
+
+  val FeatureDim = 16
+
+  /** STUB decode kernel: a real implementation would JPEG/PNG-decode and run
+    * a vision encoder here. This deterministic fake hashes byte windows into
+    * a fixed-size float vector so tests can assert exact values.
+    */
+  private[operators] def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      val slot = i % FeatureDim
+      out(slot) = out(slot) + (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  private def hexDigest(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Decode + feature-extract over a partitioned media Dataset. Runs in
+    * `mapPartitions` so codec state would be initialized once per task;
+    * output is a columnar-friendly fixed-width feature table.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: initialize decoder/codec context here, once per partition
+      it.map { m =>
+        MediaFeatures(
+          media_id = m.media_id,
+          modality = m.modality,
+          n_bytes = m.content.length.toLong,
+          content_digest = hexDigest(m.content),
+          feature = stubDecodeFeatures(m.content)
+        )
+      }
+    }
+  }
+
+  /** STUB resize: real impl would decode, resample pixels, re-encode.
+    * The fake truncates/pads the payload to `targetBytes` deterministically,
+    * keeping the schema and partition behavior of the real operator.
+    */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val resized = java.util.Arrays.copyOf(m.content, targetBytes)
+        m.copy(content = resized, width = m.width.map(_ => targetBytes), height = m.height.map(_ => 1))
+      }
+    }
+  }
+
+  /** STUB video frame sampling: emits every `everyNth` byte-window as a
+    * "frame" record. Real impl: demux + keyframe extraction. Preserves the
+    * one-to-many explode shape (flatMap inside partitions) of the real op.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyNth: Int, frameBytes: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { m =>
+      m.content.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, idx) if idx % everyNth == 0 =>
+          (m.media_id, idx.toLong, chunk.length.toLong, hexDigest(chunk))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes", "frame_digest")
+  }
+
+  /** Build a synthetic media table from the documents table: encodes text as
+    * the binary payload. This stands in for reading real assets and gives
+    * every scale factor a media corpus with knowable contents.
+    */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime_type"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(640)).otherwise(lit(null).cast("int")).as("width"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(480)).otherwise(lit(null).cast("int")).as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 1, lit(16000)).otherwise(lit(null).cast("int")).as("sample_rate"),
+      when(pmod(col("doc_id"), lit(3)) =!= lit(0), col("n_chars") * 10).otherwise(lit(null).cast("long")).as("duration_ms")
+    ).as[MediaRecord]
+  }
+}

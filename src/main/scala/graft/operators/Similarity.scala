@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, one pass
+  * over the corpus, per-query top-k via window). Scale path: random
+  * hyperplane LSH bucketing so each query only scans its bucket — the
+  * bucket join is an equi-join (shuffle on bucket id, or broadcast if the
+  * query side is small), never an O(n·q) cross product.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k. `queries` and `corpus` both carry
+    * (idCol, vecCol). Returns (query_id, rank, neighbor_id, cos_sim).
+    *
+    * The query side is broadcast (it is the small side by construction), so
+    * the corpus is scanned exactly once with no shuffle before the top-k.
+    * Top-k per query uses a rank window partitioned by query — the shuffle
+    * carries only (query_id, neighbor_id, sim) triples, not vectors.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1). Seeds are structural, so signatures are
+    * reproducible across runs and clusters with no stored model artifact.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Random-hyperplane (SRP) LSH bucket id: sign bits of `planes` random
+    * projections packed into a LONG. Cosine-similar vectors collide with
+    * high probability (probability 1 - θ/π per plane).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int = 12): Column = {
+    val v = vec.cast("array<double>")
+    val projections = transform(
+      sequence(lit(0), lit(planes - 1)),
+      p =>
+        aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+    )
+    aggregate(
+      zip_with(projections, sequence(lit(0), lit(planes - 1)), (proj, i) =>
+        when(proj >= 0.0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+
+  /** IVF-style ANN top-k: restrict each query to corpus vectors in the same
+    * hyperplane bucket, then exact cosine within the bucket. Recall is
+    * tunable via `planes` (fewer planes → bigger buckets → higher recall,
+    * more compute). Returns (query_id, rank, neighbor_id, cos_sim).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+      hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+}

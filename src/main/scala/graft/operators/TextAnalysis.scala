@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for LLM-training-data pipelines.
+  *
+  * Everything here is pure Catalyst expression work over a string column:
+  * no UDFs, no driver-side loops, so each operator scales linearly with
+  * partition count and stays inside whole-stage codegen (regexp/string
+  * functions are codegen'd builtins).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (the cheap, language-agnostic baseline). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish subword count: splits on word boundaries AND digit/letter
+    * transitions, approximating byte-pair tokenizer granularity without a
+    * vocab file. Deterministic, codegen'd.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Language markers: tiny per-language stopword inventories. An n-gram /
+    * stopword-hit heuristic — the classic cheap language-ID at scale (one
+    * regexp scan per language, no model artifact).
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|les|et|des|une)\\b"
+  )
+
+  /** Per-language marker hit counts + argmax prediction (ties break in
+    * declaration order en > es > de > fr, fixed so results are reproducible).
+    * Adds columns `score_<lang>`... and `lang_pred`.
+    */
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, pat)) =>
+      d.withColumn(s"score_$lang", size(regexp_extract_all(lowered, lit(pat), lit(0))).cast("long"))
+    }
+    val Seq(en, es, de, fr) = langMarkers.map { case (l, _) => col(s"score_$l") }
+    scored.withColumn(
+      "lang_pred",
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+  }
+
+  /** Quality-scoring signals: length, punctuation density, stopword ratio.
+    * Mirrors the usual pretraining-corpus filters (C4/Gopher-style rules)
+    * with fully deterministic arithmetic.
+    */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct", length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("long"))
+      .withColumn("n_stop", size(regexp_extract_all(lower(t), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("long"))
+      .withColumn(
+        "quality_score",
+        round(col("n_stop").cast("double") / col("n_tokens") -
+          col("n_punct").cast("double") / col("n_chars"), 4)
+      )
+  }
+
+  /** Document fingerprint: minimum md5 over word 5-shingles (a 1-permutation
+    * MinHash — stable under small edits away from the minimal shingle, cheap
+    * to compute, joinable for near-dup candidate detection).
+    */
+  def fingerprint(text: Column, shingle: Int = 5): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    array_min(
+      transform(
+        sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(words, i, lit(shingle))))
+      )
+    )
+  }
+}

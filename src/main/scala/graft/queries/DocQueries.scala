@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** LLM-training-data pipeline queries over the documents/embeddings tables.
+  * Oracle-checked where DuckDB can express the same computation; the
+  * LSH/banding pipelines (hash-function-specific) are covered by ScalaTest
+  * with planted duplicates plus rows-only driver checks.
+  */
+object DocQueries {
+
+  /** Exact dedup: digest → (keep_id, multiplicity). */
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents, "text", "doc_id")
+      .select(col("content_hash"), col("keep_id"), col("n_dups"))
+      .orderBy("content_hash")
+
+  /** Whitespace token counting per document. */
+  def q21TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality-scoring signals per document. */
+  def q22Quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQualitySignals(Tables(spark, dir).documents, "text")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+        col("n_stop"), col("quality_score"))
+      .orderBy("doc_id")
+
+  /** Stopword-heuristic language ID per document. */
+  def q23LangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLanguageId(Tables(spark, dir).documents, "text")
+      .select(col("doc_id"), col("score_en"), col("score_es"), col("score_de"),
+        col("score_fr"), col("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Min-shingle-hash document fingerprint (1-permutation MinHash). */
+  def q24Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-5 ANN for a 2% query sample (every 50th vector).
+    * Ranks only in the output — robust to last-ulp float divergence while
+    * still pinning the full similarity ordering.
+    */
+  def q25CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 5)
+      .select(col("query_id").as("qid"), col("rank").as("rnk"), col("neighbor_id").as("nid"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** n-gram Jaccard similarity on a bounded candidate set (all pairs among
+    * the first 40 documents) — the exact-verification kernel of near-dup
+    * detection, oracle-checkable.
+    */
+  def q26NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.where(col("doc_id") < 40)
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id", k = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs (rows-only check: the
+    * xxhash64 family isn't expressible in DuckDB; correctness is pinned by
+    * DedupSpec's planted-duplicate tests instead).
+    */
+  def q27MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(Tables(spark, dir).documents, "text", "doc_id",
+        numHashes = 64, bands = 16)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash signatures (rows-only; pinned by DedupSpec). */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** LSH-bucketed ANN top-k — the scale path of q25 (rows-only; recall
+    * vs. brute force is asserted in SimilaritySpec).
+    */
+  def q29AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.lshTopK(queries, emb, "embedding", "vec_id", k = 5, planes = 6)
+      .select(col("query_id").as("qid"), col("rank").as("rnk"), col("neighbor_id").as("nid"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Multimodal metadata projection over binary payloads: byte length +
+    * digest per media asset (the oracle-checkable slice of the media
+    * pipeline; decode stubs are exercised in MultimodalSpec).
+    */
+  def q30MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)
+    media.toDF()
+      .select(
+        col("media_id"),
+        col("modality"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_digest")
+      )
+      .orderBy("media_id")
+  }
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+/** DuckDB oracle SQL, one entry per oracle-checkable query in SparkEntry.
+  * Alignment rules (driver hash-compares column-name-sorted values):
+  *   - identical output column names on both sides;
+  *   - every integer output is BIGINT (DuckDB sums/row_number otherwise
+  *     produce HUGEINT which would not match Spark's LongType);
+  *   - doubles rounded on both sides;
+  *   - dates/timestamps emitted as formatted strings (no temporal-type
+  *     representation skew between engines);
+  *   - every query totally ordered by explicit ORDER BY with tiebreakers.
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+    "q01_scalar_agg" ->
+      """SELECT count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        |       strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders""".stripMargin,
+
+    "q02_group_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS anio,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_cond_agg" ->
+      """SELECT count(*) AS n,
+        |       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_disc,
+        |       count(CASE WHEN l_tax IS NULL THEN 1 END) AS null_tax,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin,
+
+    "q04_join_lookup" ->
+      """SELECT coalesce(p.p_brand, 'NONE') AS brand,
+        |       count(*) AS n,
+        |       round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_star_join" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |       count(*) AS n,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q06_topk" ->
+      """SELECT p.p_brand AS brand,
+        |       count(*) AS total_registros,
+        |       round(sum(l.l_extendedprice), 2) AS monto
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY total_registros DESC, brand LIMIT 10""".stripMargin,
+
+    "q07_dim_dedup_key" ->
+      """SELECT CAST(row_number() OVER (ORDER BY p_brand, p_type) AS BIGINT) AS id_dim,
+        |       p_brand AS brand, p_type AS ptype
+        |FROM (SELECT DISTINCT p_brand, p_type FROM part) t
+        |ORDER BY id_dim""".stripMargin,
+
+    "q08_calendar_dim" ->
+      """SELECT CAST(date_diff('day', DATE '2020-01-01', d) + 1 AS BIGINT) AS id_tiempo,
+        |       strftime(d, '%Y-%m-%d') AS fecha,
+        |       CAST(year(d) AS BIGINT) AS anio,
+        |       CAST(quarter(d) AS BIGINT) AS trimestre,
+        |       CAST(month(d) AS BIGINT) AS mes,
+        |       CAST(day(d) AS BIGINT) AS dia,
+        |       CASE month(d) WHEN 1 THEN 'Enero' WHEN 2 THEN 'Febrero' WHEN 3 THEN 'Marzo'
+        |         WHEN 4 THEN 'Abril' WHEN 5 THEN 'Mayo' WHEN 6 THEN 'Junio' WHEN 7 THEN 'Julio'
+        |         WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre'
+        |         WHEN 11 THEN 'Noviembre' ELSE 'Diciembre' END AS nombre_mes,
+        |       CASE isodow(d) WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miércoles'
+        |         WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sábado'
+        |         ELSE 'Domingo' END AS nombre_dia
+        |FROM (SELECT CAST(range AS DATE) AS d
+        |      FROM range(DATE '2020-01-01', DATE '2026-01-01', INTERVAL 1 DAY))
+        |ORDER BY id_tiempo""".stripMargin,
+
+    "q09_null_fill" ->
+      """SELECT coalesce(s.s_name, 'N/A') AS supplier_name,
+        |       count(*) AS n,
+        |       round(sum(coalesce(s.s_acctbal, 0)), 2) AS acct
+        |FROM lineitem l
+        |LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey <= 5) s
+        |  ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_string_clean" ->
+      """SELECT c_custkey AS ck,
+        |       CAST(c_custkey AS VARCHAR) AS ck_str,
+        |       upper(trim(c_name)) AS name_up,
+        |       lower(c_mktsegment) AS seg_lo
+        |FROM customer ORDER BY ck""".stripMargin,
+
+    "q11_distinct" ->
+      """SELECT DISTINCT l_returnflag AS flag FROM lineitem
+        |WHERE l_returnflag IS NOT NULL ORDER BY 1""".stripMargin,
+
+    "q12_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q13_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |       event_type,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM gaps
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q15_case_bucket" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       count(*) AS n,
+        |       round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        |       min(doc_id) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_quality" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+        |       round(CAST(n_stop AS DOUBLE) / n_tokens - CAST(n_punct AS DOUBLE) / n_chars, 4) AS quality_score
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q23_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS score_en,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS BIGINT) AS score_es,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|des|une)\b')) AS BIGINT) AS score_fr
+        |  FROM documents)
+        |SELECT doc_id, score_en, score_es, score_de, score_fr,
+        |       CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |            WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |            WHEN score_de >= score_fr THEN 'de'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |       list_min(list_transform(
+        |         generate_series(1, greatest(len(w) - 4, 1)),
+        |         i -> md5(array_to_string(w[i:i+4], ' ')))) AS fingerprint
+        |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |             list_dot_product(qv, nv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+        |      FROM q CROSS JOIN c WHERE qid <> nid),
+        |r AS (SELECT qid, nid,
+        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(w) - 2, 1)),
+        |           i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |        FROM documents WHERE doc_id < 40))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_digest
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2) expressed over the TPC-H-ish
+  * testdata. Each query has a DuckDB oracle in [[OracleSql]]; column names
+  * and types are aligned on both sides (BIGINT for all integers, doubles
+  * rounded, temporals emitted as strings) so the driver's hash compare is
+  * byte-stable.
+  *
+  * Physical-plan notes are inline: every join states its expected strategy,
+  * every aggregate relies on partial (map-side) aggregation, and sorts only
+  * appear as top-k (TakeOrderedAndProject) or as final presentation order.
+  */
+object RelationalQueries {
+
+  /** A1 (ref dags/sri_vehiculos_etl_dag.py:660-667): scalar aggregates over
+    * one table — count / distinct / min / max / sum / avg in one pass.
+    */
+  def q01ScalarAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct(col("o_custkey")).as("n_custs"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+      round(sum(col("o_totalprice")), 2).as("sum_price"),
+      round(avg(col("o_totalprice")), 2).as("avg_price")
+    )
+
+  /** A6 (ref :772-783): group-by-year metrics. Partial agg shuffles only
+    * (year, partial sums) — safe at any scale.
+    */
+  def q02GroupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("anio"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        round(avg(col("o_totalprice")), 2).as("avg_price")
+      )
+      .orderBy("anio")
+
+  /** A5/P8 (ref :715-723): conditional counts via COUNT(CASE WHEN ...). */
+  def q03CondAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_discount") > 0.05, 1)).as("high_disc"),
+      count(when(col("l_tax").isNull, 1)).as("null_tax"),
+      round(sum(col("l_quantity")), 2).as("sum_qty")
+    )
+
+  /** J2-style dimension lookup (ref :484-489): left equi-join fact→dim then
+    * aggregate. `part` is tiny → broadcast hash join, zero shuffle on the
+    * probe side; only the final group-by shuffles (by brand).
+    */
+  def q04JoinLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"), "left")
+      .groupBy(coalesce(col("p_brand"), lit("NONE")).as("brand"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("brand")
+  }
+
+  /** J5/J9 (ref :735-746, notebook cell 15): multi-way star join + group.
+    * All four dims broadcast — the 100 TB fact table is never shuffled for
+    * the joins, only for the final (region, nation) aggregation.
+    */
+  def q05StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")
+      )
+      .orderBy("region", "nation")
+  }
+
+  /** O2 (ref :796-797): top-k with deterministic tiebreak. Spark plans
+    * orderBy+limit as TakeOrderedAndProject — per-partition top-k then a
+    * single driver merge, no global sort.
+    */
+  def q06TopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("total_registros"), round(sum(col("l_extendedprice")), 2).as("monto"))
+      .orderBy(col("total_registros").desc, col("brand"))
+      .limit(10)
+  }
+
+  /** A10+A11 (ref :158,161): dimension build — distinct attribute tuples +
+    * dense surrogate key in canonical (natural-key sort) order.
+    * Window over a fully-deduped dim is fine: dims are small by definition;
+    * see graft.etl.SurrogateKeys for the scalable two-phase id assignment
+    * used when the keyed table is NOT small.
+    */
+  def q07DimDedupKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("p_brand"), col("p_type"))
+    Tables(spark, dir).part
+      .select(col("p_brand"), col("p_type"))
+      .dropDuplicates()
+      .withColumn("id_dim", row_number().over(w).cast("long"))
+      .select(col("id_dim"), col("p_brand").as("brand"), col("p_type").as("ptype"))
+      .orderBy("id_dim")
+  }
+
+  /** S4+F1-F3 (ref :62-95): generated calendar dimension with Spanish month
+    * and weekday names, locale-proof (names come from literal maps keyed on
+    * month()/isodow numbers, never from strftime locale). The surrogate key
+    * is datediff from the range start — no window, fully distributed.
+    */
+  def q08CalendarDim(spark: SparkSession, dir: String): DataFrame = {
+    val mesesEs = typedlit(Map(
+      1 -> "Enero", 2 -> "Febrero", 3 -> "Marzo", 4 -> "Abril",
+      5 -> "Mayo", 6 -> "Junio", 7 -> "Julio", 8 -> "Agosto",
+      9 -> "Septiembre", 10 -> "Octubre", 11 -> "Noviembre", 12 -> "Diciembre"))
+    val diasEs = typedlit(Map(
+      1 -> "Lunes", 2 -> "Martes", 3 -> "Miércoles", 4 -> "Jueves",
+      5 -> "Viernes", 6 -> "Sábado", 7 -> "Domingo"))
+    val d = col("d")
+    // isodow: Monday=1..Sunday=7, from dayofweek (Sunday=1)
+    val isodow = (dayofweek(d) + lit(5)) % 7 + 1
+    spark.sql("SELECT explode(sequence(DATE'2020-01-01', DATE'2025-12-31', interval 1 day)) AS d")
+      .select(
+        (datediff(d, lit("2020-01-01").cast("date")) + 1).cast("long").as("id_tiempo"),
+        date_format(d, "yyyy-MM-dd").as("fecha"),
+        year(d).cast("long").as("anio"),
+        quarter(d).cast("long").as("trimestre"),
+        month(d).cast("long").as("mes"),
+        dayofmonth(d).cast("long").as("dia"),
+        element_at(mesesEs, month(d)).as("nombre_mes"),
+        element_at(diasEs, isodow).as("nombre_dia")
+      )
+      .orderBy("id_tiempo")
+  }
+
+  /** F6 (ref :170,567-571): null-producing left join + coalesce fills —
+    * the fillna('N/A') / fillna(0) surface on real join-miss nulls.
+    */
+  def q09NullFill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val supp5 = t.supplier.where(col("s_suppkey") <= 5)
+    t.lineitem
+      .join(broadcast(supp5), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(coalesce(col("s_name"), lit("N/A")).as("supplier_name"))
+      .agg(count(lit(1)).as("n"), round(sum(coalesce(col("s_acctbal"), lit(0.0))), 2).as("acct"))
+      .orderBy("supplier_name")
+  }
+
+  /** F4/F5 (ref :164-166,520): string cleaning — upper/trim/lower and
+    * numeric→string cast, per-row projection (pure codegen, no shuffle).
+    */
+  def q10StringClean(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(
+        col("c_custkey").as("ck"),
+        col("c_custkey").cast("string").as("ck_str"),
+        upper(trim(col("c_name"))).as("name_up"),
+        lower(col("c_mktsegment")).as("seg_lo")
+      )
+      .orderBy("ck")
+
+  /** P6/A12 (ref :343): distinct non-null scalar list. */
+  def q11Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"))
+      .where(col("flag").isNotNull)
+      .distinct()
+      .orderBy("flag")
+
+  /** Window ranking (beyond-reference: Spark-native extension). Top-3
+    * orders per customer — partitioned window, shuffle on o_custkey only.
+    */
+  def q12WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Streaming-shaped batch aggregation: hourly tumbling window over the
+    * events table (the batch twin of the Structured Streaming job in
+    * graft.streaming.EventsStream — identical date_trunc bucketing).
+    */
+  def q13EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour_ts", "event_type")
+
+  /** Sessionization via gap detection (lag + running sum windows) — the
+    * batch equivalent of flatMapGroupsWithState session state. Shuffles
+    * once on user_id; both windows share that partitioning.
+    */
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")
+    Tables(spark, dir).events
+      .withColumn("is_new", when(gapSec.isNull || gapSec > 1800.0, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
+  def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .groupBy(
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bucket")
+      )
+      .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy("bucket")
+}

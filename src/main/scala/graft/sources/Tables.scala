@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loader for the driver-provided parquet testdata (see /root/repo/TESTDATA.md).
+  *
+  * One parquet file per table; schemas are stable across scale factors, so the
+  * engine reads them with schema inference from the footer (cheap — parquet
+  * metadata only, no data scan). All downstream operators rely on Catalyst
+  * pushing filters/column pruning into these scans.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot represent
+    * natively; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
+    * this loader converts nanos → microsecond timestamp with exact integer
+    * division (a double division would lose precision above 2^53 ns).
+    */
+  def events: DataFrame = {
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _        => raw
+    }
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate:
+runs Verify's oracle_sql.json in DuckDB against the same testdata parquet
+and compares with the Spark-written result parquet (column-name-sorted,
+row-sorted, value-compared). Not part of the engine."""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        oracle_df = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}")
+        fail += 1
+        continue
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in spark_files])
+    o = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
+    s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    if list(o.columns) != list(s.columns):
+        print(f"FAIL {name}: columns differ: oracle={list(o.columns)} spark={list(s.columns)}")
+        fail += 1
+        continue
+    if len(o) != len(s):
+        print(f"FAIL {name}: rows differ: oracle={len(o)} spark={len(s)}")
+        fail += 1
+        continue
+    o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    # normalize dtypes for compare
+    for c in o.columns:
+        if o[c].dtype != s[c].dtype:
+            try:
+                s[c] = s[c].astype(o[c].dtype)
+            except Exception:
+                pass
+    diffs = []
+    for c in o.columns:
+        if o[c].dtype == "float64":
+            eq = ((o[c] - s[c]).abs() < 1e-9) | (o[c].isna() & s[c].isna())
+        else:
+            eq = (o[c] == s[c]) | (o[c].isna() & s[c].isna())
+        if not eq.all():
+            bad = (~eq).idxmax()
+            diffs.append(f"col {c} row {bad}: oracle={o[c][bad]!r} spark={s[c][bad]!r}")
+    if diffs:
+        print(f"FAIL {name}: {('; '.join(diffs[:3]))}")
+        fail += 1
+    else:
+        print(f"PASS {name} ({len(o)} rows)")
+print(f"\n{len(oracle) - fail}/{len(oracle)} oracle queries pass")
+sys.exit(1 if fail else 0)
