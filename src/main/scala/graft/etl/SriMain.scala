@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry for the SRI ETL — the engine's equivalent of the reference's
+  * DAG run (dags/sri_vehiculos_etl_dag.py:913-922 sequencing + the :846-877
+  * run-completion audit record): build dims + fact into a parquet
+  * warehouse, validate, print metrics and a job summary.
+  *
+  * Usage: runMain graft.etl.SriMain <csvPath> <warehouseDir> [fixedDate]
+  */
+object SriMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SriMain <csvPath> <warehouseDir> [fixedDate yyyy-MM-dd]")
+    val Array(csvPath, whDir) = args.take(2)
+    val clock = if (args.length > 2) java.time.LocalDate.parse(args(2)) else java.time.LocalDate.now()
+    val started = System.nanoTime()
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("sri-vehiculos-etl")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val wh = ParquetWarehouse(spark, whDir)
+    val res = SriPipeline.run(spark, csvPath, wh, clock)
+
+    println(s"[sri-etl] dim_tiempo=${res.dimTiempo.count()} dim_vehiculo=${res.dimVehiculo.count()} " +
+      s"dim_transaccion=${res.dimTransaccion.count()} dim_ubicacion=${res.dimUbicacion.count()} " +
+      s"fact=${res.validation.factRows}")
+    println(s"[sri-etl] validation passed=${res.validation.passed} " +
+      s"integrityJoin=${res.validation.integrityJoinCount} violations=${res.validation.violations.mkString("; ")}")
+
+    println("[sri-etl] top marcas:")
+    Metrics.topMarcas(res.fact, res.dimVehiculo).collect()
+      .foreach(r => println(s"  ${r.mkString(" | ")}"))
+    println("[sri-etl] registros por anio:")
+    Metrics.registrosPorAnio(res.fact, res.dimTiempo).collect()
+      .foreach(r => println(s"  ${r.mkString(" | ")}"))
+
+    val secs = (System.nanoTime() - started) / 1e9
+    println(f"[sri-etl] status=${if (res.validation.passed) "SUCCESS" else "FAILED"} duration=$secs%.1fs")
+    spark.stop()
+    if (!res.validation.passed) sys.exit(1)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end SRI vehicle-registry ETL (ref DAG wiring
+  * dags/sri_vehiculos_etl_dag.py:913-922: inicio >> [4 dims] >> fact >>
+  * validate >> metrics).
+  *
+  * The four dim builds are independent lazy plans — Spark runs their jobs
+  * when the warehouse writes trigger them; on a cluster they can be
+  * submitted concurrently (scheduler pools), though dims are so small that
+  * sequencing is irrelevant next to the fact build.
+  */
+object SriPipeline {
+
+  final case class Result(
+      dimTiempo: DataFrame, dimVehiculo: DataFrame, dimTransaccion: DataFrame,
+      dimUbicacion: DataFrame, fact: DataFrame, validation: Validation.Report)
+
+  /** Read the source CSV with the explicit schema (S1; one scan, cached —
+    * the reference re-downloads and re-parses the same blob 4× per run).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .schema(Schemas.csvSchema)
+      .csv(path)
+
+  def run(
+      spark: SparkSession,
+      csvPath: String,
+      warehouse: Warehouse,
+      clock: java.time.LocalDate = java.time.LocalDate.now(),
+      maxNullPct: Double = 10.0,
+      minRecords: Long = 1000L): Result = {
+
+    val raw = readCsv(spark, csvPath).cache()
+
+    val tiempo = DimTiempo.build(spark)
+    val vehiculo = Dims.vehiculo(raw)
+    val transaccion = Dims.transaccion(raw)
+    val ubicacion = Dims.ubicacion(raw, spark)
+
+    warehouse.write("dim_tiempo", tiempo)
+    warehouse.write("dim_vehiculo", vehiculo)
+    warehouse.write("dim_transaccion", transaccion)
+    warehouse.write("dim_ubicacion", ubicacion)
+
+    // Fact reads dims back from the warehouse (ref :421-434 does the same
+    // round-trip through BigQuery) — keeps the fact build decoupled from
+    // the dim builds' in-memory plans.
+    val t = warehouse.read("dim_tiempo")
+    val v = warehouse.read("dim_vehiculo")
+    val tr = warehouse.read("dim_transaccion")
+    val u = warehouse.read("dim_ubicacion")
+
+    val fact = FactRegistro.build(spark, raw, t, v, tr, u, clock)
+    warehouse.write("fact_registro_vehiculos", fact)
+    val factBack = warehouse.read("fact_registro_vehiculos")
+
+    val report = Validation.validate(t, v, tr, u, factBack, maxNullPct, minRecords)
+    raw.unpersist()
+    Result(t, v, tr, u, factBack, report)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dense sequential surrogate keys (1..n) — the reference's
+  * `range(1, len(df)+1)` (ref dags/sri_vehiculos_etl_dag.py:70,161,245,534).
+  *
+  * pandas numbers rows in CSV file order, which no distributed engine can
+  * reproduce cheaply; the engine instead DEFINES a canonical ordering
+  * (caller-supplied sort columns) and documents the deviation (SURVEY §7.4
+  * #3). All cross-table semantics survive because fact lookups join on
+  * natural keys, never on the surrogate ids.
+  */
+object SurrogateKeys {
+
+  /** Window-based id: simple, total-order correct — but a single-partition
+    * sort. Use ONLY for dimension-sized tables (dims are small by
+    * definition: ≤ thousands of rows).
+    */
+  def withWindowId(df: DataFrame, idName: String, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn(idName, row_number().over(w).cast("long"))
+  }
+
+  /** Scale path: dense ids over an arbitrarily large table without a global
+    * single-partition sort. Three steps:
+    *   1. range-repartition + intra-partition sort on the key (a true total
+    *      order across partitions, each partition sorted locally);
+    *   2. count rows per partition (one tiny job), prefix-sum on the driver
+    *      (numPartitions values — trivially small);
+    *   3. mapPartitions adds offset + local index.
+    * Cost: one extra pass over the data; no 2 GB single-partition ceiling.
+    */
+  def withScalableId(df: DataFrame, idName: String, order: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(1L)(_ + _) // ids start at 1
+    val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = offsets(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ n)
+        n += 1
+        r
+      }
+    }
+    df.sparkSession.createDataFrame(withId,
+      schema.add(idName, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+}

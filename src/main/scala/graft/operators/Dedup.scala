@@ -48,47 +48,61 @@ object Dedup {
     )
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64(seed, shingle) over the document's shingle set.
-    * Pure expression work — computed independently per row, embarrassingly
-    * parallel, no shuffle.
+  /** splitmix64 finalizer — used to derive the affine MinHash family
+    * constants deterministically at plan-build time (plain Scala, not per
+    * row).
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 5): Column = {
-    val sh = shingles(text, shingleK)
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s)))
-    )
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
   }
 
-  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Emits one row per (id, band, bandHash).
+  /** MinHash signatures as `numHashes` wide columns (`mh0..mhN-1`).
+    *
+    * Scale design: each document's shingles are EXPLODED, hashed once with
+    * the codegen'd xxhash64, and the i-th hash function is the affine map
+    * `a_i * h + b_i` (mod 2^64 via Java wraparound, a_i odd → bijective).
+    * The `numHashes` `min(...)` aggregates combine map-side, so the shuffle
+    * carries one partial signature per (partition, doc) — never the shingle
+    * stream — and everything stays inside whole-stage codegen. This replaces
+    * the naive per-row 64×string-rehash formulation, which was ~50× slower
+    * (measured at sf0.001) because higher-order-function lambdas are
+    * interpreted per element.
     */
-  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = df.select(
-      col(idCol),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))
-        )
-      ).as(Seq("band", "band_hash"))
-    )
-    banded
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("__sh"))
+      .withColumn("__h", xxhash64(col("__sh")))
+    val aggs = (0 until numHashes).map { i =>
+      val a = splitmix64(i.toLong * 2 + 1) | 1L
+      val b = splitmix64(i.toLong * 2 + 2)
+      min(col("__h") * a + b).as(s"mh$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Near-duplicate candidate pairs via MinHash + LSH: ids sharing at least
-    * one (band, bandHash) bucket. Output columns (id_a, id_b), id_a < id_b,
-    * deduplicated across bands. The join is an equi-join on the band hash —
-    * shuffles only the (id, hash) pairs, never the documents.
+  /** Near-duplicate candidate pairs via MinHash + LSH banding: ids sharing
+    * at least one (band, bandHash) bucket. Output (id_a, id_b), id_a < id_b,
+    * deduplicated across bands. Band hashes are xxhash64 over that band's
+    * signature columns; the candidate join is an equi-join on
+    * (band, band_hash) — it shuffles only (id, hash) pairs, never documents.
     */
   def minhashCandidatePairs(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("__id"), minhashSignature(col(textCol), numHashes, shingleK).as("__sig"))
-    val banded = lshBands(sigs, "__id", "__sig", bands, rowsPerBand)
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleK)
+      .withColumnRenamed(idCol, "__id")
+    val bandHashes = array((0 until bands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      xxhash64(lit(b) +: bandCols: _*)
+    }: _*)
+    val banded = sigs.select(col("__id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))

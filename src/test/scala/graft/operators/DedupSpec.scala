@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town near the old stone bridge every single morning"
+
+  test("exact dedup groups identical normalized texts") {
+    val d = docs(1L -> "Hello World", 2L -> "  hello world ", 3L -> "different")
+    val out = Dedup.exact(d, "text", "doc_id").collect()
+    assert(out.length === 2)
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+    assert(Dedup.exactDedup(d, "text", "doc_id").count() === 2L)
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val nearDup = base.replace("quick", "swift") // 1-word edit
+    val unrelated = "completely different content about spark catalyst optimizer rules and physical plans for distributed joins at large scale with many executors running"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val pairs = Dedup.minhashCandidatePairs(d, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact copies must collide")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near-dup should collide in some band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("nearDuplicates thresholds candidates by exact Jaccard") {
+    val nearDup = base.replace("quick", "swift")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> base)
+    val out = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 3L)))
+    val j13 = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j13 === Set((1L, 3L)), "only the exact pair survives a ~1.0 threshold")
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val sig = Dedup.simhash(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)),
+      s"near-dup hamming ${ham(sig(1L), sig(2L))} should beat unrelated ${ham(sig(1L), sig(3L))}")
+    assert(ham(sig(1L), sig(2L)) <= 16)
+  }
+
+  test("jaccard is exact on known shingle sets") {
+    // k=1 shingles: {a b c} vs {a b d} → |∩|=2, |∪|=4 → 0.5
+    val d = docs(1L -> "a b c", 2L -> "a b d")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardOnPairs(pairs, d, "text", "doc_id", k = 1)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j === 0.5)
+  }
+
+  test("embedding near-dups finds the planted duplicate vector") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val vDup = v.map(x => x * 1.001f)
+    val vOther = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val d = Seq((1L, v.toSeq), (2L, vDup.toSeq), (3L, vOther.toSeq)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(d, "embedding", "vec_id", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

