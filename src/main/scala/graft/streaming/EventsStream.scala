@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has no streaming (its "streaming-ness" is Airflow's @daily
+  * full reprocess — SURVEY §2.9); this module is the idiomatic Spark
+  * upgrade path: file-source streaming with Trigger.AvailableNow gives
+  * exactly the reference's batch cadence while keeping incremental-ready
+  * semantics (watermarks, windows, keyed state).
+  *
+  * Scale notes: the windowed aggregation shuffles once on (window,
+  * event_type) with partial aggregation and watermark-driven state
+  * eviction; sessionization state is per-user and bounded by the timeout.
+  */
+/** Keyed session state (public top-level: Catalyst's state encoder needs
+  * an accessible constructor for codegen).
+  */
+case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                                  n_events: Long, total_value: Double)
+
+
+  /** Read the events dir as a stream (schema must be supplied: streaming
+    * sources cannot infer). Handles the testdata's TIMESTAMP(NANOS) via the
+    * same long-nanos conversion as the batch loader.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // dir-level source, one table file
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Hourly tumbling-window aggregation with a watermark — the streaming
+    * twin of RelationalQueries.q13EventsHourly (same buckets, same
+    * aggregates).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Per-user sessionization with custom keyed state
+    * (mapGroupsWithState) — 30-minute inactivity gap closes a session.
+    * Emits one summary per closed session; demonstrates the
+    * KeyValueGroupedDataset state API the batch engine cannot express.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          // events within a micro-batch arrive unordered: sort locally
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null =>
+                st = SessionState(t, t, 1L, e.value)
+              case s if t - s.lastTs > gapSeconds * 1000 =>
+                closed += SessionSummary(userId, new java.sql.Timestamp(s.start), s.n, s.total)
+                st = SessionState(t, t, 1L, e.value)
+              case s =>
+                st = s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.iterator
+        })
+  }
+
+  /** Run a streaming DataFrame to completion over the files currently in
+    * the source dir (Trigger.AvailableNow — the reference's daily batch
+    * cadence) and return the materialized result from a memory sink.
+    */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame, queryName: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt-$queryName").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

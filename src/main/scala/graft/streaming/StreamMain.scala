@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry: run the hourly-windowed streaming aggregation over a testdata
+  * dir with Trigger.AvailableNow (the daily-batch cadence upgrade path) and
+  * print the closed windows.
+  *
+  * Usage: runMain graft.streaming.StreamMain [sfDir]
+  */
+object StreamMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-stream")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = EventsStream.runAvailableNow(spark,
+      EventsStream.hourlyAgg(EventsStream.readEvents(spark, dir)), "hourly_cli")
+    val rows = out.orderBy("hour_ts", "event_type").collect()
+    println(s"[stream] closed windows: ${rows.length}")
+    rows.take(5).foreach(r => println(s"  ${r.mkString(" | ")}"))
+    spark.stop()
+  }
+}
