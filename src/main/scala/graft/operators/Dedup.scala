@@ -167,13 +167,13 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
+    import graft.functions.CosineSimilarity.cosineSim
     val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
     val l = withB.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("v_a"))
     val r = withB.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("v_b"))
     l.join(r, Seq("__bucket")).where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos_sim", cosineSim(col("v_a"), col("v_b")))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
       .distinct()

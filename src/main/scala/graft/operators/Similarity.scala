@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions
+import graft.functions.CosineSimilarity.cosineSim
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -28,7 +28,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", VectorFunctions.cosine(col("__qv"), col("__nv")))
+      .withColumn("cos_sim", cosineSim(col("__qv"), col("__nv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -79,7 +79,7 @@ object Similarity {
       hyperplaneBucket(col(vecCol), planes).as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", VectorFunctions.cosine(col("__qv"), col("__nv")))
+      .withColumn("cos_sim", cosineSim(col("__qv"), col("__nv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
