@@ -36,6 +36,11 @@ object SparkEntry {
     "q13_events_hourly"  -> (R.q13EventsHourly(_, _)),
     "q14_sessionize"     -> (R.q14Sessionize(_, _)),
     "q15_case_bucket"    -> (R.q15CaseBucket(_, _)),
+    "q16_set_ops"        -> (R.q16SetOps(_, _)),
+    "q17_semi_anti"      -> (R.q17SemiAnti(_, _)),
+    "q18_rollup"         -> (R.q18Rollup(_, _)),
+    "q19_percentiles"    -> (R.q19Percentiles(_, _)),
+    "q31_json_extract"   -> (R.q31JsonExtract(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -144,6 +144,51 @@ object OracleSql {
         |       round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q16_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT 'both' AS tag, nk FROM
+        |    (SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |     INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) a
+        |  UNION ALL
+        |  SELECT 'cust_only' AS tag, nk FROM
+        |    (SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |     EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) b
+        |  UNION ALL
+        |  SELECT 'supp_only' AS tag, nk FROM
+        |    (SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        |     EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer) c
+        |) ORDER BY tag, nk""".stripMargin,
+
+    "q17_semi_anti" ->
+      """SELECT 'with_orders' AS tag, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS tag, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag""".stripMargin,
+
+    "q18_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       CAST(grouping(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+        |ORDER BY gid, seg, status""".stripMargin,
+
+    "q19_percentiles" ->
+      """SELECT o_orderstatus AS status,
+        |       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,
         |       min(doc_id) AS keep_id,

@@ -217,6 +217,74 @@ object RelationalQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Set operations (beyond-reference: Spark-native). INTERSECT/EXCEPT are
+    * set-distinct on both engines; the three branches are tagged and
+    * unioned into one deterministic result.
+    */
+  def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.select(col("c_nationkey").cast("long").as("nk"))
+    val s = t.supplier.select(col("s_nationkey").cast("long").as("nk"))
+    c.intersect(s).withColumn("tag", lit("both"))
+      .unionByName(c.except(s).withColumn("tag", lit("cust_only")))
+      .unionByName(s.except(c).withColumn("tag", lit("supp_only")))
+      .select(col("tag"), col("nk"))
+      .orderBy("tag", "nk")
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with and without
+    * orders. Both plan as broadcast/shuffled hash joins that never
+    * materialize the probe side's payload.
+    */
+  def q17SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val withO = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+    val withoutO = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    withO.agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+      .unionByName(withoutO.agg(count(lit(1)).as("n")).withColumn("tag", lit("without_orders")))
+      .select("tag", "n")
+      .orderBy("tag")
+  }
+
+  /** ROLLUP with grouping id (beyond-reference). */
+  def q18Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "seg", "status")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont` linear interpolation).
+    */
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("status")
+
+  /** JSON extraction from the events props column (semi-structured
+    * payloads — codegen'd get_json_object, no UDF).
+    */
+  def q31JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
