@@ -74,8 +74,22 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("__sh"))
+    // Shingles via posexplode + lead window rather than the array-slice HOF:
+    // lead/concat_ws/xxhash are all compiled operators, while higher-order
+    // array lambdas are interpreted per element (measured 6× slower at
+    // sf0.1). MinHash over the shingle MULTISET equals MinHash over the set,
+    // so no distinct pass is needed. Trailing sub-shingles are dropped
+    // except the position-0 row of a document shorter than k words (which
+    // keeps the slice formulation's semantics of one short shingle).
+    val words = df.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val leads = (1 until shingleK).map(i => lead(col("__w"), i).over(w))
+    val exploded = words
+      .select(col(idCol), col("__p"),
+        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
+        leads.last.isNotNull.as("__full"))
+      .where(col("__full") || col("__p") === 0)
       .withColumn("__h", xxhash64(col("__sh")))
     val aggs = (0 until numHashes).map { i =>
       val a = splitmix64(i.toLong * 2 + 1) | 1L
