@@ -52,7 +52,10 @@ object SparkEntry {
     "q27_minhash_pairs"  -> (D.q27MinhashPairs(_, _)),
     "q28_simhash"        -> (D.q28Simhash(_, _)),
     "q29_ann_lsh"        -> (D.q29AnnLsh(_, _)),
-    "q30_multimodal_meta" -> (D.q30MultimodalMeta(_, _))
+    "q30_multimodal_meta" -> (D.q30MultimodalMeta(_, _)),
+    "q32_embedding_neardup" -> (D.q32EmbeddingNearDup(_, _)),
+    "q33_simhash_md5"    -> (D.q33SimhashMd5(_, _)),
+    "q34_subword_count"  -> (D.q34SubwordCount(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

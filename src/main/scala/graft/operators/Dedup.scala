@@ -175,6 +175,39 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash variant with md5-derived 60-bit token hashes — functionally
+    * interchangeable with [[simhash]] (xxhash64 is faster) but expressible
+    * in ANSI-ish SQL, so the full pipeline is oracle-checkable end to end.
+    * Same partial-aggregable bit-sum formulation.
+    */
+  def simhashMd5(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .withColumn("__h", conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map { b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(1) * 2 - 1).as(s"__b$b")
+    }
+    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agged.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Brute-force exact embedding near-dup: all pairs with cosine >=
+    * threshold. O(n²) — the verification baseline and oracle target;
+    * [[embeddingNearDups]] (LSH-bucketed) is the scale path.
+    */
+  def embeddingNearDupsExact(df: DataFrame, vecCol: String, idCol: String,
+                             threshold: Double): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineSim(col("__va"), col("__vb")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold among candidates
     * sharing a random-hyperplane LSH bucket (see [[Similarity.hyperplaneBucket]]).
     */

@@ -96,6 +96,24 @@ object DocQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Exact embedding-cosine near-duplicate pairs (brute force, oracle
+    * baseline for the LSH-bucketed scale path).
+    */
+  def q32EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsExact(Tables(spark, dir).embeddings, "embedding", "vec_id", 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Oracle-checkable SimHash (md5-derived token hashes). */
+  def q33SimhashMd5(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashMd5(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** BPE-ish subword counting (letter runs / single digits / punctuation). */
+  def q34SubwordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

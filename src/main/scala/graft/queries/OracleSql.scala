@@ -12,7 +12,43 @@ package graft.queries
   */
 object OracleSql {
 
+  /** q33's 60 bit-sum columns + signature reconstruction, generated rather
+    * than hand-written.
+    */
+  private val simhashMd5Sql: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n       ")
+    val sig = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" +\n       ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |       $bitSums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q32_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q33_simhash_md5" -> simhashMd5Sql,
+
+    "q34_subword_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q01_scalar_agg" ->
       """SELECT count(*) AS n_orders,
         |       count(DISTINCT o_custkey) AS n_custs,
