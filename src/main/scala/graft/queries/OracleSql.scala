@@ -45,6 +45,17 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q35_sql_star_join" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |       count(*) AS n,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q34_subword_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subwords

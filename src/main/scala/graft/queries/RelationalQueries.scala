@@ -285,6 +285,30 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** SQL-text entry path (ref §3.2: the reference's analytics are f-string
+    * SQL against BigQuery): the same star join as q05 through Catalyst's
+    * full parse → analyze → optimize pipeline via temp views + spark.sql.
+    * Must produce results identical to the DataFrame formulation.
+    */
+  def q35SqlStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    t.orders.createOrReplaceTempView("v_orders")
+    t.customer.createOrReplaceTempView("v_customer")
+    t.nation.createOrReplaceTempView("v_nation")
+    t.region.createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |       count(*) AS n,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM v_lineitem l
+        |JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN v_customer c ON o.o_custkey = c.c_custkey
+        |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
