@@ -42,6 +42,7 @@ object SparkEntry {
     "q19_percentiles"    -> (R.q19Percentiles(_, _)),
     "q31_json_extract"   -> (R.q31JsonExtract(_, _)),
     "q35_sql_star_join"  -> (R.q35SqlStarJoin(_, _)),
+    "q36_asof_join"      -> (R.q36AsofJoin(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -45,6 +45,16 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q36_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, event_id AS signup_event FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       s.signup_event,
+        |       round(p.value, 2) AS value
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
+
     "q35_sql_star_join" ->
       """SELECT r.r_name AS region, n.n_name AS nation,
         |       count(*) AS n,

@@ -309,6 +309,25 @@ object RelationalQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** AS-OF join: each purchase matched to the user's most recent
+    * at-or-before signup event (graft.operators.AsOfJoin — union + window
+    * composition, no range explosion).
+    */
+  def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = e.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+    graft.operators.AsOfJoin.asOfLeft(purchases, signups, "user_id", "ts", Seq("signup_event"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("signup_event"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

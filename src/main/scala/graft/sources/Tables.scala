@@ -24,13 +24,13 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot represent
     * natively; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-    * this loader converts nanos → microsecond timestamp with exact integer
-    * division (a double division would lose precision above 2^53 ns).
+    * this loader converts nanos → microsecond timestamp with integral `div`
+    * (Column `/` is DOUBLE division and corrupts above 2^53 ns).
     */
   def events: DataFrame = {
     val raw = table("events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
   }

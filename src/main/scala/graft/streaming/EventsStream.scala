@@ -43,7 +43,7 @@ object EventsStream {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // dir-level source, one table file
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Hourly tumbling-window aggregation with a watermark — the streaming
