@@ -12,6 +12,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,6 +20,12 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata tables are single ~1-10MB parquet files; the 128MB default
+      // would scan each in ONE task. Splitting finer engages all cores on
+      // the scan stage (a real cluster reads many files and needs no such
+      // tweak).
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(fn: => Unit): Double = {

@@ -27,7 +27,11 @@ object SriMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val wh = ParquetWarehouse(spark, whDir)
+    // fact partitioned by ID_Tiempo: the reference's variables.yaml declares
+    // date partitioning but never wires it; here it is real (partition
+    // pruning for date-ranged queries).
+    val wh = ParquetWarehouse(spark, whDir,
+      partitionCols = Map("fact_registro_vehiculos" -> Seq("ID_Tiempo")))
     val res = SriPipeline.run(spark, csvPath, wh, clock)
 
     println(s"[sri-etl] dim_tiempo=${res.dimTiempo.count()} dim_vehiculo=${res.dimVehiculo.count()} " +
