@@ -43,6 +43,7 @@ object SparkEntry {
     "q31_json_extract"   -> (R.q31JsonExtract(_, _)),
     "q35_sql_star_join"  -> (R.q35SqlStarJoin(_, _)),
     "q36_asof_join"      -> (R.q36AsofJoin(_, _)),
+    "q37_range_join"     -> (R.q37RangeJoin(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -45,6 +45,17 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q37_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, count(err.ts) AS n_errors
+        |FROM p LEFT JOIN err
+        |  ON p.user_id = err.user_id
+        | AND epoch(err.ts) <= epoch(p.ts)
+        | AND epoch(err.ts) >= epoch(p.ts) - 3600
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY event_id""".stripMargin,
+
     "q36_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts, event_id AS signup_event FROM events WHERE event_type = 'signup')

@@ -328,6 +328,25 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: per purchase, how many error events the same user produced
+    * in the preceding hour (graft.operators.RangeJoin — interval-bucket
+    * equi-join, no nested loop). Left-preserving via aggregate + left join.
+    */
+  def q37RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+    val pairs = graft.operators.RangeJoin
+      .timeWindowInner(purchases, errors, "user_id", "ts", "ts", windowSec = 3600)
+    val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n_errors"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy("event_id")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
