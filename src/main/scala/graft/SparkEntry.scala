@@ -57,6 +57,7 @@ object SparkEntry {
     "q29_ann_lsh"        -> (D.q29AnnLsh(_, _)),
     "q30_multimodal_meta" -> (D.q30MultimodalMeta(_, _)),
     "q32_embedding_neardup" -> (D.q32EmbeddingNearDup(_, _)),
+    "q38_ann_ivf"        -> (D.q38AnnIvf(_, _)),
     "q33_simhash_md5"    -> (D.q33SimhashMd5(_, _)),
     "q34_subword_count"  -> (D.q34SubwordCount(_, _))
   )

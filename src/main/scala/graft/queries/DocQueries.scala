@@ -114,6 +114,18 @@ object DocQueries {
       .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
+  /** IVF ANN top-k — inverted lists over 16 deterministic coarse
+    * centroids, 4-list probing (the second scale path next to LSH q29).
+    */
+  def q38AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.ivfTopK(queries, emb, "embedding", "vec_id", k = 5,
+        numCentroids = 16, numProbe = 4)
+      .select(col("query_id").as("qid"), col("rank").as("rnk"), col("neighbor_id").as("nid"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

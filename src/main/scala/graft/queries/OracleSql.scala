@@ -45,6 +45,33 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q38_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |csim AS (SELECT e.vec_id, e.v, c.cid,
+        |                list_dot_product(e.v, c.cv) /
+        |                  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        |         FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id AS nid, v AS nv, cid FROM (
+        |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM csim) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cid FROM (
+        |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM csim WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.nid,
+        |         list_dot_product(p.qv, a.nv) /
+        |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))) AS sim
+        |  FROM probes p JOIN assigned a USING (cid)
+        |  WHERE p.qid <> a.nid),
+        |ranked AS (
+        |  SELECT qid, nid,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "q37_range_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')

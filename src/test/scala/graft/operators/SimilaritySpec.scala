@@ -45,6 +45,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.nonEmpty, "planes=4 → 16 buckets over 200 vecs must produce collisions")
   }
 
+  test("IVF with full probing equals brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    val queries = emb.where(pmod(col("vec_id"), lit(30)) === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", 5))
+    val ivfFull = asSet(Similarity.ivfTopK(queries, emb, "embedding", "vec_id", 5,
+      numCentroids = 8, numProbe = 8))
+    assert(ivfFull === brute)
+  }
+
+  test("IVF with partial probing returns valid ranked subsets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val queries = emb.where(pmod(col("vec_id"), lit(40)) === 0)
+    val out = Similarity.ivfTopK(queries, emb, "embedding", "vec_id", 5,
+      numCentroids = 16, numProbe = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("rank") <= 5L))
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq === (1L to ranks.length).toSeq, "dense ranks per query")
+    }
+  }
+
   test("hyperplane bucket is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val b1 = emb.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b")).collect()
