@@ -44,6 +44,10 @@ object SparkEntry {
     "q35_sql_star_join"  -> (R.q35SqlStarJoin(_, _)),
     "q36_asof_join"      -> (R.q36AsofJoin(_, _)),
     "q37_range_join"     -> (R.q37RangeJoin(_, _)),
+    "q39_pivot"          -> (R.q39Pivot(_, _)),
+    "q40_string_funcs"   -> (R.q40StringFuncs(_, _)),
+    "q41_array_agg"      -> (R.q41ArrayAgg(_, _)),
+    "q42_date_math"      -> (R.q42DateMath(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -45,6 +45,38 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q39_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q40_string_funcs" ->
+      """SELECT c_custkey AS ck,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |       CAST(instr(c_name, '0') AS BIGINT) AS zero_pos,
+        |       regexp_replace(c_name, 'Customer', 'C', 'g') AS short_name,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist,
+        |       right(c_name, 4) AS tail4
+        |FROM customer ORDER BY ck""".stripMargin,
+
+    "q41_array_agg" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+        |       CAST(len(list(l_partkey)) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_date_math" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
+        |       CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q38_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

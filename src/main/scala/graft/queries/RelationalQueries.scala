@@ -347,6 +347,56 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Pivot: daily event counts spread across event-type columns (explicit
+    * value list → static schema, deterministic; Spark plans it as one
+    * aggregation with conditional counts, not one pass per column).
+    */
+  def q39Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** String function battery: lpad/instr/replace/levenshtein/substring —
+    * per-row codegen'd projection.
+    */
+  def q40StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(
+        col("c_custkey").as("ck"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        instr(col("c_name"), "0").cast("long").as("zero_pos"),
+        regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"),
+        // right() rather than negative-start substring: Spark counts a
+        // negative start from the end, Postgres/DuckDB do not
+        expr("right(c_name, 4)").as("tail4"))
+      .orderBy("ck")
+
+  /** Array aggregation: per-order sorted part list, emitted as a joined
+    * string (cross-engine-stable representation of a list value).
+    */
+  def q41ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("l_partkey")))).as("parts"),
+        size(collect_list(col("l_partkey"))).cast("long").as("n_parts"))
+      .orderBy("l_orderkey")
+
+  /** Date arithmetic: add days, diff days, truncate to month start. */
+  def q42DateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("d_plus30"),
+        datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date")).cast("long").as("days_since"),
+        date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd").as("month_start"))
+      .orderBy("o_orderkey")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
