@@ -1,0 +1,53 @@
+package graft.etl
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Source/sink matrix: the warehouse trait roundtrips tables through
+  * parquet (primary), and the engine reads/writes CSV and JSON with
+  * explicit schemas (S1/S2 generalization).
+  */
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-whspec").toString
+  private lazy val df = Seq(
+    (1L, "a", 1.5, java.sql.Date.valueOf("2024-01-01")),
+    (2L, "b", -2.25, java.sql.Date.valueOf("2024-06-30")),
+    (3L, null, 0.0, null)
+  ).toDF("id", "s", "x", "d")
+
+  test("parquet warehouse roundtrip preserves values and overwrite is idempotent") {
+    val wh = ParquetWarehouse(spark, s"$tmp/wh")
+    wh.write("t", df)
+    wh.write("t", df) // truncate-and-reload
+    val back = wh.read("t")
+    assert(back.count() === 3L)
+    // parquet reads everything nullable — compare names+types only
+    assert(back.schema.map(f => (f.name, f.dataType)) === df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+  }
+
+  test("partitioned write produces partition directories and prunes on read") {
+    val wh = ParquetWarehouse(spark, s"$tmp/whp", partitionCols = Map("t" -> Seq("id")))
+    wh.write("t", df)
+    val dirs = new java.io.File(s"$tmp/whp/t").listFiles().map(_.getName).filter(_.startsWith("id="))
+    assert(dirs.toSet === Set("id=1", "id=2", "id=3"))
+    val pruned = wh.read("t").where(col("id") === 2L)
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() === 1L)
+    assert(scanned.contains("PartitionFilters") || scanned.contains("id=2"))
+  }
+
+  test("csv roundtrip with explicit schema") {
+    df.drop("d").write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+    val back = spark.read.option("header", "true").schema(df.drop("d").schema).csv(s"$tmp/c")
+    assert(back.collect().map(_.toSeq).toSet === df.drop("d").collect().map(_.toSeq).toSet)
+  }
+
+  test("json roundtrip with explicit schema") {
+    df.write.mode("overwrite").json(s"$tmp/j")
+    val back = spark.read.schema(df.schema).json(s"$tmp/j")
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+  }
+}
