@@ -116,6 +116,31 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** One k-means (Lloyd) refinement step for IVF centroids: assign every
+    * corpus vector to its nearest centroid, replace each centroid with its
+    * list's elementwise mean ([[graft.functions.VectorMean]] — map-side
+    * combinable, so the shuffle carries one (sum, count) buffer per
+    * (partition, centroid), never the vectors). Iterate as needed; empty
+    * lists keep their previous centroid.
+    */
+  def refineCentroids(corpus: DataFrame, centroids: DataFrame, vecCol: String,
+                      cidCol: String = "__cid", cvCol: String = "__cv"): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val vm = udaf(graft.functions.VectorMean)
+    val byVec = Window.partitionBy(col("__rid")).orderBy(col("__csim").desc, col(cidCol))
+    val assigned = corpus
+      .select(monotonically_increasing_id().as("__rid"), col(vecCol).as("__v"))
+      .join(broadcast(centroids))
+      .withColumn("__csim", cosineSim(col("__v"), col(cvCol)))
+      .withColumn("__rn", row_number().over(byVec))
+      .where(col("__rn") === 1)
+    val means = assigned.groupBy(col(cidCol))
+      .agg(vm(col("__v")).as("__mean"))
+      .withColumn("__mean", col("__mean").cast("array<float>"))
+    centroids.join(means, Seq(cidCol), "left")
+      .select(col(cidCol), coalesce(col("__mean"), col(cvCol)).as(cvCol))
+  }
+
   /** SRP-LSH ANN top-k: restrict each query to corpus vectors in the same
     * hyperplane bucket, then exact cosine within the bucket. Recall is
     * tunable via `planes` (fewer planes → bigger buckets → higher recall,

@@ -71,6 +71,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("refineCentroids moves centroids toward list means and preserves count") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val cents = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("__cid"), col("embedding").as("__cv"))
+    val refined = Similarity.refineCentroids(emb, cents, "embedding")
+    val rows = refined.collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getSeq[Float](1).length === 64))
+    // refinement is deterministic
+    val again = Similarity.refineCentroids(emb, cents, "embedding").collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap ===
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap)
+  }
+
   test("hyperplane bucket is deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val b1 = emb.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b")).collect()
