@@ -25,7 +25,14 @@ final case class ParquetWarehouse(
     root: String,
     partitionCols: Map[String, Seq[String]] = Map.empty) extends Warehouse {
 
+  /** Schemas as written, keyed by table — partitioned reads otherwise
+    * re-infer partition-column types from directory names (long → int) and
+    * move them to the end, silently breaking the declared star schema.
+    */
+  private val writtenSchemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+
   override def write(name: String, df: DataFrame): Unit = {
+    writtenSchemas(name) = df.schema
     val w = df.write.mode(SaveMode.Overwrite)
     partitionCols.get(name) match {
       case Some(cols) if cols.forall(df.columns.contains) => w.partitionBy(cols: _*).parquet(s"$root/$name")
@@ -33,5 +40,13 @@ final case class ParquetWarehouse(
     }
   }
 
-  override def read(name: String): DataFrame = spark.read.parquet(s"$root/$name")
+  override def read(name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$root/$name")
+    writtenSchemas.get(name) match {
+      case Some(schema) =>
+        raw.select(schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => raw
+    }
+  }
 }

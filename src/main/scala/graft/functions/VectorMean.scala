@@ -17,7 +17,10 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    if (v == null) return b // null vectors are skipped, matching avg() semantics
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    require(v.length == sums.length,
+      s"VectorMean: inconsistent vector lengths in group (${v.length} vs ${sums.length})")
     var i = 0
     while (i < v.length) { sums(i) += v(i); i += 1 }
     (sums, b._2 + 1)
@@ -27,6 +30,8 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"VectorMean: inconsistent vector lengths across partitions (${a._1.length} vs ${b._1.length})")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

@@ -35,9 +35,11 @@ object AsOfJoin {
     // allowMissingColumns fills the other side's columns with nulls
     val u = l.unionByName(r, allowMissingColumns = true)
     // At equal ts the right row must sort FIRST so the match is inclusive
-    // (right.ts <= left.ts): order by (ts, __side desc).
+    // (right.ts <= left.ts). Among right rows tied on (key, ts) the payload
+    // columns break the tie deterministically (the last in payload order
+    // wins) — without this the winner depends on partition layout.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side").desc)
+      .orderBy(col(ts) +: col("__side").desc +: rightCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightCols.foldLeft(u) { (d, c) =>
       d.withColumn(c, last(when(col("__side") === 1, col(c)), ignoreNulls = true).over(w))

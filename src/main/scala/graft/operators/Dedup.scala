@@ -85,10 +85,11 @@ object Dedup {
       posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     val leads = (1 until shingleK).map(i => lead(col("__w"), i).over(w))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull // k=1: every token is a full shingle
     val exploded = words
       .select(col(idCol), col("__p"),
         concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
-        leads.last.isNotNull.as("__full"))
+        full.as("__full"))
       .where(col("__full") || col("__p") === 0)
       .withColumn("__h", xxhash64(col("__sh")))
     val aggs = (0 until numHashes).map { i =>

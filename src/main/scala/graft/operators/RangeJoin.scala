@@ -29,6 +29,7 @@ object RangeJoin {
     */
   def timeWindowInner(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     val r = right.withColumnRenamed(rightTs, "__rts")
     val lSec = col(leftTs).cast("double")
     val rSec = col("__rts").cast("double")

@@ -65,8 +65,11 @@ object TextAnalysis {
       .withColumn("n_stop", size(regexp_extract_all(lower(t), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("long"))
       .withColumn(
         "quality_score",
-        round(col("n_stop").cast("double") / col("n_tokens") -
-          col("n_punct").cast("double") / col("n_chars"), 4)
+        // explicit zero-denominator guard: Spark non-ANSI x/0 is NULL but
+        // DuckDB returns NaN — align both engines on NULL
+        when(col("n_tokens") === 0 || col("n_chars") === 0, lit(null))
+          .otherwise(round(col("n_stop").cast("double") / col("n_tokens") -
+            col("n_punct").cast("double") / col("n_chars"), 4))
       )
   }
 

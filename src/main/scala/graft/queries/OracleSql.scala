@@ -336,7 +336,9 @@ object OracleSql {
         |         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
-        |       round(CAST(n_stop AS DOUBLE) / n_tokens - CAST(n_punct AS DOUBLE) / n_chars, 4) AS quality_score
+        |       CASE WHEN n_tokens = 0 OR n_chars = 0 THEN NULL
+        |            ELSE round(CAST(n_stop AS DOUBLE) / n_tokens - CAST(n_punct AS DOUBLE) / n_chars, 4)
+        |       END AS quality_score
         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q23_langid" ->

@@ -114,35 +114,23 @@ object RelationalQueries {
       .orderBy("id_dim")
   }
 
-  /** S4+F1-F3 (ref :62-95): generated calendar dimension with Spanish month
-    * and weekday names, locale-proof (names come from literal maps keyed on
-    * month()/isodow numbers, never from strftime locale). The surrogate key
-    * is datediff from the range start — no window, fully distributed.
+  /** S4+F1-F3 (ref :62-95): generated calendar dimension — delegates to
+    * the ETL's DimTiempo builder (single source of truth for the Spanish
+    * name maps and the distributed datediff surrogate key) and projects to
+    * the oracle's column names/types.
     */
-  def q08CalendarDim(spark: SparkSession, dir: String): DataFrame = {
-    val mesesEs = typedlit(Map(
-      1 -> "Enero", 2 -> "Febrero", 3 -> "Marzo", 4 -> "Abril",
-      5 -> "Mayo", 6 -> "Junio", 7 -> "Julio", 8 -> "Agosto",
-      9 -> "Septiembre", 10 -> "Octubre", 11 -> "Noviembre", 12 -> "Diciembre"))
-    val diasEs = typedlit(Map(
-      1 -> "Lunes", 2 -> "Martes", 3 -> "Miércoles", 4 -> "Jueves",
-      5 -> "Viernes", 6 -> "Sábado", 7 -> "Domingo"))
-    val d = col("d")
-    // isodow: Monday=1..Sunday=7, from dayofweek (Sunday=1)
-    val isodow = (dayofweek(d) + lit(5)) % 7 + 1
-    spark.sql("SELECT explode(sequence(DATE'2020-01-01', DATE'2025-12-31', interval 1 day)) AS d")
+  def q08CalendarDim(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.DimTiempo.build(spark)
       .select(
-        (datediff(d, lit("2020-01-01").cast("date")) + 1).cast("long").as("id_tiempo"),
-        date_format(d, "yyyy-MM-dd").as("fecha"),
-        year(d).cast("long").as("anio"),
-        quarter(d).cast("long").as("trimestre"),
-        month(d).cast("long").as("mes"),
-        dayofmonth(d).cast("long").as("dia"),
-        element_at(mesesEs, month(d)).as("nombre_mes"),
-        element_at(diasEs, isodow).as("nombre_dia")
-      )
+        col("ID_Tiempo").as("id_tiempo"),
+        date_format(col("FechaCompleta"), "yyyy-MM-dd").as("fecha"),
+        col("Anio").as("anio"),
+        col("Trimestre").as("trimestre"),
+        col("Mes").as("mes"),
+        col("Dia").as("dia"),
+        col("NombreMes").as("nombre_mes"),
+        col("NombreDiaSemana").as("nombre_dia"))
       .orderBy("id_tiempo")
-  }
 
   /** F6 (ref :170,567-571): null-producing left join + coalesce fills —
     * the fillna('N/A') / fillna(0) surface on real join-miss nulls.
