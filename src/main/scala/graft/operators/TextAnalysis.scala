@@ -73,6 +73,25 @@ object TextAnalysis {
       )
   }
 
+  /** TF-IDF scores per (document, term): tf = in-document term count,
+    * idf = ln(N / df) over the whole corpus. Two aggregations (both
+    * map-side combinable: (doc, term) counts and per-term distinct-doc
+    * counts) plus a broadcast-friendly join of the tiny df table — the
+    * corpus is never shuffled whole.
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol))).collect()(0).getLong(0)
+    tf.join(broadcast(docFreq), Seq("term"))
+      .select(
+        col(idCol), col("term"), col("tf"),
+        col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+  }
+
   /** Document fingerprint: minimum md5 over word 5-shingles (a 1-permutation
     * MinHash — stable under small edits away from the minimal shingle, cheap
     * to compute, joinable for near-dup candidate detection).

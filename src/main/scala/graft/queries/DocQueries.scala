@@ -126,6 +126,12 @@ object DocQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** TF-IDF over the corpus, emitted for a bounded document set. */
+  def q43Tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(Tables(spark, dir).documents, "text", "doc_id")
+      .where(col("doc_id") < 20)
+      .orderBy("doc_id", "term")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -45,6 +45,19 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q43_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+        |       round(tf.tf * ln(CAST(n.n AS DOUBLE) / docfreq.df), 4) AS tfidf
+        |FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        |WHERE tf.doc_id < 20
+        |ORDER BY doc_id, term""".stripMargin,
+
     "q39_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
