@@ -64,7 +64,8 @@ object SparkEntry {
     "q38_ann_ivf"        -> (D.q38AnnIvf(_, _)),
     "q33_simhash_md5"    -> (D.q33SimhashMd5(_, _)),
     "q34_subword_count"  -> (D.q34SubwordCount(_, _)),
-    "q43_tfidf"          -> (D.q43Tfidf(_, _))
+    "q43_tfidf"          -> (D.q43Tfidf(_, _)),
+    "q44_det_sample"     -> (D.q44DetSample(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling.
+  *
+  * `df.sample()` draws from a seeded RNG whose stream depends on partition
+  * layout — rerun with different parallelism and the sample changes. For
+  * reproducible pipelines (train/validation splits, profiling subsets)
+  * sample membership must be a pure function of the ROW: hash the id into
+  * buckets and keep a bucket range. Same rows selected on any cluster, any
+  * partitioning, any engine that can md5.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Bucket in [0, 10000) from the md5 of the id's string form (md5 rather
+    * than xxhash64 so non-Spark engines reproduce the same assignment).
+    */
+  def bucket(idCol: Column): Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 6), 16, 10) % Buckets).cast("long")
+
+  /** Keep ~`fraction` of rows, deterministically. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.where(bucket(col(idCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** Disjoint deterministic split: (train, holdout) with ~`holdoutFraction`
+    * in the second part. Union of the two is exactly `df`.
+    */
+  def split(df: DataFrame, idCol: String, holdoutFraction: Double): (DataFrame, DataFrame) = {
+    val cut = (holdoutFraction * Buckets).toLong
+    (df.where(bucket(col(idCol)) >= cut), df.where(bucket(col(idCol)) < cut))
+  }
+}

@@ -132,6 +132,14 @@ object DocQueries {
       .where(col("doc_id") < 20)
       .orderBy("doc_id", "term")
 
+  /** Deterministic 25% sample of the corpus (hash-bucket membership —
+    * identical row selection on any engine/partitioning).
+    */
+  def q44DetSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicSample(Tables(spark, dir).documents, "doc_id", 0.25)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -45,6 +45,12 @@ object OracleSql {
 
     "q33_simhash_md5" -> simhashMd5Sql,
 
+    "q44_det_sample" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
+
     "q43_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
