@@ -1,0 +1,33 @@
+package graft
+
+/** Physical-plan regression guards: no query may silently degrade to a
+  * nested-loop/cartesian plan (the scale-killer failure mode). Brute-force
+  * similarity queries are exempt — their broadcast cross product over the
+  * tiny query side IS the intended plan (the LSH/IVF variants are the
+  * scale path).
+  */
+class PlanInvariantSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a broadcast cross product. */
+  private val bruteForceByDesign = Set(
+    "q25_cosine_topk",      // broadcast query side × corpus (baseline ANN)
+    "q26_ngram_jaccard",    // bounded all-pairs candidate set
+    "q32_embedding_neardup", // exact near-dup baseline
+    "q38_ann_ivf",          // centroid table broadcast-crossed for assignment
+    "q43_tfidf"             // scalar N broadcast-crossed into the score join
+  )
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plans without nested-loop/cartesian joins") {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (!bruteForceByDesign.contains(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name degraded to BroadcastNestedLoopJoin")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name degraded to CartesianProduct")
+      }
+    }
+  }
+}
