@@ -31,9 +31,16 @@ object Bench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    // Sink every query through the noop datasource, NOT count(): under
+    // count() Catalyst prunes unused deterministic projections/sorts, so a
+    // projection-heavy query (regex batteries, minhash shingling) would be
+    // timed as a bare scan. noop write forces every output column to be
+    // fully evaluated while writing nothing.
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
-        try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+        try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       }
       name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
     }

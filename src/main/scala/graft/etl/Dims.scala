@@ -86,6 +86,13 @@ object Dims {
     * CANTÓN column stringifies as '10701.0', NEVER match (ref quirk, SURVEY
     * §2.3 J4). Kept verbatim for behavioral fidelity.
     */
+  /** Canton column probe, shared by the dim builder and the fact lookup
+    * (FactRegistro J4) so a header accepted by one is accepted by both —
+    * a divergence would build a populated dim_ubicacion while every fact
+    * row silently fell back to ID_Ubicacion=1.
+    */
+  val CantonProbe: Seq[String] = Seq("CANTON", "CANTÓN", "canton", "cantón")
+
   val MapeoCantones: Map[String, (String, String, String)] = Map(
     "10701" -> (("CUENCA", "AZUAY", "SIERRA")),
     "10911" -> (("GIRON", "AZUAY", "SIERRA")),
@@ -117,7 +124,7 @@ object Dims {
     */
   def ubicacion(raw: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val cantonCol = Seq("CANTON", "CANTÓN", "canton", "cantón").find(raw.columns.contains)
+    val cantonCol = Dims.CantonProbe.find(raw.columns.contains)
     cantonCol match {
       case None =>
         Seq((1L, "99999", "NO_ESPECIFICADO", "NO_ESPECIFICADA", "NO_ESPECIFICADA", "ECUADOR"))

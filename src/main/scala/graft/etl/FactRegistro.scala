@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *    probe logic itself is faithful.
   *  - J3 fan-out: the transaction lookup joins only (TipoTransaccion,
   *    TipoServicio) against a dim whose grain includes PersonaTipo and
-  *    Categoria → 1,131 sample rows become ~91,726. This is the
+  *    Categoria → 1,131 sample rows become 91,986 (measured; SURVEY §7.4 —
+  *    the J3 fan-out compounded with the J2 vehicle-code dup). This is the
   *    reference's semantics; `strictLookup = true` opts into the "obvious
   *    fix" (dedup the dim on the join key first) but defaults OFF.
   *  - J4 key: fact-side CANTÓN stringifies as '10701.0' and matches the
@@ -77,7 +78,7 @@ object FactRegistro {
     } else withV.withColumn("ID_Transaccion", lit(1L))
 
     // --- J4: ubicacion lookup (ref :513-526) ---
-    val cantonProbe = Seq("CANTON", "CANTÓN", "canton").find(raw.columns.contains)
+    val cantonProbe = Dims.CantonProbe.find(raw.columns.contains)
     val withU = cantonProbe match {
       case Some(c) =>
         val u = broadcast(dimUbicacion.select(col("ID_Ubicacion"), col("CodigoCanton")))

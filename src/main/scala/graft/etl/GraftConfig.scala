@@ -17,11 +17,20 @@ final case class GraftConfig(
 object GraftConfig {
   def fromProperties(props: java.util.Properties): GraftConfig = {
     def get(k: String): Option[String] = Option(props.getProperty(k)).map(_.trim).filter(_.nonEmpty)
+    // Name the offending key/value on parse failure — a bare
+    // NumberFormatException from deep inside gives the operator nothing.
+    def parse[A](k: String, v: String, f: String => A): A =
+      try f(v) catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"bad value for $k: '$v' (${e.getMessage})", e)
+      }
     GraftConfig(
       warehouseDir = get("graft.warehouse.dir").getOrElse(GraftConfig().warehouseDir),
-      maxNullPct = get("graft.quality.maxNullPct").map(_.toDouble).getOrElse(GraftConfig().maxNullPct),
-      minRecords = get("graft.quality.minRecords").map(_.toLong).getOrElse(GraftConfig().minRecords),
-      strictLookup = get("graft.etl.strictLookup").exists(_.toBoolean))
+      maxNullPct = get("graft.quality.maxNullPct")
+        .map(v => parse("graft.quality.maxNullPct", v, _.toDouble)).getOrElse(GraftConfig().maxNullPct),
+      minRecords = get("graft.quality.minRecords")
+        .map(v => parse("graft.quality.minRecords", v, _.toLong)).getOrElse(GraftConfig().minRecords),
+      strictLookup = get("graft.etl.strictLookup")
+        .exists(v => parse("graft.etl.strictLookup", v, _.toBoolean)))
   }
 
   def load(path: String): GraftConfig = {

@@ -31,6 +31,11 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  probeIdCol: String, factor: Int,
                  joinType: String = "inner"): DataFrame = {
+    // Replicating the build side is only sound when unmatched build rows
+    // never surface: "right"/"full"/"left_anti" would emit each unmatched
+    // build row `factor` times (or drop probe rows that matched a replica).
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left only, got '$joinType'")
     val salted = probe.withColumn("__salt", salt(col(probeIdCol), factor))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
