@@ -126,6 +126,112 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash signatures over a DuckDB-expressible hash family: the base
+    * shingle hash is the first 7 md5 hex chars (28 bits) and the i-th hash
+    * function is the affine map `(a_i*h + b_i) mod (2^31-1)` — products stay
+    * under 2^59 so the identical arithmetic runs on any engine with 64-bit
+    * integers and no wraparound (DuckDB raises on BIGINT overflow, which
+    * rules out [[minhashSignatures]]'s mod-2^64 family there). Same
+    * posexplode+lead shingling and map-side-combining min-agg shape as
+    * [[minhashSignatures]]; use that (xxhash64) family when oracle
+    * replayability is not needed — one xxhash64 beats an md5 per shingle.
+    */
+  def minhashSignaturesMd5(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val words = df.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val leads = (1 until shingleK).map(i => lead(col("__w"), i).over(w))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+    val exploded = words
+      .select(col(idCol), col("__p"),
+        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
+        full.as("__full"))
+      .where(col("__full") || col("__p") === 0)
+      .withColumn("__h", conv(substring(md5(col("__sh")), 1, 7), 16, 10).cast("long"))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = minhashMd5Coeffs(i)
+      min((col("__h") * a + b) % P).as(s"mh$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The i-th affine coefficients of the md5 MinHash family — shared with
+    * the DuckDB oracle generator so both engines run the same arithmetic.
+    * a in [1, 2^31-2] (never ≡ 0 mod P), b in [0, 2^31-2].
+    */
+  def minhashMd5Coeffs(i: Int): (Long, Long) = {
+    val P = 2147483647L
+    val a = (splitmix64(i.toLong * 2 + 1) >>> 33) % (P - 1) + 1
+    val b = (splitmix64(i.toLong * 2 + 2) >>> 33) % P
+    (a, b)
+  }
+
+  /** LSH banding on the md5 MinHash family: candidate pairs sharing at
+    * least one band, where the band key is the band's signature values
+    * joined with '_' (a plain string both engines build identically — no
+    * engine-specific band hash). Same shuffle shape as
+    * [[minhashCandidatePairs]]: the join carries (band, key, id), never
+    * documents or signatures.
+    */
+  def minhashCandidatePairsMd5(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignaturesMd5(df, textCol, idCol, numHashes, shingleK)
+      .withColumnRenamed(idCol, "__id")
+    val bandKeys = array((0 until bands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      concat_ws("_", bandCols: _*)
+    }: _*)
+    val banded = sigs.select(col("__id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"), col("__id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("__id").as("id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** All pairs within `maxHamming` bits on the md5 SimHash signature,
+    * found WITHOUT the O(n²) cross join: the `bits`-wide signature splits
+    * into `bands` equal bit-bands, and by pigeonhole any pair differing in
+    * ≤ bands-1 bits agrees exactly on at least one band — so a self
+    * equi-join on (band, bandBits) + exact Hamming filter returns
+    * EXACTLY the all-pairs result (requires maxHamming < bands). The join
+    * shuffles only (band, bits, id, sig) tuples.
+    * Returns (id_a, id_b, hamming), deduplicated across bands.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val bandBits = bits / bands
+    val sigs = simhashMd5(df, textCol, idCol, bits)
+      .select(col(idCol).as("__id"), col("simhash"))
+    val bandVals = array((0 until bands).map { b =>
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    }: _*)
+    val banded = sigs.select(col("__id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("__id").as("id_a"), col("simhash").as("__sig_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("__id").as("id_b"), col("simhash").as("__sig_b"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs.
     * `pairs` has (id_a, id_b); `docs` has (idCol, textCol). Joins the text
     * back (broadcast-friendly if candidates are few) and computes

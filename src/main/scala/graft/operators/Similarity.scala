@@ -66,6 +66,55 @@ object Similarity {
     )
   }
 
+  /** The (plane, dim) component of the deterministic ±1 sign-plane family:
+    * +1 when the first md5 hex digit of "p_j" is odd, else -1. Rademacher
+    * (±1) projections are a standard SRP instantiation, and md5 is
+    * available in any engine — the DuckDB oracle regenerates the identical
+    * matrix, so bucket assignments are replayable end to end.
+    */
+  def signPlaneComponent(plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_${dim}".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Sign-plane LSH bucket with the deterministic ±1 family: the dot
+    * products are unrolled into explicit left-associated sums of
+    * `element_at` terms — plain codegen'd arithmetic (no interpreted
+    * higher-order lambdas), bit-identical to the oracle's generated SQL
+    * which uses the same association order.
+    */
+  def signPlaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val v = vec.cast("array<double>")
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        element_at(v, j + 1) * lit(signPlaneComponent(p, j))
+      }.reduce(_ + _)
+      when(dot >= 0.0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** [[lshTopK]] with the deterministic ±1 sign-plane family — identical
+    * shuffle shape (bucket equi-join, never n·q), but replayable on any
+    * md5-capable engine. `dim` is the embedding width (checked per batch
+    * at plan time by the caller).
+    */
+  def lshTopKDet(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+                 k: Int, planes: Int, dim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signPlaneBucket(col(vecCol), planes, dim).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+      signPlaneBucket(col(vecCol), planes, dim).as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosineSim(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is coarse-quantized into
     * `numCentroids` inverted lists (each vector assigned to its nearest
     * centroid); a query probes only its `numProbe` nearest lists and runs

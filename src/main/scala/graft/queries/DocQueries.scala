@@ -71,27 +71,35 @@ object DocQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash+LSH near-duplicate candidate pairs (rows-only check: the
-    * xxhash64 family isn't expressible in DuckDB; correctness is pinned by
-    * DedupSpec's planted-duplicate tests instead).
+  /** MinHash+LSH near-duplicate candidate pairs, on the md5 mod-prime
+    * family so the full pipeline (shingle → 64 minhashes → 16-band LSH →
+    * candidate join) replays exactly in DuckDB. The xxhash64 family
+    * ([[Dedup.minhashCandidatePairs]], faster per shingle) stays the
+    * production default and is pinned by DedupSpec's planted duplicates.
     */
   def q27MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(Tables(spark, dir).documents, "text", "doc_id",
+    Dedup.minhashCandidatePairsMd5(Tables(spark, dir).documents, "text", "doc_id",
         numHashes = 64, bands = 16)
       .orderBy("id_a", "id_b")
 
-  /** SimHash signatures (rows-only; pinned by DedupSpec). */
+  /** SimHash near-dup pairs within Hamming distance 3, via banded join —
+    * by pigeonhole exactly equal to the all-pairs O(n²) result the DuckDB
+    * oracle computes. (The xxhash64 signature variant [[Dedup.simhash]]
+    * remains spec-pinned.)
+    */
   def q28Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables(spark, dir).documents, "text", "doc_id")
-      .orderBy("doc_id")
+    Dedup.simhashNearDupPairs(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("id_a", "id_b")
 
-  /** LSH-bucketed ANN top-k — the scale path of q25 (rows-only; recall
-    * vs. brute force is asserted in SimilaritySpec).
+  /** LSH-bucketed ANN top-k — the scale path of q25, on the deterministic
+    * ±1 sign-plane family (oracle-replayable; the xxhash64-folded family
+    * in [[Similarity.lshTopK]] is spec-pinned for recall vs. brute force).
     */
   def q29AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
-    Similarity.lshTopK(queries, emb, "embedding", "vec_id", k = 5, planes = 6)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    Similarity.lshTopKDet(queries, emb, "embedding", "vec_id", k = 5, planes = 6, dim = dim)
       .select(col("query_id").as("qid"), col("rank").as("rnk"), col("neighbor_id").as("nid"))
       .orderBy("qid", "rnk")
   }

@@ -32,7 +32,93 @@ object OracleSql {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** q27: the full md5 mod-prime MinHash + 16-band LSH pipeline, generated
+    * with the same affine coefficients as Dedup.minhashSignaturesMd5.
+    */
+  private val minhashPairsMd5Sql: String = {
+    val P = 2147483647L
+    val mins = (0 until 64).map { i =>
+      val (a, b) = graft.operators.Dedup.minhashMd5Coeffs(i)
+      s"min((h*$a+$b)%$P) AS mh$i"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until 16).map { bnd =>
+      val cols = (bnd * 4 until bnd * 4 + 4)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws('_', $cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS sh
+       |  FROM words),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 7)) AS BIGINT) AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q28: md5 SimHash signatures (same CTEs as q33) + all-pairs Hamming ≤ 3
+    * — the oracle for the banded (pigeonhole-exact) Spark plan.
+    */
+  private val simhashPairsSql: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n       ")
+    val sig = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" +\n       ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |       $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q29: deterministic ±1 sign-plane LSH buckets + in-bucket cosine top-5,
+    * with the dot products unrolled in the same left-associated order as
+    * Similarity.signPlaneBucket so bucket bits match bit for bit.
+    */
+  private val annLshDetSql: String = {
+    val planes = 6
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v,
+       |         $buckets AS bucket
+       |       FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bk WHERE vec_id % 50 = 0),
+       |s AS (SELECT q.qid, bk.vec_id AS nid,
+       |             list_dot_product(q.qv, bk.v) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(bk.v, bk.v))) AS sim
+       |      FROM q JOIN bk ON q.bucket = bk.bucket AND q.qid <> bk.vec_id),
+       |r AS (SELECT qid, nid,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q27_minhash_pairs" -> minhashPairsMd5Sql,
+    "q28_simhash" -> simhashPairsSql,
+    "q29_ann_lsh" -> annLshDetSql,
     "q32_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

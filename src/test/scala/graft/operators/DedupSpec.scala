@@ -30,6 +30,35 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("md5 minhash LSH (oracle family) matches the xxhash64 family's behavior") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "completely different content about spark catalyst optimizer rules and physical plans for distributed joins at large scale with many executors running"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val pairs = Dedup.minhashCandidatePairsMd5(d, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact copies must collide")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near-dup should collide in some band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhashNearDupPairs banded join equals all-pairs hamming filter") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val banded = Dedup.simhashNearDupPairs(d, "text", "doc_id", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference over the same md5 signatures
+    val sig = Dedup.simhashMd5(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded === brute, "pigeonhole banding must reproduce the exact all-pairs result")
+    assert(banded.exists { case (a, b, h) => a == 1L && b == 4L && h == 0L },
+      "exact copies are hamming-0 pairs")
+  }
+
   test("nearDuplicates thresholds candidates by exact Jaccard") {
     val nearDup = base.replace("quick", "swift")
     val d = docs(1L -> base, 2L -> nearDup, 3L -> base)

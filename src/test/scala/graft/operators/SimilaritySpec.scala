@@ -45,6 +45,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.nonEmpty, "planes=4 → 16 buckets over 200 vecs must produce collisions")
   }
 
+  test("deterministic sign-plane LSH buckets collide and rank correctly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val queries = emb.where(pmod(col("vec_id"), lit(40)) === 0)
+    val lsh = Similarity.lshTopKDet(queries, emb, "embedding", "vec_id",
+      k = 3, planes = 4, dim = 64)
+    val rows = lsh.collect()
+    assert(rows.forall(_.getAs[Long]("rank") <= 3L))
+    assert(rows.nonEmpty, "planes=4 → 16 buckets over 200 vecs must produce collisions")
+    // bucket assignment is a pure function of the vector: identical vectors
+    // always share a bucket, so a self-copy under a new id must be rank 1
+    val withCopy = emb.union(emb.where(col("vec_id") === 0)
+      .withColumn("vec_id", lit(99999L)))
+    val q0 = withCopy.where(col("vec_id") === 0)
+    val top = Similarity.lshTopKDet(q0, withCopy, "embedding", "vec_id",
+      k = 1, planes = 4, dim = 64).collect()
+    assert(top.head.getAs[Long]("neighbor_id") === 99999L,
+      "the planted exact copy must be the nearest bucket-mate")
+  }
+
+  test("sign-plane component is deterministic ±1") {
+    val vals = for (p <- 0 until 6; j <- 0 until 64)
+      yield Similarity.signPlaneComponent(p, j)
+    assert(vals.forall(v => v == 1.0 || v == -1.0))
+    assert(vals.toSet.size === 2, "both signs occur")
+    assert(Similarity.signPlaneComponent(0, 0) === Similarity.signPlaneComponent(0, 0))
+  }
+
   test("IVF with full probing equals brute force exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
     val queries = emb.where(pmod(col("vec_id"), lit(30)) === 0)
