@@ -105,4 +105,31 @@ object TextAnalysis {
       )
     )
   }
+
+  /** [[fingerprint]] as a whole-DataFrame aggregation: posexplode + lead
+    * window + min-agg, the same plan shape as MinHash signatures. The HOF
+    * column formulation above is convenient inline but its array lambdas
+    * are interpreted per element (measured ~6× slower at sf0.1); this one
+    * keeps md5/concat/min inside codegen and combines map-side, so the
+    * shuffle carries one partial min per (partition, doc). Semantics are
+    * identical: min md5 over full word shingles, plus the position-0
+    * truncated shingle for documents shorter than `shingle` words.
+    * Returns (idCol, fingerprint).
+    */
+  def fingerprintAgg(df: DataFrame, textCol: String, idCol: String,
+                     shingle: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val leads = (1 until shingle).map(i => lead(col("__w"), i).over(w))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+    words
+      .select(col(idCol), col("__p"),
+        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
+        full.as("__full"))
+      .where(col("__full") || col("__p") === 0)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("__sh"))).as("fingerprint"))
+  }
 }

@@ -38,10 +38,12 @@ object DocQueries {
         col("score_fr"), col("lang_pred"))
       .orderBy("doc_id")
 
-  /** Min-shingle-hash document fingerprint (1-permutation MinHash). */
+  /** Min-shingle-hash document fingerprint (1-permutation MinHash), in the
+    * codegen'd explode+min-agg shape (the inline-HOF formulation was the
+    * single slowest bench query once timings forced full evaluation).
+    */
   def q24Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    TextAnalysis.fingerprintAgg(Tables(spark, dir).documents, "text", "doc_id")
       .orderBy("doc_id")
 
   /** Brute-force cosine top-5 ANN for a 2% query sample (every 50th vector).

@@ -53,4 +53,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("fingerprintAgg equals the inline-HOF fingerprint on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+      .union(Seq((9001L, "one two three", "en", "t", 13L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val hof = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agg = TextAnalysis.fingerprintAgg(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(agg === hof, "explode+min-agg plan must reproduce the HOF column exactly (incl. short docs)")
+  }
 }
