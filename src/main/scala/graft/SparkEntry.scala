@@ -48,6 +48,9 @@ object SparkEntry {
     "q40_string_funcs"   -> (R.q40StringFuncs(_, _)),
     "q41_array_agg"      -> (R.q41ArrayAgg(_, _)),
     "q42_date_math"      -> (R.q42DateMath(_, _)),
+    "q45_cube"           -> (R.q45Cube(_, _)),
+    "q46_window_battery" -> (R.q46WindowBattery(_, _)),
+    "q48_redact"         -> (R.q48Redact(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),
@@ -65,7 +68,12 @@ object SparkEntry {
     "q33_simhash_md5"    -> (D.q33SimhashMd5(_, _)),
     "q34_subword_count"  -> (D.q34SubwordCount(_, _)),
     "q43_tfidf"          -> (D.q43Tfidf(_, _)),
-    "q44_det_sample"     -> (D.q44DetSample(_, _))
+    "q44_det_sample"     -> (D.q44DetSample(_, _)),
+    "q47_word_freq"      -> (D.q47WordFreq(_, _)),
+    "q49_contamination"  -> (D.q49Contamination(_, _)),
+    "q50_seq_pack"       -> (D.q50SeqPack(_, _)),
+    "q51_stratified_sample" -> (D.q51StratifiedSample(_, _)),
+    "q52_repetition"     -> (D.q52Repetition(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -35,4 +35,21 @@ object Sampling {
     val cut = (holdoutFraction * Buckets).toLong
     (df.where(bucket(col(idCol)) >= cut), df.where(bucket(col(idCol)) < cut))
   }
+
+  /** Stratified deterministic sampling: each stratum keeps its own rate
+    * (corpus rebalancing — downsample the dominant language, keep the long
+    * tail). Membership stays a pure per-row function: the cutoff is a CASE
+    * over the stratum column, the bucket the same md5 hash — no shuffle, no
+    * per-stratum pass, one scan regardless of stratum count.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(f =>
+      require(f >= 0 && f <= 1, s"rates must be in [0,1], got $f"))
+    val cutoff = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(bucket(col(idCol)) < cutoff)
+  }
 }

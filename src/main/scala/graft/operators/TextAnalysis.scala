@@ -106,6 +106,83 @@ object TextAnalysis {
     )
   }
 
+  /** Corpus-wide term frequencies (the Zipf profile): explode tokens, one
+    * map-side-combining count per term. The caller takes the head via
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject (per-
+    * partition top-k + driver merge — no global sort of the vocabulary).
+    */
+  def wordFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+
+  /** Within-document repetition signals — the boilerplate/spam filter of a
+    * pretraining pipeline. Two stacked aggregations, both map-side
+    * combinable: (doc, token) counts, then per-doc rollup to total tokens,
+    * distinct tokens, the dominant token's count, and
+    * repetition_ratio = 1 - distinct/total (0 = all unique, → 1 = one token
+    * repeated). Adds no row blowup beyond the token explode.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+    val perTok = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
+    perTok.groupBy(col(idCol)).agg(
+      sum(col("__cnt")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("__cnt")).as("top_freq")
+    ).withColumn("repetition_ratio",
+      round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Distinct word k-shingles as rows (id, shingle) — the join-ready form
+    * for contamination checks. Same codegen'd posexplode+lead shape as
+    * fingerprintAgg.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val leads = (1 until k).map(i => lead(col("__w"), i).over(w))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+    words
+      .select(col(idCol), col("__p"),
+        concat_ws(" ", (col("__w") +: leads): _*).as("shingle"),
+        full.as("__full"))
+      .where(col("__full") || col("__p") === 0)
+      .select(col(idCol), col("shingle"))
+      .distinct()
+  }
+
+  /** Benchmark-contamination check: for every (document, benchmark doc)
+    * pair sharing at least one word k-shingle, the number of distinct
+    * shared shingles. The join is an equi-join on the shingle string —
+    * shuffle ∝ shingle rows, never |docs|×|bench| — and when the benchmark
+    * side is small (it always is) Spark broadcasts it, so the corpus
+    * never shuffles at all.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, k: Int = 5): DataFrame = {
+    val d = shingleRows(docs, textCol, idCol, k)
+    val b = shingleRows(bench, textCol, idCol, k)
+      .withColumnRenamed(idCol, "bench_id")
+    d.join(b, Seq("shingle"))
+      .where(col(idCol) =!= col("bench_id"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** PII-style scrubbing: replace digit runs of `minRun`+ with a
+    * placeholder (account numbers, phone-like ids). Codegen'd regex, no
+    * UDF; pairs with [[redactionCount]] for audit metrics.
+    */
+  def redactDigitRuns(c: Column, minRun: Int = 4, placeholder: String = "[ID]"): Column =
+    regexp_replace(c, s"[0-9]{$minRun,}", placeholder)
+
+  /** Number of digit runs [[redactDigitRuns]] would replace. */
+  def redactionCount(c: Column, minRun: Int = 4): Column =
+    size(regexp_extract_all(c, lit(s"[0-9]{$minRun,}"), lit(0))).cast("long")
+
   /** [[fingerprint]] as a whole-DataFrame aggregation: posexplode + lead
     * window + min-agg, the same plan shape as MinHash signatures. The HOF
     * column formulation above is convenient inline but its array lambdas

@@ -150,6 +150,57 @@ object DocQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Corpus Zipf head: top-100 terms by frequency (term tiebreak). */
+  def q47WordFreq(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordFrequencies(Tables(spark, dir).documents, "text")
+      .orderBy(col("freq").desc, col("term"))
+      .limit(100)
+
+  /** Benchmark-contamination sweep: distinct 5-gram overlap counts between
+    * every document and a small "benchmark" subset (doc_id % 97 == 0 —
+    * stand-in for an eval set; the operator takes any DataFrame).
+    */
+  def q49Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    TextAnalysis.contamination(docs, bench, "text", "doc_id")
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Greedy sequence packing: documents packed in doc_id order into
+    * 2048-token bins, independently per language (the partition key keeps
+    * the running sum distributed — no global single-partition window).
+    * bin = floor(tokens-before-this-doc / 2048).
+    */
+  def q50SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 2048.0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Stratified deterministic sampling: downsample dominant English to 10%,
+    * keep other languages at 30% — corpus rebalancing as one scan.
+    */
+  def q51StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables(spark, dir).documents, "doc_id", "lang",
+        rates = Map("en" -> 0.10), defaultRate = 0.30)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Within-document repetition signals (boilerplate/spam filter). */
+  def q52Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables(spark, dir).documents, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_freq"), col("repetition_ratio"))
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -116,6 +116,73 @@ object OracleSql {
   }
 
   val sql: Map[String, String] = Map(
+    "q45_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       CAST(grouping(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY gid, seg, status""".stripMargin,
+
+    "q46_window_battery" ->
+      """SELECT o_custkey AS ck, o_orderkey,
+        |       CAST(date_diff('day', lag(o_orderdate) OVER wd, o_orderdate) AS BIGINT) AS days_since_prev,
+        |       CAST(ntile(4) OVER wd AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice), 4) AS pct_price,
+        |       strftime(min(o_orderdate) OVER (PARTITION BY o_custkey), '%Y-%m-%d') AS first_d
+        |FROM orders
+        |WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY ck, o_orderkey""".stripMargin,
+
+    "q48_redact" ->
+      """SELECT c_custkey AS ck,
+        |       regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_redactions
+        |FROM customer ORDER BY ck""".stripMargin,
+
+    "q47_word_freq" ->
+      """SELECT term, count(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, term LIMIT 100""".stripMargin,
+
+    "q49_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w) - 4, 1)),
+        |         i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+        |       FROM w),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM sh s JOIN b ON s.shingle = b.shingle AND s.doc_id <> b.bench_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q50_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000
+        |      < CASE WHEN lang = 'en' THEN 1000 ELSE 3000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |              FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       CAST(max(cnt) AS BIGINT) AS top_freq,
+        |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS repetition_ratio
+        |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q28_simhash" -> simhashPairsSql,
     "q29_ann_lsh" -> annLshDetSql,

@@ -385,6 +385,59 @@ object RelationalQueries {
         date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd").as("month_start"))
       .orderBy("o_orderkey")
 
+  /** CUBE over (segment, status) — all four grouping sets in one pass
+    * (q18's ROLLUP emits three). Spark expands the cube before the
+    * aggregate; partial aggregation still combines map-side per grouping
+    * set, so the shuffle carries (set, keys, partials) not raw rows.
+    */
+  def q45Cube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "seg", "status")
+  }
+
+  /** Window-function battery beyond row_number (q12): lag-based deltas,
+    * ntile quartiles, percent_rank, and a partition-wide first date — one
+    * shuffle on the partition key serves all four functions (same window
+    * spec where possible).
+    */
+  def q46WindowBattery(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+    val all = Window.partitionBy(col("o_custkey"))
+    Tables(spark, dir).orders
+      .select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate))
+          .cast("long").as("days_since_prev"),
+        ntile(4).over(byDate).cast("long").as("quartile"),
+        round(percent_rank().over(byPrice), 4).as("pct_price"),
+        date_format(min(col("o_orderdate")).over(all), "yyyy-MM-dd").as("first_d"))
+      .orderBy("ck", "o_orderkey")
+  }
+
+  /** PII-style scrubbing over an id-bearing string column: digit runs ≥ 4
+    * replaced with a placeholder + an audit count per row (see
+    * TextAnalysis.redactDigitRuns — codegen'd regex, no UDF).
+    */
+  def q48Redact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(
+        col("c_custkey").as("ck"),
+        graft.operators.TextAnalysis.redactDigitRuns(col("c_name")).as("redacted"),
+        graft.operators.TextAnalysis.redactionCount(col("c_name")).as("n_redactions"))
+      .orderBy("ck")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

@@ -24,4 +24,21 @@ class SamplingSpec extends SparkTestBase {
     assert((t & h).isEmpty)
     assert(t.size + h.size === docs.count())
   }
+
+  test("stratified sample applies per-stratum rates and stays a subset of the flat sample") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.10), defaultRate = 0.30)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac < 0.25, s"en downsampled to ~10%, got $enFrac")
+    // same hash ⇒ the 10% en stratum is exactly the en rows of the flat 10% sample
+    val flat10 = Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .where(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    val strat = out.where(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strat === flat10)
+  }
 }

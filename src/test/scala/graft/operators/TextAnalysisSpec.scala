@@ -54,6 +54,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("repetition signals: uniform text scores 0, single-token spam near 1") {
+    val d = Seq((1L, "a b c d"), (2L, "spam spam spam spam spam"), (3L, "x x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((4L, 4L, 1L, 0.0)))
+    assert(out(2L) === ((5L, 1L, 5L, 0.8)))
+    assert(out(3L) === ((3L, 2L, 2L, 0.3333)))
+  }
+
+  test("contamination counts distinct shared shingles, excluding self-pairs") {
+    val d = Seq(
+      (1L, "one two three four five six"),     // shares both 5-shingles with 10
+      (2L, "totally unrelated words here now im"),
+      (10L, "one two three four five six")     // the "benchmark" doc
+    ).toDF("doc_id", "text")
+    val bench = d.where(col("doc_id") === 10L)
+    val out = TextAnalysis.contamination(d, bench, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 10L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("digit-run redaction scrubs and counts") {
+    val d = Seq((1L, "Customer#000000042 called 5551234 twice, ext 12")).toDF("id", "s")
+    val r = d.select(
+      TextAnalysis.redactDigitRuns(col("s")).as("red"),
+      TextAnalysis.redactionCount(col("s")).as("n")).head
+    assert(r.getString(0) === "Customer#[ID] called [ID] twice, ext 12")
+    assert(r.getLong(1) === 2L)
+  }
+
+  test("word frequencies count the corpus multiset") {
+    val d = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordFrequencies(d, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 3L, "b" -> 2L))
+  }
+
   test("fingerprintAgg equals the inline-HOF fingerprint on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
       .union(Seq((9001L, "one two three", "en", "t", 13L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
