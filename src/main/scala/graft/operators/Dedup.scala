@@ -10,11 +10,10 @@ import org.apache.spark.sql.expressions.Window
   *   - exact: hash-groupBy on a content digest (one shuffle on a 16-byte key,
   *     map-side partial agg).
   *   - MinHash + LSH banding: near-dup candidate pairs without the O(n²)
-  *     cross join — signatures are computed per-row with higher-order
-  *     functions (no UDF), then candidates come from a self-equi-join on
-  *     (band, bandHash) which Spark executes as a shuffled hash join keyed
-  *     on the band hash. At 100 TB this is THE way: cost is proportional to
-  *     bucket collisions, not to n².
+  *     cross join — codegen'd signatures, then candidates from a per-bucket
+  *     group + in-bucket pair unroll (one shuffle of (band, hash, id)
+  *     triples; see bucketPairs). At 100 TB this is THE way: cost is
+  *     proportional to bucket collisions, not to n².
   *   - SimHash: 64-bit bitwise signature via 64 partial-aggregable bit sums
   *     (map-side combine; no row blowup).
   *   - n-gram Jaccard verification: exact similarity on candidate pairs only.
@@ -103,8 +102,9 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash + LSH banding: ids sharing
     * at least one (band, bandHash) bucket. Output (id_a, id_b), id_a < id_b,
     * deduplicated across bands. Band hashes are xxhash64 over that band's
-    * signature columns; the candidate join is an equi-join on
-    * (band, band_hash) — it shuffles only (id, hash) pairs, never documents.
+    * signature columns; candidates come from [[bucketPairs]] — one shuffle
+    * of (band, hash, id) triples, never documents, and the signature
+    * subtree is computed exactly once.
     */
   def minhashCandidatePairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -118,12 +118,7 @@ object Dedup {
       xxhash64(lit(b) +: bandCols: _*)
     }: _*)
     val banded = sigs.select(col("__id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    bucketPairs(banded, "band", "band_hash", "__id")
   }
 
   /** MinHash signatures over a DuckDB-expressible hash family: the base
@@ -189,13 +184,28 @@ object Dedup {
       concat_ws("_", bandCols: _*)
     }: _*)
     val banded = sigs.select(col("__id"), posexplode(bandKeys).as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"), col("__id").as("id_a"))
-    val b = banded.select(col("band"), col("band_key"), col("__id").as("id_b"))
-    a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    bucketPairs(banded, "band", "band_key", "__id")
   }
+
+  /** Pairs of ids sharing a bucket, WITHOUT a self-join: group ids per
+    * bucket and unroll the in-bucket 2-combinations with two Generates.
+    * A self-join would recompute the (expensive) signature subtree once
+    * per side — Spark's ReuseExchange cannot unify them because the sides
+    * differ by output aliases. This shape computes signatures once and
+    * shuffles each (bucket, id) exactly once. LSH buckets are small by
+    * design, so the per-bucket id list is bounded; a degenerate corpus
+    * (everything identical) would hot-spot one task here exactly as it
+    * would hot-spot one join key in the self-join formulation.
+    */
+  private def bucketPairs(banded: DataFrame, bandCol: String, keyCol: String,
+                          idCol: String): DataFrame =
+    banded.groupBy(col(bandCol), col(keyCol))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id_b"))
+      .distinct()
 
   /** All pairs within `maxHamming` bits on the md5 SimHash signature,
     * found WITHOUT the O(n²) cross join: the `bits`-wide signature splits
@@ -220,15 +230,18 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col("__id"), col("simhash"),
       posexplode(bandVals).as(Seq("band", "band_val")))
-    val a = banded.select(col("band"), col("band_val"),
-      col("__id").as("id_a"), col("simhash").as("__sig_a"))
-    val b = banded.select(col("band"), col("band_val"),
-      col("__id").as("id_b"), col("simhash").as("__sig_b"))
-    a.join(b, Seq("band", "band_val"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).cast("long"))
+    // same no-self-join shape as bucketPairs, carrying the signature along
+    // so the Hamming filter needs no join back
+    banded.groupBy(col("band"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("simhash")))).as("__ms"))
+      .where(size(col("__ms")) > 1)
+      .select(posexplode(col("__ms")).as(Seq("__i", "__a")), col("__ms"))
+      .select(col("__a"),
+        explode(slice(col("__ms"), col("__i") + 2, size(col("__ms")))).as("__b"))
+      .select(
+        col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        bit_count(col("__a.simhash").bitwiseXOR(col("__b.simhash"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
       .distinct()
   }
 
