@@ -51,6 +51,7 @@ object SparkEntry {
     "q45_cube"           -> (R.q45Cube(_, _)),
     "q46_window_battery" -> (R.q46WindowBattery(_, _)),
     "q48_redact"         -> (R.q48Redact(_, _)),
+    "q53_skew_join"      -> (R.q53SkewJoin(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -116,6 +116,12 @@ object OracleSql {
   }
 
   val sql: Map[String, String] = Map(
+    "q53_skew_join" ->
+      """SELECT s_name AS supplier_name, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q45_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
         |       coalesce(o_orderstatus, 'ALL') AS status,

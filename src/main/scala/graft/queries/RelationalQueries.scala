@@ -438,6 +438,23 @@ object RelationalQueries {
         graft.operators.TextAnalysis.redactionCount(col("c_name")).as("n_redactions"))
       .orderBy("ck")
 
+  /** Skew-salted shuffle join (operators.Skew): probe side spread across 8
+    * deterministic salts, build side replicated 8× — result provably equal
+    * to the plain inner join (the oracle IS the plain join). The shape that
+    * survives a hot supplier key at 100 TB when even AQE's skew splitting
+    * can't break up one reducer.
+    */
+  def q53SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val probe = t.lineitem.select(col("l_suppkey").as("suppkey"),
+      col("l_orderkey"), col("l_extendedprice"))
+    val build = t.supplier.select(col("s_suppkey").as("suppkey"), col("s_name"))
+    graft.operators.Skew.saltedJoin(probe, build, "suppkey", "l_orderkey", factor = 8)
+      .groupBy(col("s_name").as("supplier_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("supplier_name")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
