@@ -49,4 +49,27 @@ final case class ParquetWarehouse(
       case None => raw
     }
   }
+
+  /** Bucketed (and optionally sort-ordered) catalog table write: tables
+    * bucketed the same way on their join key join with ZERO shuffle on
+    * either side — the co-location strategy for fact⋈fact joins too big to
+    * broadcast (BucketedJoinSpec asserts the exchange-free plan). Bucketing
+    * requires the session catalog, hence saveAsTable; the files still land
+    * under `root` via the path option.
+    */
+  def writeBucketed(name: String, df: DataFrame, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    writtenSchemas(name) = df.schema
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", s"$root/$name")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Catalog read for [[writeBucketed]] tables (bucket metadata lives in
+    * the catalog, not the files — a plain parquet read would lose it).
+    */
+  def readTable(name: String): DataFrame = spark.table(name)
 }

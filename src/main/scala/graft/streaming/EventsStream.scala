@@ -91,6 +91,21 @@ object EventsStream {
         })
   }
 
+  /** Streaming exact dedup — the streaming twin of Dedup.exactDedup:
+    * re-deliveries of the same content digest are dropped for as long as
+    * the watermark horizon keeps their state alive, so state is bounded by
+    * horizon × ingest rate instead of growing with the corpus. This is the
+    * continuous-ingest shape of the training-data dedup pipeline (new
+    * documents arriving as a stream, dedup before they land in the
+    * corpus).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("content_hash",
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Run a streaming DataFrame to completion over the files currently in
     * the source dir (Trigger.AvailableNow — the reference's daily batch
     * cadence) and return the materialized result from a memory sink.

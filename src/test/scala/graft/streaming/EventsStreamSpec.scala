@@ -23,6 +23,19 @@ class EventsStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming dedup keeps one row per content digest (== batch distinct)") {
+    val streamed = EventsStream.dedupStream(EventsStream.readEvents(spark, dir))
+    val got = EventsStream.runAvailableNow(spark, streamed, "dedup_test")
+    val batchDistinct = graft.sources.Tables(spark, dir).events
+      .select(md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))).as("h"))
+      .distinct().count()
+    assert(got.count() === batchDistinct,
+      "stream dedup must emit exactly the batch-distinct digest count")
+    val perHash = got.groupBy("content_hash").count()
+      .where(col("count") > 1).count()
+    assert(perHash === 0L, "no digest may survive twice")
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
       EventsStream.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
