@@ -80,12 +80,6 @@ object Dims {
     buildDim(raw, wanted, renames, wanted, "ID_Transaccion")
   }
 
-  /** Hard-coded canton → geography lookup (ref :303-321). Geographic data
-    * carried over from the reference (17 Ecuadorian cantons); keys are
-    * INTEGER-STRING codes like '10701' — which, against real data whose
-    * CANTÓN column stringifies as '10701.0', NEVER match (ref quirk, SURVEY
-    * §2.3 J4). Kept verbatim for behavioral fidelity.
-    */
   /** Canton column probe, shared by the dim builder and the fact lookup
     * (FactRegistro J4) so a header accepted by one is accepted by both —
     * a divergence would build a populated dim_ubicacion while every fact
@@ -93,6 +87,12 @@ object Dims {
     */
   val CantonProbe: Seq[String] = Seq("CANTON", "CANTÓN", "canton", "cantón")
 
+  /** Hard-coded canton → geography lookup (ref :303-321). Geographic data
+    * carried over from the reference (17 Ecuadorian cantons); keys are
+    * INTEGER-STRING codes like '10701' — which, against real data whose
+    * CANTÓN column stringifies as '10701.0', NEVER match (ref quirk, SURVEY
+    * §2.3 J4). Kept verbatim for behavioral fidelity.
+    */
   val MapeoCantones: Map[String, (String, String, String)] = Map(
     "10701" -> (("CUENCA", "AZUAY", "SIERRA")),
     "10911" -> (("GIRON", "AZUAY", "SIERRA")),

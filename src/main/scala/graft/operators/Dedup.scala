@@ -73,23 +73,12 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
-    // Shingles via posexplode + lead window rather than the array-slice HOF:
-    // lead/concat_ws/xxhash are all compiled operators, while higher-order
-    // array lambdas are interpreted per element (measured 6× slower at
-    // sf0.1). MinHash over the shingle MULTISET equals MinHash over the set,
-    // so no distinct pass is needed. Trailing sub-shingles are dropped
-    // except the position-0 row of a document shorter than k words (which
-    // keeps the slice formulation's semantics of one short shingle).
-    val words = df.select(col(idCol),
-      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val leads = (1 until shingleK).map(i => lead(col("__w"), i).over(w))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull // k=1: every token is a full shingle
-    val exploded = words
-      .select(col(idCol), col("__p"),
-        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
-        full.as("__full"))
-      .where(col("__full") || col("__p") === 0)
+    // Shingles via TextAnalysis.explodedShingles (posexplode + lead window,
+    // all compiled operators — the array-slice HOF was measured 6× slower
+    // at sf0.1 because array lambdas are interpreted per element). MinHash
+    // over the shingle MULTISET equals MinHash over the set, so no distinct
+    // pass is needed.
+    val exploded = TextAnalysis.explodedShingles(df, textCol, idCol, shingleK)
       .withColumn("__h", xxhash64(col("__sh")))
     val aggs = (0 until numHashes).map { i =>
       val a = splitmix64(i.toLong * 2 + 1) | 1L
@@ -135,16 +124,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
     val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val words = df.select(col(idCol),
-      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val leads = (1 until shingleK).map(i => lead(col("__w"), i).over(w))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    val exploded = words
-      .select(col(idCol), col("__p"),
-        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
-        full.as("__full"))
-      .where(col("__full") || col("__p") === 0)
+    val exploded = TextAnalysis.explodedShingles(df, textCol, idCol, shingleK)
       .withColumn("__h", conv(substring(md5(col("__sh")), 1, 7), 16, 10).cast("long"))
     val aggs = (0 until numHashes).map { i =>
       val (a, b) = minhashMd5Coeffs(i)
@@ -301,6 +281,9 @@ object Dedup {
     * Same partial-aggregable bit-sum formulation.
     */
   def simhashMd5(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
+    // the token hash is the first 15 md5 hex chars = 60 usable bits; more
+    // would silently yield always-zero signature bits (dead bands)
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
     val toks = df.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
       .withColumn("__h", conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until bits).map { b =>

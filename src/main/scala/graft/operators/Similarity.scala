@@ -96,24 +96,13 @@ object Similarity {
 
   /** [[lshTopK]] with the deterministic ±1 sign-plane family — identical
     * shuffle shape (bucket equi-join, never n·q), but replayable on any
-    * md5-capable engine. `dim` is the embedding width (checked per batch
-    * at plan time by the caller).
+    * md5-capable engine. `dim` is the embedding width (a plan-time
+    * constant: the unrolled dot products need a static term count).
     */
   def lshTopKDet(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
-                 k: Int, planes: Int, dim: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signPlaneBucket(col(vecCol), planes, dim).as("__bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
-      signPlaneBucket(col(vecCol), planes, dim).as("__bucket"))
-    val scored = c.join(q, Seq("__bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosineSim(col("__qv"), col("__nv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
-  }
+                 k: Int, planes: Int, dim: Int): DataFrame =
+    bucketedTopK(queries, corpus, vecCol, idCol, k,
+      signPlaneBucket(col(vecCol), planes, dim))
 
   /** IVF (inverted-file) ANN top-k: the corpus is coarse-quantized into
     * `numCentroids` inverted lists (each vector assigned to its nearest
@@ -196,11 +185,22 @@ object Similarity {
     * more compute). Returns (query_id, rank, neighbor_id, cos_sim).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 8): DataFrame =
+    bucketedTopK(queries, corpus, vecCol, idCol, k,
+      hyperplaneBucket(col(vecCol), planes))
+
+  /** Shared tail of the bucketed-LSH ANN paths: bucket both sides with
+    * `bucketExpr`, equi-join on bucket, exact cosine + per-query rank
+    * window. One definition so the top-k contract (tie-break on
+    * neighbor_id, long rank, output columns) cannot drift between hash
+    * families.
+    */
+  private def bucketedTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+                           idCol: String, k: Int, bucketExpr: Column): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+      bucketExpr.as("__bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
-      hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+      bucketExpr.as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosineSim(col("__qv"), col("__nv")))

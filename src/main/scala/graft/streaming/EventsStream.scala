@@ -101,8 +101,12 @@ object EventsStream {
     */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
+      // to_json(struct(...)) — not concat_ws — so the digest is an
+      // unambiguous serialization: concat_ws skips NULL fields and cannot
+      // escape a field containing the delimiter, so distinct events could
+      // collide on one hash and be silently dropped
       .withColumn("content_hash",
-        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+        md5(to_json(struct(col("user_id"), col("event_type"), col("value")))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

@@ -27,7 +27,7 @@ class EventsStreamSpec extends SparkTestBase {
     val streamed = EventsStream.dedupStream(EventsStream.readEvents(spark, dir))
     val got = EventsStream.runAvailableNow(spark, streamed, "dedup_test")
     val batchDistinct = graft.sources.Tables(spark, dir).events
-      .select(md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))).as("h"))
+      .select(md5(to_json(struct(col("user_id"), col("event_type"), col("value")))).as("h"))
       .distinct().count()
     assert(got.count() === batchDistinct,
       "stream dedup must emit exactly the batch-distinct digest count")
