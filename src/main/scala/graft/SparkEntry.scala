@@ -52,6 +52,9 @@ object SparkEntry {
     "q46_window_battery" -> (R.q46WindowBattery(_, _)),
     "q48_redact"         -> (R.q48Redact(_, _)),
     "q53_skew_join"      -> (R.q53SkewJoin(_, _)),
+    "q54_rolling_window" -> (R.q54RollingWindow(_, _)),
+    "q55_corr_subquery"  -> (R.q55CorrSubquery(_, _)),
+    "q56_stats_agg"      -> (R.q56StatsAgg(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -123,6 +123,31 @@ object OracleSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q54_rolling_window" ->
+      """SELECT o_custkey AS ck, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |       count(*) OVER w AS n_7d,
+        |       round(sum(o_totalprice) OVER w, 2) AS sum_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY ck, o_orderkey""".stripMargin,
+
+    "q55_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q56_stats_agg" ->
+      """SELECT l_returnflag AS flag,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(stddev_samp(l_quantity), 4) AS sd_q,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q45_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
         |       coalesce(o_orderstatus, 'ALL') AS status,

@@ -455,6 +455,53 @@ object RelationalQueries {
       .orderBy("supplier_name")
   }
 
+  /** Rolling 7-day window per customer via a RANGE frame over the day
+    * number — a value-based frame (not row-based), the time-series shape
+    * rangeBetween exists for. Count/sum over a range frame are
+    * order-insensitive within ties, so results are deterministic.
+    */
+  def q54RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day).rangeBetween(-6, 0)
+    Tables(spark, dir).orders
+      .select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("o_totalprice")).over(w), 2).as("sum_7d"))
+      .orderBy("ck", "o_orderkey")
+  }
+
+  /** Correlated scalar subquery through the SQL-text path: orders priced
+    * above 1.5× their own customer's average. Catalyst decorrelates this
+    * into an aggregate + join — no per-row re-execution (the plan guard
+    * suite asserts no nested loop appears).
+    */
+  def q55CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 2) AS price
+        |FROM orders_v o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+        |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Statistical aggregate battery: Pearson correlation, sample stddev and
+    * covariance per group — one pass, all map-side combinable (moment
+    * sketches merge associatively).
+    */
+  def q56StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+        count(lit(1)).as("n"))
+      .orderBy("flag")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
