@@ -55,6 +55,9 @@ object SparkEntry {
     "q54_rolling_window" -> (R.q54RollingWindow(_, _)),
     "q55_corr_subquery"  -> (R.q55CorrSubquery(_, _)),
     "q56_stats_agg"      -> (R.q56StatsAgg(_, _)),
+    "q58_kmv_distinct"   -> (R.q58KmvDistinct(_, _)),
+    "q59_scd2"           -> (R.q59Scd2(_, _)),
+    "q60_merge_upsert"   -> (R.q60MergeUpsert(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),
@@ -77,7 +80,8 @@ object SparkEntry {
     "q49_contamination"  -> (D.q49Contamination(_, _)),
     "q50_seq_pack"       -> (D.q50SeqPack(_, _)),
     "q51_stratified_sample" -> (D.q51StratifiedSample(_, _)),
-    "q52_repetition"     -> (D.q52Repetition(_, _))
+    "q52_repetition"     -> (D.q52Repetition(_, _)),
+    "q57_dedup_clusters" -> (D.q57DedupClusters(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -204,6 +204,26 @@ object DocQueries {
         col("top_freq"), col("repetition_ratio"))
       .orderBy("doc_id")
 
+  /** Near-dup CLUSTERS from the embedding-similarity pair graph — the
+    * transitive-closure stage every dedup pipeline needs between "pairs"
+    * (q32) and "retention" (keep one doc per cluster): connected components
+    * via iterative min-label propagation (operators.Components), here over
+    * the exact cosine≥0.4 pair set so DuckDB can replay the whole pipeline
+    * with a recursive CTE. Emits (vid, comp, keep): component = min
+    * reachable vec_id, keep = 1 only for the canonical member.
+    */
+  def q57DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .embeddingNearDupsExact(Tables(spark, dir).embeddings, "embedding", "vec_id", 0.4)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(
+        col("id").cast("long").as("vid"),
+        col("component").cast("long").as("comp"),
+        when(col("id") === col("component"), 1L).otherwise(0L).as("keep"))
+      .orderBy("vid")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

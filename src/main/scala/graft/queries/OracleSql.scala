@@ -597,6 +597,68 @@ object OracleSql {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Connected components replayed with a recursive CTE: labels propagate
+    // along edges until the UNION (set-semantics) fixpoint; min reachable
+    // label per node == component min == Spark's propagation fixpoint.
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM ed),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id
+        |)
+        |SELECT CAST(id AS BIGINT) AS vid, CAST(min(lbl) AS BIGINT) AS comp,
+        |       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY id ORDER BY vid""".stripMargin,
+
+    "q58_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |kmv AS (SELECT max(h) AS kth_hash, count(*) AS k_seen
+        |        FROM (SELECT h FROM h ORDER BY h LIMIT 128)),
+        |ex AS (SELECT count(DISTINCT l_partkey) AS exact_nd FROM lineitem)
+        |SELECT CAST(128 AS BIGINT) AS k,
+        |       CAST(k_seen AS BIGINT) AS k_seen,
+        |       kth_hash,
+        |       round(127.0 * 1152921504606846976.0 / kth_hash, 2) AS est_nd,
+        |       CAST(exact_nd AS BIGINT) AS exact_nd
+        |FROM kmv, ex""".stripMargin,
+
+    "q59_scd2" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS ck, o_orderkey, round(o_totalprice, 2) AS price,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |         lead(CAST(o_orderdate AS DATE)) OVER
+        |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_d
+        |  FROM orders)
+        |SELECT ck, o_orderkey, price, valid_from,
+        |       coalesce(strftime(next_d - INTERVAL 1 DAY, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+        |       CAST(CASE WHEN next_d IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM t ORDER BY ck, o_orderkey""".stripMargin,
+
+    "q60_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, concat('NEW ', c_name), 0.0
+        |  FROM base WHERE c_custkey % 11 = 0)
+        |SELECT coalesce(u.c_custkey, b.c_custkey) AS ck,
+        |       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS name,
+        |       round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END, 2) AS bal
+        |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+        |ORDER BY ck""".stripMargin,
+
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

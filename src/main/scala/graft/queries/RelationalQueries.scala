@@ -502,6 +502,81 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("flag")
 
+  /** KMV (k-minimum-values) approximate COUNT DISTINCT — the sketch-based
+    * scale path for exact distinct counts (q11): hash every key to 60
+    * uniform bits, keep the k smallest distinct hashes, estimate
+    * (k-1) * 2^60 / kth_smallest. The "k smallest of a union" merge is
+    * exactly what TakeOrderedAndProject computes (per-partition k, then a
+    * driver merge) — at 100 TB the full-shuffle exact distinct becomes a
+    * k-row-per-partition reduce. The md5-derived hash makes the sketch
+    * engine-independent, so the oracle replays it bit-for-bit; the estimate
+    * lands within ~1/sqrt(k) ≈ 9% of truth (both emitted for inspection).
+    */
+  def q58KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val m = 1152921504606846976.0 // 2^60, the hash range
+    val hashed = Tables(spark, dir).lineitem
+      .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val kth = hashed.orderBy("h").limit(k)
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_seen"))
+    val exact = Tables(spark, dir).lineitem
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+    kth.crossJoin(exact)
+      .select(
+        lit(k.toLong).as("k"),
+        col("k_seen"),
+        col("kth_hash"),
+        round(lit((k - 1).toDouble) * m / col("kth_hash"), 2).as("est_nd"),
+        col("exact_nd"))
+  }
+
+  /** SCD Type-2 interval build: each order is a change event for its
+    * customer's "latest order" attribute; validity intervals come from one
+    * lead() window per customer (valid_to = next change - 1 day, open
+    * current row marked). The warehouse-history op the reference's
+    * truncate-reload model cannot express — and at scale it is ONE shuffle
+    * on the natural key, no self-join.
+    */
+  def q59Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val nextDate = lead(to_date(col("o_orderdate")), 1).over(w)
+    Tables(spark, dir).orders
+      .select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(date_sub(nextDate, 1), "yyyy-MM-dd"),
+          lit("9999-12-31")).as("valid_to"),
+        when(nextDate.isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("ck", "o_orderkey")
+  }
+
+  /** MERGE/upsert (etl.Merge): a derived change batch — every 7th customer
+    * re-priced, every 11th re-keyed past the id space as an insert — merged
+    * into the customer base via one full-outer key join. Incremental load
+    * for the truncate-reload warehouse; equal to SQL MERGE by construction
+    * (the oracle IS the SQL formulation).
+    */
+  def q60MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = base.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+      .unionByName(base.where(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal")))
+    graft.etl.Merge.upsert(base, updates, Seq("c_custkey"))
+      .select(col("c_custkey").as("ck"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("ck")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
