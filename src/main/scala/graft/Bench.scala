@@ -38,7 +38,11 @@ object Bench {
     // fully evaluated while writing nothing.
     def sink(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q57_dedup_clusters,q05_star_join times a
+    // subset; the driver never sets it, so the contract output is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       }

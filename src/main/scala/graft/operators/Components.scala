@@ -10,32 +10,72 @@ import org.apache.spark.sql.functions._
   * it is mandatory — transitive closure ("A~B, B~C ⇒ drop two of three")
   * cannot be expressed as any single join.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round every node takes the min of its own label and
-  * its neighbors' labels; fixpoint = each node holds the min id of its
-  * component. Rounds needed = graph diameter. Near-dup graphs are dense
-  * cliques with short bridges (diameter is a small constant), so this
-  * converges in a handful of rounds. For adversarial long-chain graphs at
-  * scale, swap the propagation step for the large-star/small-star
-  * operations ("Connected Components in MapReduce and Beyond", Kiveris et
-  * al. 2014) which converge in O(log n) rounds with the same
-  * per-round shuffle shape (join on src, re-aggregate min per node).
+  * Two execution paths, chosen by measured edge count (the same adaptive
+  * philosophy as broadcast-join thresholds):
   *
-  * Scale notes per round: one shuffle join of labels⋈edges on the node id
-  * plus one min-aggregate (map-side combinable). Labels are
-  * `localCheckpoint`ed every round — without it the lineage doubles per
-  * iteration and Catalyst re-analyzes an exponentially growing plan.
+  *   - small graphs (≤ `driverThreshold` edges): union-find on the driver.
+  *     Near-dup graphs are usually tiny relative to the corpus — pairs are
+  *     what survived LSH + verification — and a 4M-edge union-find is
+  *     milliseconds, while even one distributed iteration costs several
+  *     scheduled jobs. Collecting the EDGE LIST is not collecting the
+  *     corpus.
+  *   - large graphs: iterative min-label propagation with pointer jumping
+  *     (lbl := lbl(lbl) each round), converging in O(log diameter) rounds;
+  *     labels are localCheckpoint'ed per round so the plan stays shallow.
+  *     Per round: one edges⋈labels shuffle + map-side-combinable min-agg +
+  *     a label-forest self-join. For adversarial diameters the same round
+  *     structure admits the large-star/small-star variant ("Connected
+  *     Components in MapReduce and Beyond", Kiveris et al. 2014).
+  *
+  * Node ids must be integral (cast to long internally); `component` is the
+  * minimum id of the node's component on both paths.
   */
 object Components {
 
   /** Components of the undirected graph given by `pairs` (srcCol, dstCol).
-    * Returns (id, component): one row per distinct endpoint, `component` =
-    * the smallest node id reachable from `id`. Deterministic for any edge
-    * order. Throws if `maxIter` rounds don't reach the fixpoint.
+    * Returns (id LONG, component LONG): one row per distinct endpoint,
+    * `component` = the smallest node id reachable from `id`. Deterministic
+    * for any edge order. Throws if the distributed path doesn't reach the
+    * fixpoint in `maxIter` rounds.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+                          maxIter: Int = 25,
+                          driverThreshold: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    val fwd = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nEdges = fwd.count()
+    if (nEdges <= driverThreshold) {
+      // driver union-find (union by min root + path compression)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+        var y = x0 // path compression
+        while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      val rows = fwd.collect()
+      val nodes = new java.util.HashSet[Long]()
+      rows.foreach { r =>
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        nodes.add(x); nodes.add(y)
+        val (a, b) = (find(x), find(y))
+        if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+      }
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      nodes.asScala.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "component")
+    } else {
+      distributedComponents(fwd, maxIter)
+    }
+  }
+
+  /** The large-graph path: min-label propagation + pointer jumping. */
+  private[operators] def distributedComponents(fwd: DataFrame, maxIter: Int): DataFrame = {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -54,9 +94,21 @@ object Components {
       // propagate: each node also receives every neighbor's current label
       val received = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(received)
+      val stepped = labels.union(received)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // the round's one materialization point
+      // pointer jumping: follow one extra hop through the label forest
+      // (lbl := lbl(lbl)). Every lbl value is itself a node id, so the
+      // inner self-join is total; lbl(lbl) <= lbl by monotonicity. Left
+      // LAZY over the checkpointed `stepped`: checkpointing a
+      // join-projection hands its stale constraints to the next round's
+      // union, which Spark 4.1 fails to rewrite (key-not-found in
+      // UnionBase.rewriteConstraints); recomputing this two-small-table
+      // join per consumer is cheaper than that bug.
+      val next = stepped.join(
+          stepped.select(col("id").as("__pid"), col("lbl").as("__plbl")),
+          col("lbl") === col("__pid"))
+        .select(col("id"), col("__plbl").as("lbl"))
       // each node's label is monotonically non-increasing, so the label sum
       // strictly decreases until the fixpoint — an O(1)-output scalar agg
       // detects convergence without a labels⋈labels diff join

@@ -16,7 +16,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q26_ngram_jaccard",    // bounded all-pairs candidate set
     "q32_embedding_neardup", // exact near-dup baseline
     "q38_ann_ivf",          // centroid table broadcast-crossed for assignment
-    "q43_tfidf"             // scalar N broadcast-crossed into the score join
+    "q43_tfidf",            // scalar N broadcast-crossed into the score join
+    "q58_kmv_distinct"      // 1-row sketch × 1-row exact count join
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
