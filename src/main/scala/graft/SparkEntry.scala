@@ -81,7 +81,8 @@ object SparkEntry {
     "q50_seq_pack"       -> (D.q50SeqPack(_, _)),
     "q51_stratified_sample" -> (D.q51StratifiedSample(_, _)),
     "q52_repetition"     -> (D.q52Repetition(_, _)),
-    "q57_dedup_clusters" -> (D.q57DedupClusters(_, _))
+    "q57_dedup_clusters" -> (D.q57DedupClusters(_, _)),
+    "q61_dedup_retention" -> (D.q61DedupRetention(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

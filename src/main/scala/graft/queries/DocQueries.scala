@@ -224,6 +224,31 @@ object DocQueries {
       .orderBy("vid")
   }
 
+  /** END-TO-END near-dup retention — the complete dedup story in one
+    * query: shingle → md5 MinHash (64 hashes) → 16-band LSH candidates →
+    * exact Jaccard ≥ 0.8 verification → connected components → keep only
+    * each cluster's canonical (min-id) member. Returns the retained
+    * corpus. Every stage is the documented scale shape (map-side-combined
+    * signatures, bucket-collision candidate join, verification only on
+    * candidates, adaptive components); DuckDB replays all of it, recursive
+    * CTE included.
+    */
+  def q61DedupRetention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val dropIds = graft.operators.Components
+      .connectedComponents(nearDups, "id_a", "id_b")
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -32,10 +32,12 @@ object OracleSql {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** q27: the full md5 mod-prime MinHash + 16-band LSH pipeline, generated
-    * with the same affine coefficients as Dedup.minhashSignaturesMd5.
+  /** Shared CTE chain of the md5 mod-prime MinHash + 16-band LSH pipeline
+    * (generated with the same affine coefficients as
+    * Dedup.minhashSignaturesMd5), ending in a `cand` CTE of candidate
+    * pairs. Used by q27 (pairs as output) and q61 (full retention).
     */
-  private val minhashPairsMd5Sql: String = {
+  private val minhashCandCtes: String = {
     val P = 2147483647L
     val mins = (0 until 64).map { i =>
       val (a, b) = graft.operators.Dedup.minhashMd5Coeffs(i)
@@ -46,7 +48,7 @@ object OracleSql {
         .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws('_', $cols) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
        |  FROM documents WHERE text IS NOT NULL),
        |sh AS (
@@ -57,11 +59,45 @@ object OracleSql {
        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 7)) AS BIGINT) AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val minhashPairsMd5Sql: String =
+    s"""WITH $minhashCandCtes
+       |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
+
+  /** q61: candidates (shared CTEs) → exact Jaccard ≥ 0.8 on distinct
+    * 5-shingle sets → connected components via recursive CTE → retained
+    * corpus (anti-join against each cluster's non-canonical members).
+    */
+  private val dedupRetentionSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+       |  FROM words),
+       |nd AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN shd da ON da.doc_id = cand.id_a
+       |  JOIN shd db ON db.doc_id = cand.id_b
+       |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(da.shs, db.shs))) >= 0.8),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM nd
+       |       UNION SELECT id_b, id_a FROM nd),
+       |nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
+       |ORDER BY doc_id""".stripMargin
 
   /** q28: md5 SimHash signatures (same CTEs as q33) + all-pairs Hamming ≤ 3
     * — the oracle for the banded (pigeonhole-exact) Spark plan.
@@ -217,6 +253,7 @@ object OracleSql {
         |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
+    "q61_dedup_retention" -> dedupRetentionSql,
     "q28_simhash" -> simhashPairsSql,
     "q29_ann_lsh" -> annLshDetSql,
     "q32_embedding_neardup" ->
