@@ -110,6 +110,33 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream inner join with watermark-bounded state: each view is
+    * paired with same-user purchases landing within `horizonSec` seconds
+    * AFTER it. Both inputs are event-time watermarked and the join
+    * condition is time-bounded, so each side's buffered state is evicted
+    * once the other side's watermark passes the bound — without the range
+    * predicate a stream-stream join must buffer forever. At scale, state
+    * is (ingest rate × horizon) per side, shuffled once on user_id.
+    */
+  def viewPurchaseJoin(events: DataFrame, horizonSec: Long = 1800): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("value"), 2).as("purchase_value"))
+  }
+
   /** Run a streaming DataFrame to completion over the files currently in
     * the source dir (Trigger.AvailableNow — the reference's daily batch
     * cadence) and return the materialized result from a memory sink.

@@ -36,6 +36,24 @@ class EventsStreamSpec extends SparkTestBase {
     assert(perHash === 0L, "no digest may survive twice")
   }
 
+  test("stream-stream view->purchase join equals the batch time-bounded join") {
+    val streamed = EventsStream.viewPurchaseJoin(EventsStream.readEvents(spark, dir))
+    val got = EventsStream.runAvailableNow(spark, streamed, "vp_join_test")
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val ev = graft.sources.Tables(spark, dir).events
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vt"), col("event_id").as("view_id"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"), col("event_id").as("purchase_id"))
+    val batch = v.join(p, col("vu") === col("pu") &&
+        col("pt") >= col("vt") &&
+        col("pt") <= col("vt") + expr("INTERVAL 1800 SECONDS"))
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "test data produced no view->purchase pairs")
+    assert(got === batch,
+      s"stream join mismatch: missing=${(batch -- got).size} extra=${(got -- batch).size}")
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
       EventsStream.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
