@@ -58,6 +58,7 @@ object SparkEntry {
     "q58_kmv_distinct"   -> (R.q58KmvDistinct(_, _)),
     "q59_scd2"           -> (R.q59Scd2(_, _)),
     "q60_merge_upsert"   -> (R.q60MergeUpsert(_, _)),
+    "q62_window_nav"     -> (R.q62WindowNav(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

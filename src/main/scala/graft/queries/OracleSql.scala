@@ -637,6 +637,17 @@ object OracleSql {
     // Connected components replayed with a recursive CTE: labels propagate
     // along edges until the UNION (set-semantics) fixpoint; min reachable
     // label per node == component min == Spark's propagation fixpoint.
+    "q62_window_nav" ->
+      """SELECT o_custkey AS ck, o_orderkey,
+        |       first_value(o_orderkey) OVER full_f AS first_key,
+        |       last_value(o_orderkey) OVER full_f AS last_key,
+        |       nth_value(o_orderkey, 2) OVER full_f AS second_key,
+        |       round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice), 4) AS cd_price
+        |FROM orders
+        |WINDOW full_f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY ck, o_orderkey""".stripMargin,
+
     "q57_dedup_clusters" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -577,6 +577,28 @@ object RelationalQueries {
       .orderBy("ck")
   }
 
+  /** Window navigation battery (§2.5 beyond q12/q46): first_value /
+    * last_value / nth_value over the full partition frame plus cume_dist —
+    * one shuffle on the partition key serves all four. cume_dist is
+    * tie-stable (depends only on the order value), so no tiebreaker is
+    * needed on the price ordering.
+    */
+  def q62WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+    Tables(spark, dir).orders
+      .select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        round(cume_dist().over(byPrice), 4).as("cd_price"))
+      .orderBy("ck", "o_orderkey")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
