@@ -40,7 +40,13 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // dev aid: SPARK_GRAFT_ONLY=q57_dedup_clusters,q05_star_join times a
     // subset; the driver never sets it, so the contract output is unchanged
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>

@@ -17,6 +17,15 @@ object Merge {
     * are inserted, unmatched base rows pass through. Both inputs must share
     * `base`'s schema; output preserves it.
     *
+    * SQL-MERGE parity caveats:
+    *   - the join uses plain equality, so a null key never matches (a
+    *     null-key update row INSERTS, exactly as `ON b.k = u.k` behaves);
+    *   - `updates` must hold at most one row per key — SQL MERGE raises on
+    *     multiple matches, and a distributed engine can only detect that
+    *     with an extra aggregation. Pass `checkDuplicateKeys = true` to pay
+    *     that one map-side-combinable count and fail fast instead of
+    *     silently fanning matched base rows out.
+    *
     * Physical shape: ONE full-outer shuffle join on the key. The base side
     * shuffles at most once; if the base table is bucketed on the key
     * ([[ParquetWarehouse.writeBucketed]]) even that exchange disappears and
@@ -24,15 +33,23 @@ object Merge {
     * with a non-null marker column, not null-checking the key (a null join
     * key in `updates` must insert, not corrupt a match).
     */
-  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+             checkDuplicateKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val cols = base.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"updates schema ${updates.columns.toSeq} must match base schema $cols")
+    if (checkDuplicateKeys) {
+      val dups = updates.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(5)
+        .collect()
+      require(dups.isEmpty,
+        s"updates has multiple rows per key (first offenders: ${dups.mkString(", ")})")
+    }
     val u = updates.withColumn("__present", lit(1))
     val joined = base.alias("b").join(
       u.alias("u"),
-      keyCols.map(k => col(s"b.$k") <=> col(s"u.$k")).reduce(_ && _),
+      keyCols.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _),
       "full_outer")
     joined.select(cols.map { c =>
       when(col("u.__present").isNotNull, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)

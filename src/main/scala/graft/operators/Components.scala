@@ -44,6 +44,10 @@ object Components {
     val spark = pairs.sparkSession
     val fwd = pairs
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      // a null endpoint is not an edge: drop up front so both paths agree
+      // (the distributed equi-join would drop it silently; the driver
+      // union-find would NPE on unboxing)
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     val nEdges = fwd.count()
     if (nEdges <= driverThreshold) {

@@ -634,9 +634,6 @@ object OracleSql {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Connected components replayed with a recursive CTE: labels propagate
-    // along edges until the UNION (set-semantics) fixpoint; min reachable
-    // label per node == component min == Spark's propagation fixpoint.
     "q62_window_nav" ->
       """SELECT o_custkey AS ck, o_orderkey,
         |       first_value(o_orderkey) OVER full_f AS first_key,
@@ -648,6 +645,9 @@ object OracleSql {
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY ck, o_orderkey""".stripMargin,
 
+    // Connected components replayed with a recursive CTE: labels propagate
+    // along edges until the UNION (set-semantics) fixpoint; min reachable
+    // label per node == component min == Spark's propagation fixpoint.
     "q57_dedup_clusters" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -677,7 +677,8 @@ object OracleSql {
         |SELECT CAST(128 AS BIGINT) AS k,
         |       CAST(k_seen AS BIGINT) AS k_seen,
         |       kth_hash,
-        |       round(127.0 * 1152921504606846976.0 / kth_hash, 2) AS est_nd,
+        |       CASE WHEN k_seen < 128 THEN CAST(k_seen AS DOUBLE)
+        |            ELSE round(127.0 * 1152921504606846976.0 / kth_hash, 2) END AS est_nd,
         |       CAST(exact_nd AS BIGINT) AS exact_nd
         |FROM kmv, ex""".stripMargin,
 

@@ -528,7 +528,12 @@ object RelationalQueries {
         lit(k.toLong).as("k"),
         col("k_seen"),
         col("kth_hash"),
-        round(lit((k - 1).toDouble) * m / col("kth_hash"), 2).as("est_nd"),
+        // fewer than k distinct hashes ⇒ the sketch saw EVERYTHING: the
+        // count is exact, and the (k-1)/kth extrapolation would be wildly
+        // biased (its denominator is just the max hash, not a kth quantile)
+        when(col("k_seen") < k, col("k_seen").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * m / col("kth_hash"), 2))
+          .as("est_nd"),
         col("exact_nd"))
   }
 

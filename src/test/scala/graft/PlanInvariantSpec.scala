@@ -20,14 +20,24 @@ class PlanInvariantSpec extends SparkTestBase {
     "q58_kmv_distinct"      // 1-row sketch × 1-row exact count join
   )
 
+  /** Queries whose DataFrame construction EXECUTES the heavy pipeline
+    * (Components runs eagerly), so the returned plan is a post-collect
+    * LocalTableScan and the guard would be vacuous while burning minutes.
+    * Their upstream stages are guarded through their lazy twins: q57's
+    * pair generation is q32's plan, q61's candidate join is q27's.
+    */
+  private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name plans without nested-loop/cartesian joins") {
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      if (!bruteForceByDesign.contains(name)) {
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name degraded to BroadcastNestedLoopJoin")
-        assert(!plan.contains("CartesianProduct"),
-          s"$name degraded to CartesianProduct")
+    if (!eagerByConstruction.contains(name)) {
+      test(s"$name plans without nested-loop/cartesian joins") {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (!bruteForceByDesign.contains(name)) {
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name degraded to BroadcastNestedLoopJoin")
+          assert(!plan.contains("CartesianProduct"),
+            s"$name degraded to CartesianProduct")
+        }
       }
     }
   }

@@ -38,6 +38,22 @@ class MergeSpec extends SparkTestBase {
     }
   }
 
+  test("null join key in updates inserts (ON b.k = u.k never matches null)") {
+    val baseN = Seq((Option(1L), "a", 10.0), (Option.empty[Long], "nb", 20.0))
+      .toDF("k", "name", "bal")
+    val updates = Seq((Option.empty[Long], "nu", 30.0)).toDF("k", "name", "bal")
+    val got = Merge.upsert(baseN, updates, Seq("k"))
+      .select("name").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "nb", "nu"), "null-key rows must not match each other")
+  }
+
+  test("checkDuplicateKeys=true rejects a multi-row-per-key batch") {
+    val updates = Seq((2L, "b2", 99.0), (2L, "b3", 50.0)).toDF("k", "name", "bal")
+    intercept[IllegalArgumentException] {
+      Merge.upsert(base, updates, Seq("k"), checkDuplicateKeys = true)
+    }
+  }
+
   test("idempotent: merging the same batch twice equals merging it once") {
     val updates = Seq((2L, "b2", 99.0), (9L, "new", 0.0)).toDF("k", "name", "bal")
     val once = Merge.upsert(base, updates, Seq("k"))

@@ -43,6 +43,14 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 3L, 10L -> 2L))
   }
 
+  test("null endpoints are dropped identically on both paths") {
+    val pairs = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(5L)),
+      (Option(7L), Option.empty[Long])).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L)
+    val (fast, dist) = runBoth(pairs)
+    assert(fast == want && dist == want)
+  }
+
   test("distributed path: maxIter too small fails loudly, not a partial fixpoint") {
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
