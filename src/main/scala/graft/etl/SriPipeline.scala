@@ -33,7 +33,8 @@ object SriPipeline {
       warehouse: Warehouse,
       clock: java.time.LocalDate = java.time.LocalDate.now(),
       maxNullPct: Double = 10.0,
-      minRecords: Long = 1000L): Result = {
+      minRecords: Long = 1000L,
+      parallelDims: Boolean = false): Result = {
 
     val raw = readCsv(spark, csvPath).cache()
 
@@ -42,10 +43,22 @@ object SriPipeline {
     val transaccion = Dims.transaccion(raw)
     val ubicacion = Dims.ubicacion(raw, spark)
 
-    warehouse.write("dim_tiempo", tiempo)
-    warehouse.write("dim_vehiculo", vehiculo)
-    warehouse.write("dim_transaccion", transaccion)
-    warehouse.write("dim_ubicacion", ubicacion)
+    val dimWrites: Seq[(String, DataFrame)] = Seq(
+      "dim_tiempo" -> tiempo, "dim_vehiculo" -> vehiculo,
+      "dim_transaccion" -> transaccion, "dim_ubicacion" -> ubicacion)
+    if (parallelDims) {
+      // the reference DAG fans the 4 dim builds out in parallel (ref
+      // :913-922); Spark job submission is thread-safe, so four Futures
+      // submit four independent jobs that share the cached `raw` scan
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(dimWrites.map { case (n, df) => Future(warehouse.write(n, df)) }),
+        Duration.Inf)
+    } else {
+      dimWrites.foreach { case (n, df) => warehouse.write(n, df) }
+    }
 
     // Fact reads dims back from the warehouse (ref :421-434 does the same
     // round-trip through BigQuery) — keeps the fact build decoupled from

@@ -28,8 +28,10 @@ final case class ParquetWarehouse(
   /** Schemas as written, keyed by table — partitioned reads otherwise
     * re-infer partition-column types from directory names (long → int) and
     * move them to the end, silently breaking the declared star schema.
+    * TrieMap: independent tables may be written concurrently
+    * (SriPipeline's parallel dim fan-out).
     */
-  private val writtenSchemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+  private val writtenSchemas = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   override def write(name: String, df: DataFrame): Unit = {
     writtenSchemas(name) = df.schema

@@ -95,6 +95,19 @@ class SriPipelineSpec extends SparkTestBase {
     assert(n >= 1131L && n <= 1140L, s"got $n")
   }
 
+  test("parallelDims=true produces the identical warehouse state") {
+    val out2 = java.nio.file.Files.createTempDirectory("graft-wh-par").toString
+    val r2 = SriPipeline.run(
+      spark, csv, ParquetWarehouse(spark, out2),
+      clock = java.time.LocalDate.of(2026, 1, 15),
+      minRecords = 1000L, parallelDims = true)
+    assert(r2.dimTiempo.count() === result.dimTiempo.count())
+    assert(r2.dimVehiculo.count() === result.dimVehiculo.count())
+    assert(r2.dimTransaccion.count() === result.dimTransaccion.count())
+    assert(r2.dimUbicacion.count() === result.dimUbicacion.count())
+    assert(r2.fact.count() === result.fact.count())
+  }
+
   test("metrics queries run and respect top-k") {
     val top = Metrics.topMarcas(result.fact, result.dimVehiculo).collect()
     assert(top.length === 10)
