@@ -32,7 +32,10 @@ object SriMain {
     // pruning for date-ranged queries).
     val wh = ParquetWarehouse(spark, whDir,
       partitionCols = Map("fact_registro_vehiculos" -> Seq("ID_Tiempo")))
+    val pipelineStart = System.nanoTime()
     val res = SriPipeline.run(spark, csvPath, wh, clock)
+    val pipelineSecs = (System.nanoTime() - pipelineStart) / 1e9
+    println(f"[sri-etl] pipeline=$pipelineSecs%.1fs (excl. session startup)")
 
     println(s"[sri-etl] dim_tiempo=${res.dimTiempo.count()} dim_vehiculo=${res.dimVehiculo.count()} " +
       s"dim_transaccion=${res.dimTransaccion.count()} dim_ubicacion=${res.dimUbicacion.count()} " +
