@@ -33,7 +33,7 @@ object SriMain {
     val wh = ParquetWarehouse(spark, whDir,
       partitionCols = Map("fact_registro_vehiculos" -> Seq("ID_Tiempo")))
     val pipelineStart = System.nanoTime()
-    val res = SriPipeline.run(spark, csvPath, wh, clock)
+    val res = SriPipeline.run(spark, csvPath, wh, clock, parallelDims = true)
     val pipelineSecs = (System.nanoTime() - pipelineStart) / 1e9
     println(f"[sri-etl] pipeline=$pipelineSecs%.1fs (excl. session startup)")
 
