@@ -59,6 +59,8 @@ object SparkEntry {
     "q59_scd2"           -> (R.q59Scd2(_, _)),
     "q60_merge_upsert"   -> (R.q60MergeUpsert(_, _)),
     "q62_window_nav"     -> (R.q62WindowNav(_, _)),
+    "q63_cohort_retention" -> (R.q63CohortRetention(_, _)),
+    "q64_funnel"         -> (R.q64Funnel(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -634,6 +634,29 @@ object OracleSql {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q63_cohort_retention" ->
+      """WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |               FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+        |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort,
+        |       CAST(date_diff('day', CAST(f.cohort_week AS DATE), CAST(a.act_week AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+        |FROM first f JOIN active a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q64_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+
     "q62_window_nav" ->
       """SELECT o_custkey AS ck, o_orderkey,
         |       first_value(o_orderkey) OVER full_f AS first_key,

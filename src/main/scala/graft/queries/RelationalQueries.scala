@@ -604,6 +604,51 @@ object RelationalQueries {
       .orderBy("ck", "o_orderkey")
   }
 
+  /** Cohort retention over the events stream: users grouped by first-touch
+    * week, counted as retained in each later week they were active. Three
+    * stages, all keyed on user_id — first-touch agg, distinct active
+    * weeks, cohort⋈activity — so the exchanges line up on one key and the
+    * final (cohort, offset) rollup is map-side combinable. The classic
+    * product-analytics shape the reference's daily snapshot model cannot
+    * express.
+    */
+  def q63CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val weekOf = (c: org.apache.spark.sql.Column) => date_trunc("week", c)
+    val first = ev.groupBy(col("user_id"))
+      .agg(weekOf(min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), weekOf(col("ts")).as("act_week")).distinct()
+    first.join(active, Seq("user_id"))
+      .groupBy(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** Ordered funnel (view → click-after-view → purchase-after-click): each
+    * stage keeps users whose earliest qualifying event strictly follows
+    * the previous stage's — the order constraint is what plain per-type
+    * counts get wrong. Every join and aggregate is keyed on user_id, so
+    * the three stages reuse one partitioning; per-stage state is a single
+    * timestamp per user.
+    */
+  def q64Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.where(col("event_type") === "click").join(v, Seq("user_id"))
+      .where(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .where(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(p.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+      .orderBy("stage")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
