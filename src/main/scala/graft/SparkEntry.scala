@@ -61,6 +61,8 @@ object SparkEntry {
     "q62_window_nav"     -> (R.q62WindowNav(_, _)),
     "q63_cohort_retention" -> (R.q63CohortRetention(_, _)),
     "q64_funnel"         -> (R.q64Funnel(_, _)),
+    "q65_gap_fill"       -> (R.q65GapFill(_, _)),
+    "q66_unpivot"        -> (R.q66Unpivot(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

@@ -315,7 +315,7 @@ object OracleSql {
       """SELECT o_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS d,
         |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
-        |       CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       CAST(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
         |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
@@ -643,6 +643,37 @@ object OracleSql {
         |       CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
         |FROM first f JOIN active a USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q65_gap_fill" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+        |         round(sum(o_totalprice), 2) AS day_total
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1996-02-01'
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT ck, CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-01-31',
+        |                                         INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT DISTINCT ck FROM base))
+        |SELECT ck, strftime(g.d, '%Y-%m-%d') AS d,
+        |       coalesce(last_value(b.day_total IGNORE NULLS) OVER
+        |         (PARTITION BY ck ORDER BY g.d ROWS UNBOUNDED PRECEDING), 0.0) AS filled
+        |FROM grid g LEFT JOIN base b USING (ck, d)
+        |ORDER BY ck, d""".stripMargin,
+
+    "q66_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag AS flag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, metric, value FROM (
+        |  SELECT flag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |  UNION ALL SELECT flag, 'sum_price', sum_price FROM agg
+        |  UNION ALL SELECT flag, 'n_rows', n_rows FROM agg)
+        |ORDER BY flag, metric""".stripMargin,
 
     "q64_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events

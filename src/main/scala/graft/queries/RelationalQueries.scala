@@ -381,7 +381,7 @@ object RelationalQueries {
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
         date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("d_plus30"),
-        datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date")).cast("long").as("days_since"),
+        datediff(to_date(col("o_orderdate")), lit("1996-01-01").cast("date")).cast("long").as("days_since"),
         date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd").as("month_start"))
       .orderBy("o_orderkey")
 
@@ -648,6 +648,48 @@ object RelationalQueries {
       .unionByName(p.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
       .orderBy("stage")
   }
+
+  /** Time-series gap fill + forward fill over one bounded month: generate
+    * the full day grid per active customer (sequence + explode — the same
+    * S4 row-generator as the calendar dim), left-join the observed
+    * customer-day totals, and carry the last observation forward with an
+    * IGNORE NULLS window. The grid join and the fill window share the
+    * customer partitioning; grid size is bounded by days × active
+    * customers, never days × all time.
+    */
+  def q65GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).orders
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-02-01").cast("date"))
+      .groupBy(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_total"))
+    val grid = base.select(col("ck")).distinct()
+      .select(col("ck"), explode(expr(
+        "sequence(date'1996-01-01', date'1996-01-31', interval 1 day)")).as("d"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("ck", "d"), "left")
+      .select(col("ck"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        coalesce(last(col("day_total"), ignoreNulls = true).over(w), lit(0.0)).as("filled"))
+      .orderBy("ck", "d")
+  }
+
+  /** UNPIVOT/melt: the wide per-flag aggregate row becomes one (metric,
+    * value) row per measure — the inverse of q39's pivot. Spark's stack()
+    * generator runs inside the project (no shuffle beyond the aggregate);
+    * the oracle expresses the same melt as a UNION ALL, which is what any
+    * engine without UNPIVOT compiles it to.
+    */
+  def q66Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .select(col("flag"), expr(
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'n_rows', n_rows) AS (metric, value)"))
+      .orderBy("flag", "metric")
 
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
