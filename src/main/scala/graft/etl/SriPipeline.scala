@@ -48,14 +48,9 @@ object SriPipeline {
       "dim_transaccion" -> transaccion, "dim_ubicacion" -> ubicacion)
     if (parallelDims) {
       // the reference DAG fans the 4 dim builds out in parallel (ref
-      // :913-922); Spark job submission is thread-safe, so four Futures
-      // submit four independent jobs that share the cached `raw` scan
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence(dimWrites.map { case (n, df) => Future(warehouse.write(n, df)) }),
-        Duration.Inf)
+      // :913-922); the four independent write jobs share the cached
+      // `raw` scan
+      Concurrency.inParallel(dimWrites.map { case (n, df) => () => warehouse.write(n, df) })
     } else {
       dimWrites.foreach { case (n, df) => warehouse.write(n, df) }
     }

@@ -52,19 +52,14 @@ object Validation {
       maxNullPct: Double = 10.0, minRecords: Long = 1000L): Report = {
 
     // the four dim profiles are independent single-agg jobs: submit them
-    // concurrently (Spark job submission is thread-safe) — on small inputs
-    // per-job latency, not compute, dominates the validation step
-    val profiles = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(
-        Future(profile(dimTiempo, "dim_tiempo", Seq("Anio"))),
-        Future(profile(dimVehiculo, "dim_vehiculo", Seq("Marca", "Clase"))),
-        Future(profile(dimTransaccion, "dim_transaccion", Seq("TipoTransaccion"))),
-        Future(profile(dimUbicacion, "dim_ubicacion", Seq("Provincia", "Region")))
-      )), Duration.Inf)
-    }
+    // concurrently — on small inputs per-job latency, not compute,
+    // dominates the validation step
+    val profiles = Concurrency.inParallel(Seq(
+      () => profile(dimTiempo, "dim_tiempo", Seq("Anio")),
+      () => profile(dimVehiculo, "dim_vehiculo", Seq("Marca", "Clase")),
+      () => profile(dimTransaccion, "dim_transaccion", Seq("TipoTransaccion")),
+      () => profile(dimUbicacion, "dim_ubicacion", Seq("Provincia", "Region"))
+    ))
 
     val factAgg = fact.agg(
       count(lit(1)).as("rows"),

@@ -13,41 +13,61 @@ import graft.etl.{Merge, Warehouse}
   * see etl.Merge scale notes).
   *
   * foreachBatch is the idiomatic Spark shape for "sink needs a batch-only
-  * operation" (MERGE is not an incremental sink primitive); exactly-once
-  * lands on the checkpoint + the MERGE's idempotence on replay: re-merging
-  * the same batch leaves the table unchanged (MergeSpec pins this).
+  * operation" (MERGE is not an incremental sink primitive). Correctness
+  * against disorder and replay comes from two guards, not from batch
+  * boundaries:
+  *   - within a batch, one row per key survives (latest by `orderCol`,
+  *     tie-broken deterministically on the full row serialization);
+  *   - against the TABLE, a stale update (orderCol older than the stored
+  *     row's) is dropped, so late files, replayed batches, and
+  *     maxFilesPerTrigger splits can never regress a key backwards.
+  * Replaying a batch is therefore a no-op, whatever the batch grouping.
   */
 object IncrementalLoad {
 
   /** Start (and await) an AvailableNow run that merges every micro-batch
     * of `updates` into warehouse table `name` keyed on `keyCols`. The
-    * table must exist (bootstrap it with an empty or seed write). Batches
-    * are deduplicated to one row per key before the merge — later rows in
-    * the same batch win by `orderCol` descending (a batch can legitimately
-    * carry several updates for one key; SQL MERGE would reject that, so
-    * the stream collapses them first).
+    * table must exist with an `orderCol` column (bootstrap it with an
+    * empty or seed write). Pass `checkpointDir` for a durable checkpoint
+    * that survives restarts (committed source offsets are not reprocessed);
+    * the default temp dir is for tests and one-shot runs only.
     */
   def mergeAvailableNow(updates: DataFrame, wh: Warehouse, name: String,
-                        keyCols: Seq[String], orderCol: String): Unit = {
+                        keyCols: Seq[String], orderCol: String,
+                        checkpointDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val q = updates.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"ckpt-merge-$name").toString)
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory(s"ckpt-merge-$name").toString))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one row per key: latest orderCol wins; equal orderCol values are
+        // tie-broken on the row's full serialization so replays of the
+        // same batch pick the same winner every time
         val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(orderCol).desc)
+          .orderBy(col(orderCol).desc,
+            md5(to_json(struct(batch.columns.map(col): _*))).asc)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
+        val base = wh.read(name)
+        // recency guard: drop updates older than the stored row — late
+        // arrivals and replays must never move a key backwards. >= keeps
+        // same-instant re-deliveries idempotent (they rewrite the same
+        // winning row).
+        val baseOrd = base.select(
+          (keyCols.map(col) :+ col(orderCol).as("__base_ord")): _*)
+        val fresh = latest.join(baseOrd, keyCols, "left")
+          .where(col("__base_ord").isNull || col(orderCol) >= col("__base_ord"))
+          .drop("__base_ord")
         // materialize BEFORE writing: Spark refuses to overwrite a path
         // that the lazy merge plan still reads (and would otherwise delete
         // the inputs out from under itself). This makes the parquet
         // warehouse copy-on-write per batch — inherent to plain parquet;
         // a table format with transactional MERGE (Delta/Iceberg) replaces
         // the rewrite with a metadata commit and is the drop-in upgrade.
-        val merged = Merge.upsert(wh.read(name), latest, keyCols).localCheckpoint(true)
+        val merged = Merge.upsert(base, fresh, keyCols).localCheckpoint(true)
         wh.write(name, merged)
       }
       .start()

@@ -101,11 +101,16 @@ class SriPipelineSpec extends SparkTestBase {
       spark, csv, ParquetWarehouse(spark, out2),
       clock = java.time.LocalDate.of(2026, 1, 15),
       minRecords = 1000L, parallelDims = true)
-    assert(r2.dimTiempo.count() === result.dimTiempo.count())
-    assert(r2.dimVehiculo.count() === result.dimVehiculo.count())
-    assert(r2.dimTransaccion.count() === result.dimTransaccion.count())
-    assert(r2.dimUbicacion.count() === result.dimUbicacion.count())
-    assert(r2.fact.count() === result.fact.count())
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             name: String): Unit = {
+      assert(a.except(b).isEmpty && b.except(a).isEmpty, s"$name contents differ")
+      assert(a.count() === b.count(), s"$name cardinality differs") // except() is set-wise
+    }
+    same(r2.dimTiempo, result.dimTiempo, "dim_tiempo")
+    same(r2.dimVehiculo, result.dimVehiculo, "dim_vehiculo")
+    same(r2.dimTransaccion, result.dimTransaccion, "dim_transaccion")
+    same(r2.dimUbicacion, result.dimUbicacion, "dim_ubicacion")
+    same(r2.fact, result.fact, "fact")
   }
 
   test("metrics queries run and respect top-k") {

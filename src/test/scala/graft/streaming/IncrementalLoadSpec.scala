@@ -34,5 +34,13 @@ class IncrementalLoadSpec extends SparkTestBase {
       .as[(Long, java.sql.Timestamp)].collect().toMap
     val want = baseM ++ latest // stream covers all events, so latest wins
     assert(got == want, s"mismatch: got=${got.size} want=${want.size}")
+
+    // full replay from a fresh checkpoint: every update is now stale-or-
+    // equal vs the stored rows, so the recency guard makes it a no-op
+    IncrementalLoad.mergeAvailableNow(raw, wh, "user_state", Seq("user_id"), "ts")
+    val afterReplay = wh.read("user_state")
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .collect().toMap
+    assert(afterReplay == want, "replaying the full stream must not change the table")
   }
 }

@@ -9,9 +9,10 @@ Replicates the reference's COMPUTE shape, not its I/O endpoints:
     task: 4 dim tasks + 1 fact task = 5 reads);
   - dim builds: calendar range (:62-95), 12-column dedup + clean
     (:146-185), 4-column dedup + clean (:232-265), unique-canton build
-    (:320-360 — canton NAMES come from an inline lookup dict that only
-    affects label strings, not merge keys or row counts, so the fallback
-    naming is used for every canton);
+    (:320-373 — the sample's canton codes are float-styled strings that
+    never hit the inline name-lookup dict, so every row takes the
+    reference's CANTON_<code> / NO_IDENTIFICADA fallback branch, which is
+    replicated verbatim);
   - fact: date coerce + dropna (:446-463), the four left merges with
     their J2/J3 fan-outs (:470-530), surrogate ids + metric columns;
   - BigQuery loads are replaced with local parquet writes (both engines
@@ -87,6 +88,9 @@ def build_dim_transaccion(csv):
 
 def build_dim_ubicacion(csv):
     df = pd.read_csv(csv)
+    # dim-side probe includes 'cantón' while the fact side (below) does
+    # not — replicating the reference's own asymmetric probes (:325-328
+    # vs :513-517)
     col = next((c for c in ["CANTON", "CANTÓN", "canton", "cantón"]
                 if c in df.columns), None)
     rows = []
@@ -95,13 +99,13 @@ def build_dim_ubicacion(csv):
             s = str(codigo).strip()
             rows.append({"ID_Ubicacion": i, "CodigoCanton": s,
                          "NombreCanton": f"CANTON_{s}",
-                         "Provincia": "NO_ESPECIFICADA",
-                         "Region": "NO_ESPECIFICADA", "Pais": "ECUADOR"})
+                         "Provincia": "NO_IDENTIFICADA",
+                         "Region": "NO_IDENTIFICADA", "Pais": "ECUADOR"})
     else:
         rows.append({"ID_Ubicacion": 1, "CodigoCanton": "99999",
                      "NombreCanton": "NO_ESPECIFICADO",
                      "Provincia": "NO_ESPECIFICADA",
-                     "Region": "NO_ESPECIFICADA", "Pais": "ECUADOR"})
+                     "Region": "NO_ESPECIFICADA", "Pais": "ECUADOR"})  # :333-340 default row text
     return pd.DataFrame(rows)
 
 
