@@ -137,6 +137,19 @@ object EventsStream {
         round(col("value"), 2).as("purchase_value"))
   }
 
+  /** Stream-static enrichment join: each event is decorated with its
+    * user's dimension attributes. The static side is broadcast per
+    * micro-batch — stateless (nothing buffered across batches, no
+    * watermark needed), the streaming side never shuffles, and a dim
+    * refresh is picked up on the next batch because the static plan is
+    * re-evaluated each trigger.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   /** Run a streaming DataFrame to completion over the files currently in
     * the source dir (Trigger.AvailableNow — the reference's daily batch
     * cadence) and return the materialized result from a memory sink.

@@ -54,6 +54,21 @@ class EventsStreamSpec extends SparkTestBase {
       s"stream join mismatch: missing=${(batch -- got).size} extra=${(got -- batch).size}")
   }
 
+  test("stream-static broadcast enrichment equals the batch left join") {
+    val dim = graft.sources.Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val streamed = EventsStream.enrichWithDim(
+        EventsStream.readEvents(spark, dir), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"))
+    val got = EventsStream.runAvailableNow(spark, streamed, "enrich_test")
+      .as[(Long, String)].collect().toMap
+    val batch = graft.sources.Tables(spark, dir).events
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toMap
+    assert(got.size === batch.size && got === batch)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
       EventsStream.Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", 1.0)
