@@ -63,6 +63,7 @@ object SparkEntry {
     "q64_funnel"         -> (R.q64Funnel(_, _)),
     "q65_gap_fill"       -> (R.q65GapFill(_, _)),
     "q66_unpivot"        -> (R.q66Unpivot(_, _)),
+    "q67_ratio_to_report" -> (R.q67RatioToReport(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),

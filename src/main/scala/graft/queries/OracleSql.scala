@@ -675,6 +675,17 @@ object OracleSql {
         |  UNION ALL SELECT flag, 'n_rows', n_rows FROM agg)
         |ORDER BY flag, metric""".stripMargin,
 
+    "q67_ratio_to_report" ->
+      """WITH agg AS (
+        |  SELECT r_name AS region, n_name AS nation, sum(c_acctbal) AS bal
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, round(bal, 2) AS bal,
+        |       round(bal / sum(bal) OVER (PARTITION BY region), 4) AS share
+        |FROM agg ORDER BY region, nation""".stripMargin,
+
     "q64_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

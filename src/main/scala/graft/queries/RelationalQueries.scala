@@ -691,6 +691,30 @@ object RelationalQueries {
         "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'n_rows', n_rows) AS (metric, value)"))
       .orderBy("flag", "metric")
 
+  /** Ratio-to-report: each nation's share of its region's revenue — a
+    * window over an AGGREGATE (sum of sums), the standard
+    * percent-of-total shape. Deliberately TWO exchanges: the aggregate
+    * keeps the fine (region, nation) partitioning for parallelism and
+    * map-side combine over the raw rows; only the aggregated output
+    * (|nations| rows) re-shuffles on region for the share window.
+    * Forcing one region-only partitioning would collapse the heavy
+    * aggregation onto |regions| reducers — cheaper plan on paper,
+    * catastrophically skewed at scale.
+    */
+  def q67RatioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("region"))
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("c_acctbal")).as("bal"))
+      .select(col("region"), col("nation"),
+        round(col("bal"), 2).as("bal"),
+        round(col("bal") / sum(col("bal")).over(w), 4).as("share"))
+      .orderBy("region", "nation")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
