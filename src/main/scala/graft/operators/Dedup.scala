@@ -176,6 +176,11 @@ object Dedup {
     * design, so the per-bucket id list is bounded; a degenerate corpus
     * (everything identical) would hot-spot one task here exactly as it
     * would hot-spot one join key in the self-join formulation.
+    *
+    * Duplicate ids in the input land twice in one bucket and would emit a
+    * self-pair (the old self-join's `id_a < id_b` silently excluded them);
+    * the explicit `id_a =!= id_b` filter keeps the two formulations
+    * equivalent whatever the caller feeds in.
     */
   private def bucketPairs(banded: DataFrame, bandCol: String, keyCol: String,
                           idCol: String): DataFrame =
@@ -185,6 +190,7 @@ object Dedup {
       .select(posexplode(col("__ids")).as(Seq("__i", "id_a")), col("__ids"))
       .select(col("id_a"),
         explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
       .distinct()
 
   /** All pairs within `maxHamming` bits on the md5 SimHash signature,
@@ -221,7 +227,9 @@ object Dedup {
       .select(
         col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
         bit_count(col("__a.simhash").bitwiseXOR(col("__b.simhash"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      // duplicate input ids would otherwise emit hamming=0 self-pairs
+      // (see bucketPairs)
+      .where(col("hamming") <= maxHamming && col("id_a") =!= col("id_b"))
       .distinct()
   }
 

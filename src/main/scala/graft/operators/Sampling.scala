@@ -22,17 +22,24 @@ object Sampling {
   def bucket(idCol: Column): Column =
     (conv(substring(md5(idCol.cast("string")), 1, 6), 16, 10) % Buckets).cast("long")
 
+  /** Cutoff bucket for a rate: math.round, not truncation — a double
+    * product that lands epsilon below the intended integer (0.57 * 10000 =
+    * 5699.999...) must not silently drop one bucket vs an engine that
+    * computes the cutoff in exact arithmetic.
+    */
+  private def cutoff(rate: Double): Long = math.round(rate * Buckets)
+
   /** Keep ~`fraction` of rows, deterministically. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
-    df.where(bucket(col(idCol)) < (fraction * Buckets).toLong)
+    df.where(bucket(col(idCol)) < cutoff(fraction))
   }
 
   /** Disjoint deterministic split: (train, holdout) with ~`holdoutFraction`
     * in the second part. Union of the two is exactly `df`.
     */
   def split(df: DataFrame, idCol: String, holdoutFraction: Double): (DataFrame, DataFrame) = {
-    val cut = (holdoutFraction * Buckets).toLong
+    val cut = cutoff(holdoutFraction)
     (df.where(bucket(col(idCol)) >= cut), df.where(bucket(col(idCol)) < cut))
   }
 
@@ -46,10 +53,10 @@ object Sampling {
                        rates: Map[String, Double], defaultRate: Double): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(f =>
       require(f >= 0 && f <= 1, s"rates must be in [0,1], got $f"))
-    val cutoff = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+    val cut = rates.foldLeft(lit(cutoff(defaultRate))) {
       case (acc, (stratum, rate)) =>
-        when(col(stratumCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
+        when(col(stratumCol) === stratum, lit(cutoff(rate))).otherwise(acc)
     }
-    df.where(bucket(col(idCol)) < cutoff)
+    df.where(bucket(col(idCol)) < cut)
   }
 }

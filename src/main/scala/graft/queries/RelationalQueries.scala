@@ -479,14 +479,19 @@ object RelationalQueries {
     * suite asserts no nested loop appears).
     */
   def q55CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+    // per-call unique view name: registering a session-global temp view
+    // during query CONSTRUCTION would race any concurrent construction in
+    // the same session (parallel bench / Concurrency fan-out)
+    val view = s"orders_v_${q55Counter.incrementAndGet()}"
+    Tables(spark, dir).orders.createOrReplaceTempView(view)
     spark.sql(
-      """SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 2) AS price
-        |FROM orders_v o
-        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-        |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
+      s"""SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 2) AS price
+         |FROM $view o
+         |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+         |                      FROM $view o2 WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
   }
+  private val q55Counter = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Statistical aggregate battery: Pearson correlation, sample stddev and
     * covariance per group — one pass, all map-side combinable (moment

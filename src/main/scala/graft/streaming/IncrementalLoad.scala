@@ -17,11 +17,15 @@ import graft.etl.{Merge, Warehouse}
   * against disorder and replay comes from two guards, not from batch
   * boundaries:
   *   - within a batch, one row per key survives (latest by `orderCol`,
-  *     tie-broken deterministically on the full row serialization);
-  *   - against the TABLE, a stale update (orderCol older than the stored
-  *     row's) is dropped, so late files, replayed batches, and
-  *     maxFilesPerTrigger splits can never regress a key backwards.
-  * Replaying a batch is therefore a no-op, whatever the batch grouping.
+  *     tie-broken deterministically on the md5 of the full row
+  *     serialization, smallest digest winning);
+  *   - against the TABLE, an update is applied only when it is strictly
+  *     newer than the stored row, OR equal on `orderCol` with a strictly
+  *     smaller digest — the SAME tie-break as in-batch, so equal-orderCol
+  *     rows split across batches (maxFilesPerTrigger) converge to the one
+  *     global min-digest winner regardless of batch grouping or order.
+  * Replaying any batch is therefore a no-op: every replayed row is either
+  * older, or ties with a digest >= the stored winner's.
   */
 object IncrementalLoad {
 
@@ -45,22 +49,28 @@ object IncrementalLoad {
         // one row per key: latest orderCol wins; equal orderCol values are
         // tie-broken on the row's full serialization so replays of the
         // same batch pick the same winner every time
+        val dataCols = batch.columns.toSeq
+        val digest = md5(to_json(struct(dataCols.map(col): _*)))
         val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(orderCol).desc,
-            md5(to_json(struct(batch.columns.map(col): _*))).asc)
+          .orderBy(col(orderCol).desc, digest.asc)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
         val base = wh.read(name)
-        // recency guard: drop updates older than the stored row — late
-        // arrivals and replays must never move a key backwards. >= keeps
-        // same-instant re-deliveries idempotent (they rewrite the same
-        // winning row).
+        // recency guard: drop updates not strictly newer than the stored
+        // row — late arrivals and replays must never move a key backwards.
+        // Equal-orderCol ties use the same digest tie-break as in-batch
+        // (computed over the batch's column order on BOTH sides), so the
+        // final state is the global min-digest row among the max-orderCol
+        // rows, independent of how a tie was split across batches.
         val baseOrd = base.select(
-          (keyCols.map(col) :+ col(orderCol).as("__base_ord")): _*)
-        val fresh = latest.join(baseOrd, keyCols, "left")
-          .where(col("__base_ord").isNull || col(orderCol) >= col("__base_ord"))
-          .drop("__base_ord")
+          (keyCols.map(col) ++ Seq(col(orderCol).as("__base_ord"),
+            digest.as("__base_dig"))): _*)
+        val fresh = latest.withColumn("__dig", digest)
+          .join(baseOrd, keyCols, "left")
+          .where(col("__base_ord").isNull || col(orderCol) > col("__base_ord") ||
+            (col(orderCol) === col("__base_ord") && col("__dig") < col("__base_dig")))
+          .drop("__base_ord", "__base_dig", "__dig")
         // materialize BEFORE writing: Spark refuses to overwrite a path
         // that the lazy merge plan still reads (and would otherwise delete
         // the inputs out from under itself). This makes the parquet

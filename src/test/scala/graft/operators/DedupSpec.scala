@@ -92,6 +92,22 @@ class DedupSpec extends SparkTestBase {
     assert(j === 0.5)
   }
 
+  test("duplicate input ids never emit self-pairs") {
+    // an id appearing twice in the input must not yield an (id, id) pair —
+    // the old self-join's id_a < id_b excluded it silently, the unrolled
+    // bucket formulation filters it explicitly (ADVICE r02)
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(1L -> base, 2L -> base, 3L -> unrelated, 3L -> unrelated)
+    val mh = Dedup.minhashCandidatePairs(d, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.forall { case (a, b) => a != b }, s"self-pair in ${mh.toSeq}")
+    assert(mh.contains((1L, 2L)), "distinct exact-copy ids must still pair")
+    val sh = Dedup.simhashNearDupPairs(d, "text", "doc_id", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.forall { case (a, b) => a != b }, s"self-pair in ${sh.toSeq}")
+    assert(sh.contains((1L, 2L)), "distinct exact-copy ids must still pair")
+  }
+
   test("embedding near-dups finds the planted duplicate vector") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val vDup = v.map(x => x * 1.001f)

@@ -17,6 +17,16 @@ class SamplingSpec extends SparkTestBase {
     assert(frac > 0.2 && frac < 0.4, s"got $frac")
   }
 
+  test("cutoff rounds instead of truncating (rate 0.57 keeps bucket 5699)") {
+    // 0.57 * 10000 = 5699.999... in doubles; truncation would exclude
+    // bucket 5699 that exact-arithmetic engines (the DuckDB oracle) keep
+    val got = Sampling.deterministicSample(docs, "doc_id", 0.57)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.where(Sampling.bucket(col("doc_id")) < 5700)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("split is disjoint and exhaustive") {
     val (train, holdout) = Sampling.split(docs, "doc_id", 0.2)
     val t = train.select("doc_id").collect().map(_.getLong(0)).toSet

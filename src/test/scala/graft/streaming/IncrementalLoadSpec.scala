@@ -43,4 +43,33 @@ class IncrementalLoadSpec extends SparkTestBase {
       .collect().toMap
     assert(afterReplay == want, "replaying the full stream must not change the table")
   }
+
+  test("equal-orderCol updates split across batches converge to one winner in any order") {
+    // ADVICE r02: with the old `>=` guard the final state of an orderCol
+    // tie depended on batch arrival order. The digest tie-break makes the
+    // stored row the global min-digest row among max-orderCol rows,
+    // whatever the batch grouping.
+    val ts = java.sql.Timestamp.valueOf("2026-01-15 00:00:00")
+    def row(n: Long) = Seq((1L, ts, n)).toDF("user_id", "ts", "n")
+    val digestOf = Seq(5L, 7L, 3L).map { n =>
+      n -> row(n)
+        .select(md5(to_json(struct(col("user_id"), col("ts"), col("n")))))
+        .head.getString(0)
+    }.toMap
+    val winner = digestOf.minBy(_._2)._1
+    def runOrder(order: Seq[Long]): Long = {
+      val root = java.nio.file.Files.createTempDirectory("wh-tie").toString
+      val wh = ParquetWarehouse(spark, root)
+      wh.write("t", row(5L))
+      order.foreach { n =>
+        val dir = java.nio.file.Files.createTempDirectory(s"upd-$n").toString
+        row(n).write.mode("overwrite").parquet(dir)
+        val stream = spark.readStream.schema(row(n).schema).parquet(dir)
+        IncrementalLoad.mergeAvailableNow(stream, wh, "t", Seq("user_id"), "ts")
+      }
+      wh.read("t").select("n").head.getLong(0)
+    }
+    assert(runOrder(Seq(7L, 3L)) === winner)
+    assert(runOrder(Seq(3L, 7L)) === winner)
+  }
 }
