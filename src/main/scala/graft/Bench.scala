@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is run
-  * twice and the faster run reported — the first run pays JIT + codegen +
-  * file-listing costs that a warm cluster would not.
+  * prints ONE JSON line {"metric":...,"queries":{...},"spread":{...}}.
+  * Each query runs 3 times; the per-query number (and the headline total)
+  * is the MEDIAN, so one GC/contention outlier cannot distort the record
+  * (the round-2 driver bench mis-read three queries by 10× that way), and
+  * `spread` carries {min,med,max} per query for inspection. The first run
+  * additionally pays JIT + codegen + file-listing costs a warm cluster
+  * would not — the median absorbs that too.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,16 +52,22 @@ object Bench {
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to nRuns).map { _ =>
         try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
-      }
-      name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
+      }.sorted
+      val failed = runs.contains(-1.0)
+      val med = if (failed) -1.0 else runs(runs.size / 2)
+      (name, med, if (failed) (-1.0, -1.0) else (runs.head, runs.last))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, med, (mn, mx)) =>
+      "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,6 +64,7 @@ object SparkEntry {
     "q65_gap_fill"       -> (R.q65GapFill(_, _)),
     "q66_unpivot"        -> (R.q66Unpivot(_, _)),
     "q67_ratio_to_report" -> (R.q67RatioToReport(_, _)),
+    "q69_incremental_dim" -> (R.q69IncrementalDim(_, _)),
     // LLM-data-pipeline operators
     "q20_dedup_exact"    -> (D.q20DedupExact(_, _)),
     "q21_token_count"    -> (D.q21TokenCount(_, _)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q29_ann_lsh"        -> (D.q29AnnLsh(_, _)),
     "q30_multimodal_meta" -> (D.q30MultimodalMeta(_, _)),
     "q32_embedding_neardup" -> (D.q32EmbeddingNearDup(_, _)),
+    "q68_embedding_neardup_lsh" -> (D.q68EmbeddingNearDupLsh(_, _)),
     "q38_ann_ivf"        -> (D.q38AnnIvf(_, _)),
     "q33_simhash_md5"    -> (D.q33SimhashMd5(_, _)),
     "q34_subword_count"  -> (D.q34SubwordCount(_, _)),

@@ -33,6 +33,28 @@ object SurrogateKeys {
     *   3. mapPartitions adds offset + local index.
     * Cost: one extra pass over the data; no 2 GB single-partition ceiling.
     */
+  /** Incremental allocation for a warehouse dim that loads in rounds: keys
+    * already in `existing` KEEP their ids (re-keying would break every fact
+    * FK already written), and only natural keys new in `incoming` get fresh
+    * ids, allocated densely from max(existing)+1 via the two-phase scalable
+    * path. Returns the merged dim (`naturalKey` columns + `idName`).
+    *
+    * Id stability across loads holds whatever order new keys arrive in;
+    * the ids of one round's NEW keys follow the canonical natural-key
+    * ordering within that round (same contract as a fresh load's 1..n).
+    */
+  def withIncrementalId(existing: DataFrame, incoming: DataFrame, idName: String,
+                        naturalKey: Seq[String], numPartitions: Int = 0): DataFrame = {
+    val keyCols = naturalKey.map(col)
+    val maxId = existing.agg(coalesce(max(col(idName)), lit(0L))).head.getLong(0)
+    val newKeys = incoming.select(keyCols: _*).distinct()
+      .join(existing.select(keyCols: _*), naturalKey, "left_anti")
+    val keyed = withScalableId(newKeys, idName, keyCols, numPartitions)
+      .withColumn(idName, col(idName) + maxId)
+    existing.select(keyCols :+ col(idName): _*)
+      .unionByName(keyed.select(keyCols :+ col(idName): _*))
+  }
+
   def withScalableId(df: DataFrame, idName: String, order: Seq[Column], numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else df.sparkSession.sessionState.conf.numShufflePartitions

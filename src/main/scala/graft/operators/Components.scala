@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the final stage of
   * every near-dup dedup pipeline: LSH/SimHash/embedding passes emit PAIRS,
@@ -32,6 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Execution evidence from a components run: measured edge count, which
+    * path ran, and (distributed path only) the propagation rounds to reach
+    * the fixpoint. `rounds` is 0 on the driver path.
+    */
+  case class CCStats(nEdges: Long, path: String, rounds: Int)
+
   /** Components of the undirected graph given by `pairs` (srcCol, dstCol).
     * Returns (id LONG, component LONG): one row per distinct endpoint,
     * `component` = the smallest node id reachable from `id`. Deterministic
@@ -40,7 +47,16 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
-                          driverThreshold: Long = 1L << 22): DataFrame = {
+                          driverThreshold: Long = 1L << 22): DataFrame =
+    connectedComponentsWithStats(pairs, srcCol, dstCol, maxIter, driverThreshold)._1
+
+  /** [[connectedComponents]] plus [[CCStats]] execution evidence — the
+    * scale-proof harness uses it to record which path ran and how many
+    * rounds the distributed fixpoint took.
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, srcCol: String, dstCol: String,
+                                   maxIter: Int = 25,
+                                   driverThreshold: Long = 1L << 22): (DataFrame, CCStats) = {
     val spark = pairs.sparkSession
     val fwd = pairs
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -48,7 +64,7 @@ object Components {
       // (the distributed equi-join would drop it silently; the driver
       // union-find would NPE on unboxing)
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     val nEdges = fwd.count()
     if (nEdges <= driverThreshold) {
       // driver union-find (union by min root + path compression)
@@ -71,20 +87,29 @@ object Components {
       }
       import scala.jdk.CollectionConverters._
       import spark.implicits._
-      nodes.asScala.toSeq.sorted.map(id => (id, find(id)))
+      val out = nodes.asScala.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "component")
+      (out, CCStats(nEdges, "driver-union-find", 0))
     } else {
-      distributedComponents(fwd, maxIter)
+      val (labels, rounds) = distributedComponents(fwd, maxIter)
+      (labels, CCStats(nEdges, "distributed-min-label", rounds))
     }
   }
 
-  /** The large-graph path: min-label propagation + pointer jumping. */
-  private[operators] def distributedComponents(fwd: DataFrame, maxIter: Int): DataFrame = {
+  /** The large-graph path: min-label propagation + pointer jumping.
+    *
+    * All per-round materializations (the doubled edge list and each round's
+    * labels) use MEMORY_AND_DISK, not the default memory-pinned local
+    * checkpoint: an adversarial edge count must spill, not OOM. Superseded
+    * rounds become unreferenced when `labels` rebinds and the
+    * ContextCleaner unpersists their blocks asynchronously.
+    */
+  private[operators] def distributedComponents(fwd: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     // decimal(38,0) keeps the sum exact for any realistic node count even
     // with 60-bit hash ids — a wrapped long sum could (astronomically
     // rarely) alias across an iteration and stop one round early
@@ -100,7 +125,8 @@ object Components {
         .select(col("dst").as("id"), col("lbl"))
       val stepped = labels.union(received)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true) // the round's one materialization point
+        // the round's one materialization point — disk-backed (see above)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: follow one extra hop through the label forest
       // (lbl := lbl(lbl)). Every lbl value is itself a node id, so the
       // inner self-join is total; lbl(lbl) <= lbl by monotonicity. Left
@@ -123,7 +149,7 @@ object Components {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("lbl").as("component"))
+    (labels.select(col("id"), col("lbl").as("component")), iter)
   }
 
   /** Cluster-level dedup summary: one row per component with its canonical

@@ -251,6 +251,70 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard on candidate pairs over HASHED shingle sets —
+    * the scale variant of [[jaccardOnPairs]]: each doc is reduced to a set
+    * of distinct xxhash64(shingle) longs (8 bytes per shingle instead of
+    * the k-word string), so the two text-joins ship long arrays and the
+    * shuffled payload drops ~6×, at the identical join shape. Jaccard over
+    * the hashed sets equals Jaccard over the string sets unless xxhash64
+    * collides within one document pair (probability ~n²/2⁶⁴ — negligible);
+    * it is not replayable on engines lacking xxhash64, so the oracle path
+    * keeps [[jaccardOnPairs]].
+    */
+  def jaccardOnPairsHashed(pairs: DataFrame, docs: DataFrame, textCol: String,
+                           idCol: String, k: Int = 5): DataFrame = {
+    val withSh = TextAnalysis.explodedShingles(docs, textCol, idCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("__sh"))).as("__sh"))
+      .select(col(idCol).as("__jid"), col("__sh"))
+    pairs
+      .join(withSh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(withSh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs, memoized by CONTENT — the
+    * high-duplication scale path. Jaccard is a pure function of the two
+    * texts, and the corpora that need near-dup at 100 TB are precisely the
+    * ones full of repeated content, so the candidate list maps each id pair
+    * to its (xxhash64(text)_a, xxhash64(text)_b) digest pair, each DISTINCT
+    * digest pair is verified once via a representative doc per digest
+    * ([[jaccardOnPairsHashed]], long-array payloads), and the small verdict
+    * table broadcasts back onto the id pairs. The wide candidate join thus
+    * ships 8-byte digests instead of shingle sets; verification work scales
+    * with distinct content, not with pair multiplicity. Values equal
+    * [[jaccardOnPairs]] exactly (same shingle arithmetic, modulo the
+    * negligible in-pair xxhash64-collision caveat of the hashed variant).
+    */
+  def jaccardOnPairsByContent(pairs: DataFrame, docs: DataFrame, textCol: String,
+                              idCol: String, k: Int = 5): DataFrame = {
+    val digests = docs.select(col(idCol).as("__jid"), xxhash64(col(textCol)).as("__dig"))
+    val withDigs = pairs
+      .join(digests.withColumnRenamed("__jid", "id_a").withColumnRenamed("__dig", "dig_a"), Seq("id_a"))
+      .join(digests.withColumnRenamed("__jid", "id_b").withColumnRenamed("__dig", "dig_b"), Seq("id_b"))
+    // one representative id per distinct content
+    val reps = docs
+      .select(xxhash64(col(textCol)).as("__dig"), col(idCol), col(textCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__dig")).orderBy(col(idCol))))
+      .where(col("__rn") === 1)
+    val repPairs = withDigs.select(col("dig_a"), col("dig_b")).distinct()
+      .join(reps.select(col("__dig").as("dig_a"), col(idCol).as("__ra")), Seq("dig_a"))
+      .join(reps.select(col("__dig").as("dig_b"), col(idCol).as("__rb")), Seq("dig_b"))
+    val verdicts = jaccardOnPairsHashed(
+        repPairs.select(col("__ra").as("id_a"), col("__rb").as("id_b")),
+        docs, textCol, idCol, k)
+      .join(reps.select(col(idCol).as("id_a"), col("__dig").as("dig_a")), Seq("id_a"))
+      .join(reps.select(col(idCol).as("id_b"), col("__dig").as("dig_b")), Seq("id_b"))
+      .select(col("dig_a"), col("dig_b"), col("jaccard"))
+    withDigs.join(broadcast(verdicts), Seq("dig_a", "dig_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
     * threshold filter. Returns (id_a, id_b, jaccard) for near-duplicates.
     */
@@ -322,6 +386,28 @@ object Dedup {
   /** Embedding near-dup: pairs with cosine >= threshold among candidates
     * sharing a random-hyperplane LSH bucket (see [[Similarity.hyperplaneBucket]]).
     */
+  /** [[embeddingNearDups]] on the deterministic ±1 sign-plane family
+    * ([[Similarity.signPlaneBucket]]) — identical shuffle shape (single
+    * bucket equi-join, never n²), but the projection matrix regenerates
+    * from md5 on any engine, so the whole LSH pipeline is oracle-
+    * replayable (q68). `dim` is the embedding width, a plan-time constant
+    * for the unrolled dot products. Output (id_a, id_b, cos_sim rounded
+    * to 4) over pairs whose UNROUNDED cosine clears `threshold`.
+    */
+  def embeddingNearDupsDet(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, planes: Int, dim: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.signPlaneBucket(col(vecCol), planes, dim).as("__bucket"))
+    val l = withB.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("v_a"))
+    val r = withB.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("v_b"))
+    l.join(r, Seq("__bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineSim(col("v_a"), col("v_b")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 12): DataFrame = {

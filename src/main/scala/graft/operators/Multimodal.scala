@@ -111,6 +111,31 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes", "frame_digest")
   }
 
+  /** URI-referenced assets — the large-asset layout: payloads live as
+    * individual files in object storage and only METADATA rows flow through
+    * the warehouse until decode time. Reads the asset directory with
+    * Spark's `binaryFile` source (one input split per file, listing
+    * parallelized across the cluster, `pathGlobFilter`/recursive lookup
+    * available) and joins payloads to `meta` on the asset file name.
+    *
+    * `meta` must carry (asset_name, media_id, modality, mime_type, width,
+    * height, sample_rate, duration_ms). The join is an equi-join on
+    * asset_name: broadcast when metadata is small, shuffle otherwise —
+    * either way the BYTES move at most once, straight from the file scan
+    * into the consumer. Decode remains the stub kernels above (no codecs
+    * in this container); everything up to them — source, schema, join,
+    * partitioning — is the real operator.
+    */
+  def mediaFromBinaryFiles(spark: SparkSession, assetDir: String, meta: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val assets = spark.read.format("binaryFile").load(assetDir)
+      .select(element_at(split(col("path"), "/"), -1).as("asset_name"), col("content"))
+    meta.join(assets, Seq("asset_name"))
+      .select(col("media_id"), col("modality"), col("content"), col("mime_type"),
+        col("width"), col("height"), col("sample_rate"), col("duration_ms"))
+      .as[MediaRecord]
+  }
+
   /** Build a synthetic media table from the documents table: encodes text as
     * the binary payload. This stands in for reading real assets and gives
     * every scale factor a media corpus with knowable contents.

@@ -122,10 +122,29 @@ object Similarity {
     * never n·q.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
-              k: Int, numCentroids: Int = 16, numProbe: Int = 4): DataFrame = {
-    import graft.functions.CosineSimilarity.cosineSim
-    val cents = corpus.orderBy(col(idCol)).limit(numCentroids)
+              k: Int, numCentroids: Int = 16, numProbe: Int = 4): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, vecCol, idCol, k,
+      seedCentroids(corpus, vecCol, idCol, numCentroids), numProbe)
+
+  /** Deterministic untrained centroid seeds: the `numCentroids` lowest-id
+    * corpus vectors as (__cid, __cv) — the input [[refineCentroids]]
+    * expects and [[ivfTopKWithCentroids]] probes.
+    */
+  def seedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                    numCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+
+  /** [[ivfTopK]] against a caller-supplied centroid table (__cid, __cv) —
+    * the trained path: seed with [[seedCentroids]], iterate
+    * [[refineCentroids]], then search. Same plan shape (centroids
+    * broadcast twice, list search an equi-join on centroid id).
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, vecCol: String,
+                           idCol: String, k: Int, centroids: DataFrame,
+                           numProbe: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val cents = centroids
     val byVec = Window.partitionBy(col("__vid")).orderBy(col("__csim").desc, col("__cid"))
 
     val assigned = corpus

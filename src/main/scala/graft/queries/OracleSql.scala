@@ -152,7 +152,49 @@ object OracleSql {
        |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q68: LSH-bucketed embedding near-dup with the same generated ±1
+    * sign-plane buckets as q29 (4 planes here) — DuckDB replays bucket
+    * assignment and pair generation, then the q32-style cosine threshold
+    * inside the buckets.
+    */
+  private val embeddingNearDupLshSql: String = {
+    val planes = 4
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v,
+       |         $buckets AS bucket
+       |       FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_dot_product(a.v, b.v) /
+       |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q68_embedding_neardup_lsh" -> embeddingNearDupLshSql,
+
+    // replays both incremental rounds: round-1 ids are a dense rank over
+    // the even-custkey names, round-2 newcomers continue from count(s1)
+    "q69_incremental_dim" ->
+      """WITH s1 AS (SELECT DISTINCT c_name FROM customer WHERE c_custkey % 2 = 0),
+        |d1 AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS dim_id FROM s1),
+        |s2 AS (SELECT DISTINCT c_name FROM customer
+        |       WHERE c_name NOT IN (SELECT c_name FROM s1)),
+        |d2 AS (SELECT c_name, (SELECT count(*) FROM s1) + row_number() OVER (ORDER BY c_name) AS dim_id
+        |       FROM s2)
+        |SELECT c_name, CAST(dim_id AS BIGINT) AS dim_id
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |ORDER BY c_name""".stripMargin,
     "q53_skew_join" ->
       """SELECT s_name AS supplier_name, count(*) AS n,
         |       round(sum(l_extendedprice), 2) AS revenue

@@ -77,7 +77,10 @@ object IncrementalLoad {
         // warehouse copy-on-write per batch — inherent to plain parquet;
         // a table format with transactional MERGE (Delta/Iceberg) replaces
         // the rewrite with a metadata commit and is the drop-in upgrade.
-        val merged = Merge.upsert(base, fresh, keyCols).localCheckpoint(true)
+        // MEMORY_AND_DISK: a batch whose merged table exceeds executor
+        // memory must spill, not OOM the stream
+        val merged = Merge.upsert(base, fresh, keyCols)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         wh.write(name, merged)
       }
       .start()

@@ -26,7 +26,10 @@ class PlanInvariantSpec extends SparkTestBase {
     * Their upstream stages are guarded through their lazy twins: q57's
     * pair generation is q32's plan, q61's candidate join is q27's.
     */
-  private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention")
+  private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention",
+    // the incremental allocator reads max(existing) at construction; its
+    // building blocks (scalable two-phase ids) are covered by q07/q08 plans
+    "q69_incremental_dim")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     if (!eagerByConstruction.contains(name)) {

@@ -17,6 +17,24 @@ class SurrogateKeysSpec extends SparkTestBase {
     assert(windowed === scaled)
   }
 
+  test("incremental ids preserve existing assignments across successive loads") {
+    val round1 = Seq("b", "d").toDF("k")
+    val empty = Seq.empty[(String, Long)].toDF("k", "dim_id")
+    val dim1 = SurrogateKeys.withIncrementalId(empty, round1, "dim_id", Seq("k"))
+    val m1 = dim1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 === Map("b" -> 1L, "d" -> 2L))
+    // round 2 re-delivers old keys plus new ones, in an order that would
+    // re-key b and d if the load were a fresh dense 1..n
+    val round2 = Seq("a", "b", "c", "d", "e").toDF("k")
+    val dim2 = SurrogateKeys.withIncrementalId(dim1, round2, "dim_id", Seq("k"))
+    val m2 = dim2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2("b") === 1L && m2("d") === 2L, "existing ids must survive")
+    assert(m2 === Map("b" -> 1L, "d" -> 2L, "a" -> 3L, "c" -> 4L, "e" -> 5L))
+    // idempotent: replaying round 2 changes nothing
+    val dim3 = SurrogateKeys.withIncrementalId(dim2, round2, "dim_id", Seq("k"))
+    assert(dim3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === m2)
+  }
+
   test("ids are dense 1..n") {
     val df = Seq("c", "a", "b").toDF("v")
     val out = SurrogateKeys.withScalableId(df, "id", Seq(col("v"))).collect()

@@ -108,6 +108,18 @@ class DedupSpec extends SparkTestBase {
     assert(sh.contains((1L, 2L)), "distinct exact-copy ids must still pair")
   }
 
+  test("hashed and content-memoized jaccard equal the string-shingle jaccard") {
+    val nearDup = base.replace("quick", "swift")
+    // duplicated content across distinct ids exercises the memoization
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> base, 4L -> nearDup, 5L -> "a b c d e f g h i j")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val ref = asMap(Dedup.jaccardOnPairs(pairs, d, "text", "doc_id"))
+    assert(asMap(Dedup.jaccardOnPairsHashed(pairs, d, "text", "doc_id")) === ref)
+    assert(asMap(Dedup.jaccardOnPairsByContent(pairs, d, "text", "doc_id")) === ref)
+  }
+
   test("embedding near-dups finds the planted duplicate vector") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val vDup = v.map(x => x * 1.001f)

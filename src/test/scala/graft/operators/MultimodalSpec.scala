@@ -30,6 +30,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getAs[String]("content_digest").length === 32)
   }
 
+  test("binaryFile asset path: externally-stored payloads join metadata and match the inline path") {
+    import spark.implicits._
+    // materialize a few docs as individual asset files, the large-asset
+    // layout the binaryFile source exists for
+    val sample = docs.orderBy("doc_id").limit(20)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("assets")
+    sample.foreach { case (id, text) =>
+      java.nio.file.Files.write(dir.resolve(s"asset_$id.bin"), text.getBytes("UTF-8"))
+    }
+    val meta = sample.map { case (id, _) =>
+      (s"asset_$id.bin", id, "image", "image/png", Some(640), Some(480),
+        None: Option[Int], None: Option[Long])
+    }.toSeq.toDF("asset_name", "media_id", "modality", "mime_type",
+      "width", "height", "sample_rate", "duration_ms")
+    val external = Multimodal.mediaFromBinaryFiles(spark, dir.toString, meta)
+    val extFeats = Multimodal.extractFeatures(external).toDF()
+      .select("media_id", "content_digest").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the inline (parquet-embedded) path must produce byte-identical payloads
+    val inlineFeats = Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(spark, docs.where(col("doc_id").isin(sample.map(_._1): _*))))
+      .toDF().select("media_id", "content_digest").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(extFeats.size === 20)
+    assert(extFeats === inlineFeats)
+  }
+
   test("resize stub truncates payloads preserving schema") {
     val resized = Multimodal.resize(media, targetBytes = 32).toDF()
     val lens = resized.select(octet_length(col("content")).as("l")).distinct().collect()
