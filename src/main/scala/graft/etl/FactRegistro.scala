@@ -101,10 +101,17 @@ object FactRegistro {
       Seq(codigoProbe.map(col)).flatten
     val keyed = SurrogateKeys.withScalableId(withM, "ID_Registro", orderCols)
 
+    // Anio: the year-grain partition column the reference's own config
+    // intends (config/variables.yaml:19-20 declares year partitioning +
+    // (Anio, Marca) clustering but never wires it). Derived from the
+    // PARSED event date — rows whose date falls outside the calendar dim
+    // keep their true year here even though the ID_Tiempo FK falls back
+    // to 1, so physical pruning never lies about event time.
+    val withAnio = keyed.withColumn("Anio", year(col("FECHA_PROCESO_DATE")).cast("long"))
     val factCols = Seq("ID_Registro", "ID_Tiempo", "ID_Vehiculo", "ID_Transaccion",
-      "ID_Ubicacion", "CantidadRegistros", "MontoAvaluo")
-    val present = factCols.filter(keyed.columns.contains)
-    keyed.select(present.map(col): _*)
+      "ID_Ubicacion", "Anio", "CantidadRegistros", "MontoAvaluo")
+    val present = factCols.filter(withAnio.columns.contains)
+    withAnio.select(present.map(col): _*)
       .na.fill(1L, Seq("ID_Tiempo", "ID_Vehiculo", "ID_Transaccion", "ID_Ubicacion").filter(present.contains))
       .na.fill(0)
   }

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  /** A6/O1 (ref :772-783): registrations + valuation by year, top 5 years. */
+  /** A6/O1 (ref :772-783): registrations + valuation by year, top 5 years.
+    * Grouped on the CALENDAR year (the reference's semantics: ref :779
+    * groups the dim's Anio) — the fact's own Anio partition column is the
+    * raw event year and diverges on FK-fallback rows, so it is dropped
+    * here rather than silently shadowing the dim's.
+    */
   def registrosPorAnio(fact: DataFrame, dimTiempo: DataFrame): DataFrame =
-    fact.join(broadcast(dimTiempo), Seq("ID_Tiempo"))
+    fact.drop("Anio").join(broadcast(dimTiempo), Seq("ID_Tiempo"))
       .groupBy(col("Anio"))
       .agg(
         count(lit(1)).as("total_registros"),
@@ -44,7 +49,7 @@ object Metrics {
   /** A9/O4 (notebook cell 15): top 10 (year, brand, province) combos. */
   def dashboard(fact: DataFrame, dimTiempo: DataFrame, dimVehiculo: DataFrame,
                 dimUbicacion: DataFrame): DataFrame =
-    fact
+    fact.drop("Anio") // calendar Anio wins, as in registrosPorAnio
       .join(broadcast(dimTiempo), Seq("ID_Tiempo"))
       .join(broadcast(dimVehiculo), Seq("ID_Vehiculo"))
       .join(broadcast(dimUbicacion), Seq("ID_Ubicacion"))

@@ -27,11 +27,13 @@ object SriMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // fact partitioned by ID_Tiempo: the reference's variables.yaml declares
-    // date partitioning but never wires it; here it is real (partition
-    // pruning for date-ranged queries).
+    // fact partitioned by Anio — the year grain the reference's own config
+    // declares (config/variables.yaml:19-20) and the right granularity at
+    // scale: daily-grain ID_Tiempo partitioning would mean 2,192 partitions
+    // and a small-files problem at 100 TB; year partitions prune
+    // date-ranged queries while keeping partition count bounded.
     val wh = ParquetWarehouse(spark, whDir,
-      partitionCols = Map("fact_registro_vehiculos" -> Seq("ID_Tiempo")))
+      partitionCols = Map("fact_registro_vehiculos" -> Seq("Anio")))
     val pipelineStart = System.nanoTime()
     val res = SriPipeline.run(spark, csvPath, wh, clock, parallelDims = true)
     val pipelineSecs = (System.nanoTime() - pipelineStart) / 1e9

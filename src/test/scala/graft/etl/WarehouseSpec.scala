@@ -17,6 +17,30 @@ class WarehouseSpec extends SparkTestBase {
     (3L, null, 0.0, null)
   ).toDF("id", "s", "x", "d")
 
+  test("Anio-partitioned fact prunes partitions for year-ranged queries") {
+    val wh = ParquetWarehouse(spark, s"$tmp/whp",
+      partitionCols = Map("fact" -> Seq("Anio")))
+    val fact = spark.range(0, 1000).select(
+      col("id").as("ID_Registro"),
+      (col("id") % 5 + 2020).as("Anio"),
+      (col("id") % 100).cast("double").as("MontoAvaluo"))
+    wh.write("fact", fact)
+    val q = wh.read("fact").where(col("Anio") === 2022)
+    assert(q.count() === 200L)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the year filter must reach the scan as a PARTITION filter (directory
+    // pruning), not merely a data filter evaluated after reading all years
+    assert(scans.contains("PartitionFilters"), s"no PartitionFilters in scan:\n$scans")
+    val pf = scans.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("Anio"), s"Anio not in PartitionFilters: $pf")
+    // and the scan must actually select 1 of the 5 year directories
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("parquet warehouse roundtrip preserves values and overwrite is idempotent") {
     val wh = ParquetWarehouse(spark, s"$tmp/wh")
     wh.write("t", df)
