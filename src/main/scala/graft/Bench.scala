@@ -53,12 +53,15 @@ object Bench {
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
         try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       }.sorted
       val failed = runs.contains(-1.0)
-      val med = if (failed) -1.0 else runs(runs.size / 2)
+      // LOWER median for even run counts: SPARK_GRAFT_RUNS=2 then reports
+      // the faster run (the old min-of-2 behavior), not the slower
+      val med = if (failed) -1.0 else runs((runs.size - 1) / 2)
       (name, med, if (failed) (-1.0, -1.0) else (runs.head, runs.last))
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }

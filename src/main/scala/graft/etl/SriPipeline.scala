@@ -50,7 +50,8 @@ object SriPipeline {
       // the reference DAG fans the 4 dim builds out in parallel (ref
       // :913-922); the four independent write jobs share the cached
       // `raw` scan
-      Concurrency.inParallel(dimWrites.map { case (n, df) => () => warehouse.write(n, df) })
+      Concurrency.inParallel(dimWrites.map { case (n, df) => () => warehouse.write(n, df) },
+        spark = Some(spark))
     } else {
       dimWrites.foreach { case (n, df) => warehouse.write(n, df) }
     }

@@ -47,8 +47,14 @@ object SurrogateKeys {
                         naturalKey: Seq[String], numPartitions: Int = 0): DataFrame = {
     val keyCols = naturalKey.map(col)
     val maxId = existing.agg(coalesce(max(col(idName)), lit(0L))).head.getLong(0)
-    val newKeys = incoming.select(keyCols: _*).distinct()
-      .join(existing.select(keyCols: _*), naturalKey, "left_anti")
+    val inc = incoming.select(keyCols: _*).distinct()
+    val exK = existing.select(keyCols: _*)
+    // null-SAFE anti join: a plain equi-anti never matches a null key
+    // (null = null is not true), which would classify a null natural key
+    // as "new" on every load — one duplicate null row per round and a
+    // different id each time, breaking the id-stability contract
+    val cond = naturalKey.map(k => inc(k) <=> exK(k)).reduce(_ && _)
+    val newKeys = inc.join(exK, cond, "left_anti")
     val keyed = withScalableId(newKeys, idName, keyCols, numPartitions)
       .withColumn(idName, col(idName) + maxId)
     existing.select(keyCols :+ col(idName): _*)

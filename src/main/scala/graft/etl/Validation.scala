@@ -59,7 +59,7 @@ object Validation {
       () => profile(dimVehiculo, "dim_vehiculo", Seq("Marca", "Clase")),
       () => profile(dimTransaccion, "dim_transaccion", Seq("TipoTransaccion")),
       () => profile(dimUbicacion, "dim_ubicacion", Seq("Provincia", "Region"))
-    ))
+    ), spark = Some(dimTiempo.sparkSession))
 
     val factAgg = fact.agg(
       count(lit(1)).as("rows"),

@@ -311,7 +311,11 @@ object Dedup {
       .join(reps.select(col(idCol).as("id_a"), col("__dig").as("dig_a")), Seq("id_a"))
       .join(reps.select(col(idCol).as("id_b"), col("__dig").as("dig_b")), Seq("id_b"))
       .select(col("dig_a"), col("dig_b"), col("jaccard"))
-    withDigs.join(broadcast(verdicts), Seq("dig_a", "dig_b"))
+    // NO broadcast hint: verdict count is bounded by distinct content
+    // pairs, which on a LOW-duplication corpus approaches the candidate
+    // count — let Spark broadcast when small and shuffle when not, instead
+    // of forcing an unbounded table through the driver
+    withDigs.join(verdicts, Seq("dig_a", "dig_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

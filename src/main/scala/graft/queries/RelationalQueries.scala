@@ -17,6 +17,24 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Register each DataFrame under a per-call UNIQUE temp view name, hand
+    * the base→unique name map to `body`, and drop the views once the
+    * returned DataFrame is built (spark.sql analyzes eagerly, so the plan
+    * no longer needs the catalog entries). Fixed-name session-global views
+    * registered during query CONSTRUCTION would race concurrent
+    * constructions in one session (parallel bench / Concurrency fan-out)
+    * and leak one catalog entry per call.
+    */
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def withScopedViews(spark: SparkSession, dfs: (String, DataFrame)*)(
+      body: Map[String, String] => DataFrame): DataFrame = {
+    val n = viewCounter.incrementAndGet()
+    val names = dfs.map { case (base, _) => base -> s"${base}_$n" }.toMap
+    dfs.foreach { case (base, df) => df.createOrReplaceTempView(names(base)) }
+    try body(names)
+    finally names.values.foreach(spark.catalog.dropTempView(_))
+  }
+
   /** A1 (ref dags/sri_vehiculos_etl_dag.py:660-667): scalar aggregates over
     * one table — count / distinct / min / max / sum / avg in one pass.
     */
@@ -280,21 +298,19 @@ object RelationalQueries {
     */
   def q35SqlStarJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem.createOrReplaceTempView("v_lineitem")
-    t.orders.createOrReplaceTempView("v_orders")
-    t.customer.createOrReplaceTempView("v_customer")
-    t.nation.createOrReplaceTempView("v_nation")
-    t.region.createOrReplaceTempView("v_region")
-    spark.sql(
-      """SELECT r.r_name AS region, n.n_name AS nation,
-        |       count(*) AS n,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        |FROM v_lineitem l
-        |JOIN v_orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN v_customer c ON o.o_custkey = c.c_custkey
-        |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN v_region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    withScopedViews(spark, "v_lineitem" -> t.lineitem, "v_orders" -> t.orders,
+      "v_customer" -> t.customer, "v_nation" -> t.nation, "v_region" -> t.region) { v =>
+      spark.sql(
+        s"""SELECT r.r_name AS region, n.n_name AS nation,
+           |       count(*) AS n,
+           |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           |FROM ${v("v_lineitem")} l
+           |JOIN ${v("v_orders")} o ON l.l_orderkey = o.o_orderkey
+           |JOIN ${v("v_customer")} c ON o.o_custkey = c.c_custkey
+           |JOIN ${v("v_nation")} n ON c.c_nationkey = n.n_nationkey
+           |JOIN ${v("v_region")} r ON n.n_regionkey = r.r_regionkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }
   }
 
   /** AS-OF join: each purchase matched to the user's most recent
@@ -478,20 +494,15 @@ object RelationalQueries {
     * into an aggregate + join — no per-row re-execution (the plan guard
     * suite asserts no nested loop appears).
     */
-  def q55CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
-    // per-call unique view name: registering a session-global temp view
-    // during query CONSTRUCTION would race any concurrent construction in
-    // the same session (parallel bench / Concurrency fan-out)
-    val view = s"orders_v_${q55Counter.incrementAndGet()}"
-    Tables(spark, dir).orders.createOrReplaceTempView(view)
-    spark.sql(
-      s"""SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 2) AS price
-         |FROM $view o
-         |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-         |                      FROM $view o2 WHERE o2.o_custkey = o.o_custkey)
-         |ORDER BY o_orderkey""".stripMargin)
-  }
-  private val q55Counter = new java.util.concurrent.atomic.AtomicLong(0)
+  def q55CorrSubquery(spark: SparkSession, dir: String): DataFrame =
+    withScopedViews(spark, "orders_v" -> Tables(spark, dir).orders) { v =>
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 2) AS price
+           |FROM ${v("orders_v")} o
+           |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+           |                      FROM ${v("orders_v")} o2 WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
+    }
 
   /** Statistical aggregate battery: Pearson correlation, sample stddev and
     * covariance per group — one pass, all map-side combinable (moment

@@ -35,6 +35,20 @@ class SurrogateKeysSpec extends SparkTestBase {
     assert(dim3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === m2)
   }
 
+  test("incremental ids treat a null natural key as one stable entity") {
+    // a plain equi-anti-join would classify the null key as "new" every
+    // load (null = null is not true) — one duplicate null row per round
+    // with a fresh id each time
+    val empty = Seq.empty[(String, Long)].toDF("k", "dim_id")
+    val withNull = Seq(Some("a"), None).map(_.orNull).toDF("k")
+    val dim1 = SurrogateKeys.withIncrementalId(empty, withNull, "dim_id", Seq("k"))
+    val m1 = dim1.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(m1.size === 2 && m1.contains(None))
+    val dim2 = SurrogateKeys.withIncrementalId(dim1, withNull, "dim_id", Seq("k"))
+    val m2 = dim2.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(m2 === m1, "replay must not re-key or duplicate the null entity")
+  }
+
   test("ids are dense 1..n") {
     val df = Seq("c", "a", "b").toDF("v")
     val out = SurrogateKeys.withScalableId(df, "id", Seq(col("v"))).collect()
