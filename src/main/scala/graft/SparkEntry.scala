@@ -90,7 +90,8 @@ object SparkEntry {
     "q51_stratified_sample" -> (D.q51StratifiedSample(_, _)),
     "q52_repetition"     -> (D.q52Repetition(_, _)),
     "q57_dedup_clusters" -> (D.q57DedupClusters(_, _)),
-    "q61_dedup_retention" -> (D.q61DedupRetention(_, _))
+    "q61_dedup_retention" -> (D.q61DedupRetention(_, _)),
+    "q70_retain_canonical" -> (D.q70RetainCanonical(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

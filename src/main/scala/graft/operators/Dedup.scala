@@ -372,6 +372,28 @@ object Dedup {
     agged.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Cluster-canonical retention with a caller-chosen PREFERENCE ORDER —
+    * the retention policy stage between "pairs" and "kept corpus". q61
+    * keeps each cluster's minimum id; real pipelines usually keep the
+    * BEST member (longest text, highest quality score — the C4/
+    * RefinedWeb-style policy), which this generalizes: connected
+    * components over `pairs`, singletons implicitly their own cluster,
+    * then one row per cluster ranked by `preference` (append the id
+    * column for a total order). One labels join + one rank window on the
+    * cluster key — no extra shuffle beyond the components themselves.
+    */
+  def retainCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      preference: Seq[Column]): DataFrame = {
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val withComp = docs.join(labels, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("__comp")).orderBy(preference: _*)
+    withComp.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__comp", "component")
+  }
+
   /** Brute-force exact embedding near-dup: all pairs with cosine >=
     * threshold. O(n²) — the verification baseline and oracle target;
     * [[embeddingNearDups]] (LSH-bucketed) is the scale path.

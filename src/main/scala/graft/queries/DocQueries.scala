@@ -259,6 +259,25 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-canonical dedup retention — q61's pipeline with the
+    * production retention policy: each near-dup cluster keeps its LONGEST
+    * member (n_chars desc, doc_id tie-break), not its minimum id. The
+    * oracle replays the whole chain and ranks inside the recursive-CTE
+    * clusters.
+    */
+  def q70RetainCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    Dedup.retainCanonical(docs, nearDups, "doc_id",
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

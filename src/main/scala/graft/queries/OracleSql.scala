@@ -99,6 +99,40 @@ object OracleSql {
        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
        |ORDER BY doc_id""".stripMargin
 
+  /** q70: q61's chain up to `comp`, then QUALITY-canonical retention —
+    * rank every doc inside its cluster (singletons cluster with
+    * themselves via the left-join coalesce) by n_chars desc, doc_id.
+    */
+  private val retainCanonicalSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+       |  FROM words),
+       |nd AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN shd da ON da.doc_id = cand.id_a
+       |  JOIN shd db ON db.doc_id = cand.id_b
+       |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(da.shs, db.shs))) >= 0.8),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM nd
+       |       UNION SELECT id_b, id_a FROM nd),
+       |nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |sel AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars,
+       |         row_number() OVER (PARTITION BY coalesce(c.lbl, d.doc_id)
+       |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, lang, n_chars FROM sel WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** q28: md5 SimHash signatures (same CTEs as q33) + all-pairs Hamming ≤ 3
     * — the oracle for the banded (pigeonhole-exact) Spark plan.
     */
@@ -296,6 +330,7 @@ object OracleSql {
 
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q61_dedup_retention" -> dedupRetentionSql,
+    "q70_retain_canonical" -> retainCanonicalSql,
     "q28_simhash" -> simhashPairsSql,
     "q29_ann_lsh" -> annLshDetSql,
     "q32_embedding_neardup" ->

@@ -27,6 +27,7 @@ class PlanInvariantSpec extends SparkTestBase {
     * pair generation is q32's plan, q61's candidate join is q27's.
     */
   private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention",
+    "q70_retain_canonical",
     // the incremental allocator reads max(existing) at construction; its
     // building blocks (scalable two-phase ids) are covered by q07/q08 plans
     "q69_incremental_dim")

@@ -69,6 +69,13 @@ class WarehouseSpec extends SparkTestBase {
     assert(back.collect().map(_.toSeq).toSet === df.drop("d").collect().map(_.toSeq).toSet)
   }
 
+  test("orc roundtrip preserves values (built-in columnar alternative)") {
+    df.write.mode("overwrite").orc(s"$tmp/o")
+    val back = spark.read.orc(s"$tmp/o")
+    assert(back.schema.map(f => (f.name, f.dataType)) === df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+  }
+
   test("json roundtrip with explicit schema") {
     df.write.mode("overwrite").json(s"$tmp/j")
     val back = spark.read.schema(df.schema).json(s"$tmp/j")

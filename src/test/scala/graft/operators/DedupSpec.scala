@@ -108,6 +108,17 @@ class DedupSpec extends SparkTestBase {
     assert(sh.contains((1L, 2L)), "distinct exact-copy ids must still pair")
   }
 
+  test("retainCanonical keeps the preferred member per cluster and all singletons") {
+    // clusters: {1,2,3} (chain via pairs), singleton {4}; quality = len
+    val d = Seq((1L, "short", 5L), (2L, "longest text", 12L), (3L, "medium!", 7L),
+      (4L, "alone", 5L)).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.retainCanonical(d, pairs, "doc_id",
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L), s"longest member + singleton, got $kept")
+  }
+
   test("hashed and content-memoized jaccard equal the string-shingle jaccard") {
     val nearDup = base.replace("quick", "swift")
     // duplicated content across distinct ids exercises the memoization
