@@ -32,6 +32,36 @@ class PlanInvariantSpec extends SparkTestBase {
     // building blocks (scalable two-phase ids) are covered by q07/q08 plans
     "q69_incremental_dim")
 
+  // Positive shape pins on flagship plans — the properties the 100-TB
+  // story depends on, asserted, not just documented. Version-pinned
+  // (Spark 4.1) and cheap: plan construction only, no execution.
+  test("q05 star join broadcasts all four dims and aggregates map-side first") {
+    val plan = SparkEntry.queries("q05_star_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected 4 broadcast dims, got $broadcasts")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final aggregation pair")
+    assert(!plan.contains("SortMergeJoin"),
+      "a dim reached sort-merge: broadcast regressed")
+  }
+
+  test("q02 filter reaches the parquet scan as a pushed filter") {
+    val plan = SparkEntry.queries("q02_group_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull") || plan.contains("PushedFilters: ["),
+      s"no PushedFilters in scan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final aggregation pair")
+  }
+
+  test("q06 top-k plans as TakeOrderedAndProject, not global sort") {
+    val plan = SparkEntry.queries("q06_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k regressed to a full global sort")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     if (!eagerByConstruction.contains(name)) {
       test(s"$name plans without nested-loop/cartesian joins") {
