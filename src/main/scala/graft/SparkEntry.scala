@@ -91,7 +91,9 @@ object SparkEntry {
     "q52_repetition"     -> (D.q52Repetition(_, _)),
     "q57_dedup_clusters" -> (D.q57DedupClusters(_, _)),
     "q61_dedup_retention" -> (D.q61DedupRetention(_, _)),
-    "q70_retain_canonical" -> (D.q70RetainCanonical(_, _))
+    "q70_retain_canonical" -> (D.q70RetainCanonical(_, _)),
+    "q71_unigram_lm"     -> (D.q71UnigramLm(_, _)),
+    "q72_incremental_dedup" -> (D.q72IncrementalDedup(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -153,6 +153,19 @@ object Dedup {
     */
   def minhashCandidatePairsMd5(
       df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame =
+    bucketPairs(minhashBandIndexMd5(df, textCol, idCol, numHashes, bands, shingleK),
+      "band", "band_key", "__id")
+
+  /** The md5-family LSH BAND INDEX as data: (band, band_key, __id) rows —
+    * the persistable form of a corpus's near-dup state. Write it to the
+    * warehouse once and each daily increment joins it instead of
+    * re-signing the corpus ([[incrementalCandidatePairsMd5]]). One row per
+    * (doc, band); at 100 TB this is the difference between an O(increment)
+    * daily dedup and an O(corpus) one.
+    */
+  def minhashBandIndexMd5(
+      df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
@@ -163,8 +176,29 @@ object Dedup {
         .map(i => col(s"mh$i").cast("string"))
       concat_ws("_", bandCols: _*)
     }: _*)
-    val banded = sigs.select(col("__id"), posexplode(bandKeys).as(Seq("band", "band_key")))
-    bucketPairs(banded, "band", "band_key", "__id")
+    sigs.select(col("__id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** Incremental near-dup candidates: NEW docs against an existing corpus
+    * [[minhashBandIndexMd5]] band index, plus pairs within the increment —
+    * signatures are computed ONLY for the increment, and the corpus
+    * contributes its stored index through one (band, band_key) equi-join.
+    * Band membership is a pure per-doc function, so the result equals
+    * exactly the full-corpus candidate set restricted to pairs touching
+    * the increment (spec-asserted). Output (id_a, id_b), id_a < id_b.
+    */
+  def incrementalCandidatePairsMd5(
+      newDocs: DataFrame, index: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    val newBands = minhashBandIndexMd5(newDocs, textCol, idCol, numHashes, bands, shingleK)
+    val cross = newBands
+      .join(index.withColumnRenamed("__id", "__cid"), Seq("band", "band_key"))
+      .where(col("__id") =!= col("__cid"))
+      .select(least(col("__id"), col("__cid")).as("id_a"),
+        greatest(col("__id"), col("__cid")).as("id_b"))
+      .distinct()
+    val within = bucketPairs(newBands, "band", "band_key", "__id")
+    cross.unionByName(within).distinct()
   }
 
   /** Pairs of ids sharing a bucket, WITHOUT a self-join: group ids per

@@ -215,4 +215,25 @@ object TextAnalysis {
     explodedShingles(df, textCol, idCol, shingle)
       .groupBy(col(idCol))
       .agg(min(md5(col("__sh"))).as("fingerprint"))
+
+  /** CCNet-style language-model quality score with a UNIGRAM model trained
+    * on the corpus itself: per-doc mean token log-probability
+    * avg(ln(count(tok)/N)) over the doc's token stream (repeats counted).
+    * Gibberish and rare-token soup scores low, common fluent text high —
+    * the cheap first-pass filter before an external LM. Two map-side-
+    * combinable aggregations (corpus term counts, per-doc mean) and one
+    * equi-join on the token; every token is in the vocabulary by
+    * construction, so no smoothing term is needed. Returns
+    * (idCol, n_tokens, avg_logprob).
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = toks.count()
+    toks.join(freq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / n)), 4).as("avg_logprob"))
+  }
 }

@@ -278,6 +278,31 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style unigram LM quality score over the documents corpus
+    * (TextAnalysis.unigramLogProb): per-doc mean token log-probability
+    * under the corpus's own unigram distribution.
+    */
+  def q71UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** Incremental dedup candidates: the even-id half of the corpus is the
+    * EXISTING warehouse (its LSH band index already stored), the odd-id
+    * half is today's increment — only the increment is signed, the corpus
+    * contributes its index via one band equi-join
+    * (Dedup.incrementalCandidatePairsMd5). The oracle computes the
+    * full-corpus candidate set and keeps pairs touching the increment —
+    * equal by band-membership determinism.
+    */
+  def q72IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val increment = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val index = Dedup.minhashBandIndexMd5(corpus, "text", "doc_id")
+    Dedup.incrementalCandidatePairsMd5(increment, index, "text", "doc_id")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

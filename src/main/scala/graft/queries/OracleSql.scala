@@ -331,6 +331,25 @@ object OracleSql {
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
+
+    "q71_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |              FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(CAST(cnt AS DOUBLE) / (SELECT n FROM n))), 4) AS avg_logprob
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full-corpus candidates restricted to pairs touching the odd-id
+    // increment — band membership is per-doc, so this equals the
+    // incremental index-join computation
+    "q72_incremental_dedup" ->
+      s"""WITH $minhashCandCtes
+         |SELECT id_a, id_b FROM cand
+         |WHERE id_a % 2 = 1 OR id_b % 2 = 1
+         |ORDER BY id_a, id_b""".stripMargin,
     "q28_simhash" -> simhashPairsSql,
     "q29_ann_lsh" -> annLshDetSql,
     "q32_embedding_neardup" ->

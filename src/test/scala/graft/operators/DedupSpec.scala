@@ -119,6 +119,25 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(2L, 4L), s"longest member + singleton, got $kept")
   }
 
+  test("incremental candidates equal full-corpus candidates restricted to the increment") {
+    val nearDup = base.replace("quick", "swift")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // even ids = stored corpus, odd ids = today's increment; dups planted
+    // both across the split (1~2, 1~6) and within the increment (1~3)
+    val d = docs(1L -> base, 2L -> base, 3L -> base, 4L -> unrelated,
+      5L -> nearDup, 6L -> base)
+    val full = Dedup.minhashCandidatePairsMd5(d, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    val index = Dedup.minhashBandIndexMd5(d.where(col("doc_id") % 2 === 0), "text", "doc_id")
+    val inc = Dedup.incrementalCandidatePairsMd5(
+        d.where(col("doc_id") % 2 === 1), index, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === expected)
+    assert(inc.contains((1L, 2L)) && inc.contains((1L, 3L)),
+      "cross-split and within-increment dups must both surface")
+  }
+
   test("hashed and content-memoized jaccard equal the string-shingle jaccard") {
     val nearDup = base.replace("quick", "swift")
     // duplicated content across distinct ids exercises the memoization

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("unigram LM score: common-token text beats rare-token soup, exact on a known corpus") {
+    // corpus: "a" appears 4x, "b" 2x, each of x/y/z once; N=9
+    val d = Seq((1L, "a a a a"), (2L, "b b"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 4L)
+    assert(out(1L)._2 === math.round(math.log(4.0 / 9) * 1e4) / 1e4)
+    assert(out(2L)._2 === math.round(math.log(2.0 / 9) * 1e4) / 1e4)
+    assert(out(3L)._2 === math.round(math.log(1.0 / 9) * 1e4) / 1e4)
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2,
+      "more common tokens must score higher")
+  }
+
   test("token count: whitespace runs collapse") {
     val d = Seq((1L, "one two  three\t four"), (2L, "single")).toDF("doc_id", "text")
     val out = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
