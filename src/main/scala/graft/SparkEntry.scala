@@ -93,7 +93,8 @@ object SparkEntry {
     "q61_dedup_retention" -> (D.q61DedupRetention(_, _)),
     "q70_retain_canonical" -> (D.q70RetainCanonical(_, _)),
     "q71_unigram_lm"     -> (D.q71UnigramLm(_, _)),
-    "q72_incremental_dedup" -> (D.q72IncrementalDedup(_, _))
+    "q72_incremental_dedup" -> (D.q72IncrementalDedup(_, _)),
+    "q73_chunk_docs"     -> (D.q73ChunkDocs(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -216,6 +216,33 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(md5(col("__sh"))).as("fingerprint"))
 
+  /** Fixed-window document chunking with overlap — the training-window /
+    * RAG-passage splitter: each document's token stream becomes windows of
+    * `size` tokens starting every `size - overlap` tokens (the final
+    * window may be short; documents shorter than `size` yield one window).
+    * One posexplode of the window starts per doc — rows out ≈ tokens/stride,
+    * the token array is carried once per window and sliced by codegen'd
+    * `slice`, no interpreted lambdas. Returns
+    * (idCol, chunk_idx, chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     windowSize: Int = 64, overlap: Int = 8): DataFrame = {
+    require(windowSize > overlap && overlap >= 0,
+      s"need windowSize > overlap >= 0, got $windowSize/$overlap")
+    val step = windowSize - overlap
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), words.as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(1), greatest(size(col("__w")) - overlap, lit(1)), lit(step)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(windowSize), size(col("__w")) - col("__start") + 1).cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("__start"), lit(windowSize))).as("chunk_text"))
+  }
+
   /** CCNet-style language-model quality score with a UNIGRAM model trained
     * on the corpus itself: per-doc mean token log-probability
     * avg(ln(count(tok)/N)) over the doc's token stream (repeats counted).

@@ -303,6 +303,14 @@ object DocQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fixed-window chunking with overlap over the documents corpus
+    * (TextAnalysis.chunkDocuments): 64-token windows every 56 tokens.
+    */
+  def q73ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables(spark, dir).documents, "text", "doc_id",
+        windowSize = 64, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

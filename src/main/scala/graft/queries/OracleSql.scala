@@ -342,6 +342,23 @@ object OracleSql {
         |FROM toks JOIN freq USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // 64-token windows every 56 tokens; DuckDB list slice w[s:e] is
+    // inclusive, Spark slice(arr, start, len) length-based — aligned via
+    // e = s + 63 capped at len(w)
+    "q73_chunk_docs" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |starts AS (
+        |  SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w) - 8, 1), 56)) AS s,
+        |         generate_subscripts(generate_series(1, greatest(len(w) - 8, 1), 56), 1) AS ci
+        |  FROM words)
+        |SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+        |       CAST(least(64, len(w) - s + 1) AS BIGINT) AS chunk_tokens,
+        |       array_to_string(w[s:least(s + 63, len(w))], ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // full-corpus candidates restricted to pairs touching the odd-id
     // increment — band membership is per-doc, so this equals the
     // incremental index-join computation

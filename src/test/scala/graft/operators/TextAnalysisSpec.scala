@@ -19,6 +19,18 @@ class TextAnalysisSpec extends SparkTestBase {
       "more common tokens must score higher")
   }
 
+  test("document chunking: overlapping fixed windows, short tail, short docs") {
+    // 10 tokens, window 4, overlap 1 -> starts 1,4,7 over max(10-1,1)=9
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, "text", "doc_id", windowSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out((1L, 0L)) === ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) === ((4L, "t4 t5 t6 t7")))
+    assert(out((1L, 2L)) === ((4L, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) === ((2L, "a b")), "short doc yields one short window")
+    assert(out.size === 4)
+  }
+
   test("token count: whitespace runs collapse") {
     val d = Seq((1L, "one two  three\t four"), (2L, "single")).toDF("doc_id", "text")
     val out = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
