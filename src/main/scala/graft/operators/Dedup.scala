@@ -189,8 +189,16 @@ object Dedup {
     */
   def incrementalCandidatePairsMd5(
       newDocs: DataFrame, index: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
-    val newBands = minhashBandIndexMd5(newDocs, textCol, idCol, numHashes, bands, shingleK)
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame =
+    incrementalCandidatesFromBands(
+      minhashBandIndexMd5(newDocs, textCol, idCol, numHashes, bands, shingleK), index)
+
+  /** [[incrementalCandidatePairsMd5]] from a PRE-COMPUTED increment band
+    * table — for callers that need the increment's bands twice (the
+    * streaming path joins them for pairs AND appends them to the index;
+    * reusing one materialization halves the dominant signature cost).
+    */
+  def incrementalCandidatesFromBands(newBands: DataFrame, index: DataFrame): DataFrame = {
     val cross = newBands
       .join(index.withColumnRenamed("__id", "__cid"), Seq("band", "band_key"))
       .where(col("__id") =!= col("__cid"))

@@ -256,11 +256,16 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val n = toks.count()
+    // corpus size N stays INSIDE the plan (a broadcast 1-row cross join):
+    // an eager count() here would both run a full tokenize job at
+    // construction and freeze a stale N if the source grows before
+    // execution — cnt and N must come from the same snapshot
+    val total = freq.agg(sum(col("cnt")).as("__N"))
     toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / n)), 4).as("avg_logprob"))
+        round(avg(log(col("cnt").cast("double") / col("__N"))), 4).as("avg_logprob"))
   }
 }

@@ -1,16 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.storage.StorageLevel
 import graft.operators.Dedup
 
 /** Streaming incremental near-dup: the streaming twin of
   * [[graft.operators.Dedup.incrementalCandidatePairsMd5]]. Each
-  * micro-batch of new documents is signed ALONE, joined against the
+  * micro-batch of new documents is signed ONCE, joined against the
   * current stored band index for cross-batch candidates, unrolled for
-  * in-batch pairs, and then its own bands are APPENDED to the index — so
-  * the index grows with the corpus and every batch dedups against all
+  * in-batch pairs, and then its bands are ADDED to the index — so the
+  * index grows with the corpus and every batch dedups against all
   * earlier ones.
   *
   * Exactness: every candidate pair is either within one batch (the
@@ -20,43 +21,68 @@ import graft.operators.Dedup
   * whatever the batch grouping (spec-asserted against
   * `minhashCandidatePairsMd5` over the whole corpus).
   *
-  * Scale shape per batch: signature cost ∝ batch, one (band, band_key)
-  * equi-join against the index, parquet appends for pairs and bands. The
-  * pairs sink is append-only and idempotent per batch content; the index
-  * is the same (band, key, id) table a batch warehouse would store
-  * (q72 / INCPROOF_r3.json is the batch-side measurement).
+  * Replay safety: foreachBatch is AT-LEAST-ONCE, and a plain parquet
+  * append would duplicate rows on a batch retry. Both sinks therefore
+  * write each batch into its own `batch_<id>` SUBDIRECTORY with
+  * mode=overwrite — a replayed batch rewrites the same directory with
+  * the same content, so the union read (`spark.read.parquet(root)`)
+  * stays exact. Pass a durable `checkpointDir` to resume a source
+  * incrementally across invocations; the default temp checkpoint
+  * reprocesses the whole source (fine for one-shot runs and tests, and
+  * still idempotent per batch content because batch ids restart at 0
+  * over the same files).
+  *
+  * Per-batch cost: ONE signature pass over the batch (persisted and
+  * reused for the pair join and the index write), one (band, band_key)
+  * equi-join against the index. q72 / INCPROOF_r3.json measure the
+  * batch-side equivalent.
   */
 object DedupStream {
 
   private val indexSchema = new StructType()
     .add("__id", LongType).add("band", IntegerType).add("band_key", StringType)
 
+  private def fs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Run an AvailableNow pass over `newDocs` (a streaming DataFrame of
-    * (idCol, textCol)), appending candidate pairs to `pairsPath` and each
-    * batch's bands to `indexPath`. Bootstrap: a missing index directory is
-    * seeded empty, so the first batch only self-pairs.
+    * (idCol, textCol)), writing candidate pairs under `pairsPath` and
+    * each batch's bands under `indexPath` (both as per-batch
+    * subdirectories; read either with
+    * `spark.read.option("recursiveFileLookup", "true").parquet(<root>)`).
+    * Bootstrap: a missing index root is seeded empty, checked through
+    * the Hadoop FileSystem API so object-store/HDFS paths work too.
     */
   def candidatesAvailableNow(newDocs: DataFrame, indexPath: String, pairsPath: String,
                              textCol: String, idCol: String,
                              checkpointDir: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
-    if (!new java.io.File(indexPath).exists()) {
+    val indexRoot = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs(spark, indexPath).exists(indexRoot)) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
-        .write.mode("overwrite").parquet(indexPath)
+        .write.mode("overwrite").parquet(s"$indexPath/bootstrap")
     }
     val q = newDocs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir.getOrElse(
         java.nio.file.Files.createTempDirectory("ckpt-dedup-stream").toString))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val index = batch.sparkSession.read.parquet(indexPath)
-        // pairs FIRST (an action), bands append SECOND — appending before
-        // the pairs job ran would double-count this batch against itself
-        Dedup.incrementalCandidatePairsMd5(batch, index, textCol, idCol)
-          .write.mode("append").parquet(pairsPath)
-        Dedup.minhashBandIndexMd5(batch, textCol, idCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        // sign the batch ONCE; both consumers below reuse this
+        val newBands = Dedup.minhashBandIndexMd5(batch, textCol, idCol)
           .select("__id", "band", "band_key")
-          .write.mode("append").parquet(indexPath)
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+        // per-batch subdirs are NOT partition dirs — recurse explicitly,
+        // with the schema pinned (the bootstrap dir may be all-empty)
+        val index = session.read.schema(indexSchema)
+          .option("recursiveFileLookup", "true").parquet(indexPath)
+        // pairs FIRST, band write SECOND — writing the bands before the
+        // pairs job would double-count this batch against itself via the
+        // re-read index
+        Dedup.incrementalCandidatesFromBands(newBands, index)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch_$batchId")
+        newBands.write.mode("overwrite").parquet(s"$indexPath/batch_$batchId")
       }
       .start()
     q.awaitTermination()

@@ -17,6 +17,7 @@ class PlanInvariantSpec extends SparkTestBase {
     "q32_embedding_neardup", // exact near-dup baseline
     "q38_ann_ivf",          // centroid table broadcast-crossed for assignment
     "q43_tfidf",            // scalar N broadcast-crossed into the score join
+    "q71_unigram_lm",       // scalar corpus-size N broadcast-crossed, as q43
     "q58_kmv_distinct"      // 1-row sketch × 1-row exact count join
   )
 
@@ -46,11 +47,18 @@ class PlanInvariantSpec extends SparkTestBase {
       "a dim reached sort-merge: broadcast regressed")
   }
 
-  test("q02 filter reaches the parquet scan as a pushed filter") {
+  test("q09 key filter reaches the parquet scan as the SPECIFIC pushed predicate") {
+    // parquet scans always print a PushedFilters section (possibly []), so
+    // the pin must name the predicate, not just the section header
+    val plan = SparkEntry.queries("q09_null_fill")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(s_suppkey,5)"),
+      "s_suppkey <= 5 no longer pushed to the supplier scan")
+  }
+
+  test("q02 aggregates map-side before the exchange") {
     val plan = SparkEntry.queries("q02_group_agg")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull") || plan.contains("PushedFilters: ["),
-      s"no PushedFilters in scan")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "expected partial+final aggregation pair")
   }
