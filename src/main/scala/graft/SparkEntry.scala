@@ -94,7 +94,12 @@ object SparkEntry {
     "q70_retain_canonical" -> (D.q70RetainCanonical(_, _)),
     "q71_unigram_lm"     -> (D.q71UnigramLm(_, _)),
     "q72_incremental_dedup" -> (D.q72IncrementalDedup(_, _)),
-    "q73_chunk_docs"     -> (D.q73ChunkDocs(_, _))
+    "q73_chunk_docs"     -> (D.q73ChunkDocs(_, _)),
+    "q74_repeated_spans" -> (D.q74RepeatedSpans(_, _)),
+    "q75_bigram_lm"      -> (D.q75BigramLm(_, _)),
+    "q76_semdedup"       -> (D.q76SemanticDedup(_, _)),
+    "q77_column_profile" -> (R.q77ColumnProfile(_, _)),
+    "q78_zorder"         -> (R.q78ZOrder(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -476,6 +476,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic dedup decision: cluster embeddings around
+    * `numCentroids` deterministic seed centroids
+    * ([[Similarity.seedCentroids]] — replayable on any engine), then mark a
+    * vector a duplicate when some LOWER-id vector in the SAME cluster has
+    * cosine >= `threshold`. The within-cluster self-join is the SemDeDup
+    * scale design: the pair blowup is bounded by the largest cluster, not
+    * the corpus (at 100 TB, sized via centroid count so clusters stay in
+    * task memory), and the centroid table broadcasts — the corpus shuffles
+    * once, on the cluster id. Cross-cluster near-dups are missed by
+    * construction — that is the approximation SemDeDup trades for never
+    * computing n² cosines. Returns (idCol, cluster_id, is_dup).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    numCentroids: Int, threshold: Double): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val cents = Similarity.seedCentroids(df, vecCol, idCol, numCentroids)
+    val byVec = Window.partitionBy(col("__vid")).orderBy(col("__csim").desc, col("__cid"))
+    val assigned = df
+      .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(broadcast(cents))
+      .withColumn("__csim", cosineSim(col("__v"), col("__cv")))
+      .withColumn("__rn", row_number().over(byVec))
+      .where(col("__rn") === 1)
+      .select(col("__vid"), col("__v"), col("__cid"))
+    val l = assigned.select(col("__cid"), col("__vid").as("__ida"), col("__v").as("__va"))
+    val r = assigned.select(col("__cid"), col("__vid").as("__idb"), col("__v").as("__vb"))
+    val dups = l.join(r, Seq("__cid"))
+      .where(col("__ida") < col("__idb") &&
+        cosineSim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb")).distinct()
+    assigned.join(dups, assigned("__vid") === dups("__idb"), "left")
+      .select(col("__vid").as(idCol), col("__cid").cast("long").as("cluster_id"),
+        col("__idb").isNotNull.as("is_dup"))
+  }
+
   def embeddingNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 12): DataFrame = {

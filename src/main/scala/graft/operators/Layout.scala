@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — multi-dimensional clustering for 100-TB scans.
+  *
+  * A table queried by TWO independent predicates (e.g. order key ranges
+  * AND part key ranges) cannot serve both from a single-column sort.
+  * Z-ordering interleaves the bits of both keys into one sort key, so a
+  * range-sorted file layout keeps rows close in BOTH dimensions and either
+  * predicate prunes most files via min/max statistics — the same layout
+  * trick Delta/Iceberg `OPTIMIZE ZORDER BY` applies, expressed here as a
+  * plain Catalyst column so it works on any writer.
+  */
+object Layout {
+
+  /** Morton (Z-curve) interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `a` lands at output bit 2i+1, bit i of `b`
+    * at 2i. A plan-time-unrolled chain of shift/and/or builtins — fully
+    * codegen'd, no UDF, and the identical arithmetic replays on any engine
+    * with 64-bit integers (the DuckDB oracle generates the same chain).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // widen first: shifting an IntegerType past bit 31 would wrap
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i))
+    }.reduce(_.bitwiseOR(_)).cast("long")
+  }
+
+  /** Rewrite `df` into a Z-ordered layout: range-partition on the
+    * interleaved key (equi-depth via Spark's range-partitioner sampling,
+    * so skewed key distributions still yield balanced files) and sort
+    * within partitions. Each output partition then covers a tight
+    * rectangle in (a, b) space — a writer producing one file per
+    * partition gives min/max pruning on BOTH columns. `numFiles` is the
+    * target file count: at 100 TB, input bytes / target file size.
+    */
+  def zOrderBy(df: DataFrame, a: String, b: String, numFiles: Int,
+               bits: Int = 16): DataFrame = {
+    val z = zValue(col(a), col(b), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -243,6 +243,81 @@ object TextAnalysis {
         concat_ws(" ", slice(col("__w"), col("__start"), lit(windowSize))).as("chunk_text"))
   }
 
+  /** Repeated-span inventory — the exact-substring dedup primitive
+    * (dedup-train-data style: fixed-length token windows that recur across
+    * documents are boilerplate/licence headers/templates). Every k-token
+    * window of every document is grouped corpus-wide; spans occurring in at
+    * least `minDocs` DISTINCT documents are returned with their spread.
+    * Plan shape: the shared [[explodedShingles]] kernel, then ONE
+    * aggregation keyed on the span string with two map-side-combinable
+    * measures (count(*) and a distinct-doc count via a pre-distinct) — the
+    * shuffle carries (span, id) pairs, never documents, and skew is
+    * bounded because a span's multiplicity is capped by corpus repetition
+    * itself. At 100 TB, run it on span HASHES (xxhash64) and join back the
+    * text of the survivors; the string form stays oracle-replayable.
+    * Returns (span, n_docs, n_occurrences).
+    */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = explodedShingles(df, textCol, idCol, k)
+    val occ = spans.groupBy(col("__sh")).agg(count(lit(1)).as("n_occurrences"))
+    val docs = spans.select(col("__sh"), col(idCol)).distinct()
+      .groupBy(col("__sh")).agg(count(lit(1)).as("n_docs"))
+    docs.where(col("n_docs") >= minDocs)
+      .join(occ, Seq("__sh"))
+      .select(col("__sh").as("span"), col("n_docs"), col("n_occurrences"))
+  }
+
+  /** Per-document spans flagged by [[repeatedSpans]] — the "which rows of
+    * MY document are boilerplate" view that an exact-substring dedup pass
+    * removes. An equi-join of the (id, position, span) stream against the
+    * repeated-span inventory: shuffle ∝ span occurrences; at scale the
+    * surviving inventory is far smaller than the corpus and broadcasts.
+    * Returns (idCol, span, n_docs).
+    */
+  def flaggedSpans(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val inventory = repeatedSpans(df, textCol, idCol, k, minDocs)
+    explodedShingles(df, textCol, idCol, k)
+      .select(col(idCol), col("__sh").as("span")).distinct()
+      .join(inventory, Seq("span"))
+      .select(col(idCol), col("span"), col("n_docs"))
+  }
+
+  /** CCNet-style BIGRAM language-model score: per-doc mean of
+    * ln(c(w1,w2) / c(w1,·)) over the document's adjacent token pairs,
+    * with both counts taken over the corpus's own bigram stream (so every
+    * observed bigram has positive probability — no smoothing needed, and
+    * the conditional normalizes over bigrams actually seen). A sharper
+    * fluency signal than [[unigramLogProb]]: scrambled word order scores
+    * low even when every unigram is common. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    * Plan shape: one posexplode + lead window builds the (id, w1, w2)
+    * stream once; corpus bigram counts and prefix counts are two
+    * map-side-combinable aggregations over it; the per-doc mean joins them
+    * back on the bigram key. The prefix count derives from the bigram
+    * count table (sum per w1), so the token stream is aggregated once.
+    * Returns (idCol, n_bigrams, avg_logprob).
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.where(col(textCol).isNotNull).select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w1")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val bigrams = words
+      .select(col(idCol), col("__w1"), lead(col("__w1"), 1).over(w).as("__w2"))
+      .where(col("__w2").isNotNull)
+    val cnt12 = bigrams.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val cnt1 = cnt12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    bigrams
+      .join(cnt12, Seq("__w1", "__w2"))
+      .join(cnt1, Seq("__w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__c12").cast("double") / col("__c1"))), 4).as("avg_logprob"))
+  }
+
   /** CCNet-style language-model quality score with a UNIGRAM model trained
     * on the corpus itself: per-doc mean token log-probability
     * avg(ln(count(tok)/N)) over the doc's token stream (repeats counted).

@@ -311,6 +311,34 @@ object DocQueries {
         windowSize = 64, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Repeated-span inventory (exact-substring dedup, dedup-train-data
+    * style): 8-token windows occurring in >= 2 distinct documents, with
+    * document spread and total occurrence counts.
+    */
+  def q74RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repeatedSpans(Tables(spark, dir).documents, "text", "doc_id",
+        k = 8, minDocs = 2)
+      .orderBy("span")
+
+  /** Bigram-LM fluency score per document (corpus-trained conditional
+    * bigram model, CCNet-style second pass after q71's unigram score).
+    */
+  def q75BigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** SemDeDup-style semantic dedup decision over the embeddings table:
+    * 8 deterministic seed centroids, within-cluster cosine >= 0.5 against
+    * a lower id marks a duplicate.
+    */
+  def q76SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables(spark, dir).embeddings, "embedding", "vec_id",
+        numCentroids = 8, threshold = 0.5)
+      // BIGINT 0/1 on both sides — no boolean-representation skew risk in
+      // the driver's hash compare
+      .select(col("vec_id"), col("cluster_id"), col("is_dup").cast("long").as("is_dup"))
+      .orderBy("vec_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

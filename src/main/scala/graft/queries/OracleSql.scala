@@ -893,6 +893,92 @@ object OracleSql {
         |            ELSE 'video' END AS modality,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_digest
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // same shingling contract as the minhash CTEs (truncated span at
+    // position 1 for documents shorter than k words)
+    "q74_repeated_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(w) - 7, 1)),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS span
+        |  FROM words)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY span""".stripMargin,
+
+    "q75_bigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM words WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM starts),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS avg_logprob
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q38's centroid-assignment CTEs with 8 seeds, then the SemDeDup
+    // within-cluster lower-id dominance test
+    "q76_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |csim AS (SELECT e.vec_id, e.v, c.cid,
+        |                list_dot_product(e.v, c.cv) /
+        |                  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        |         FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM csim) WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS dup_id
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5)
+        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+        |       CAST(CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+        |ORDER BY vec_id""".stripMargin,
+
+    "q77_column_profile" -> columnProfileSql,
+    "q78_zorder" -> zOrderSql
   )
+
+  /** q77's per-column UNION ALL branches, generated from the same column
+    * list the Spark query profiles.
+    */
+  private def columnProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |       count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (\n$branches\n) ORDER BY "column""""
+  }
+
+  /** q78's bit-interleave chain, generated with the same unroll as
+    * Layout.zValue (bit i of a → output bit 2i+1, of b → 2i).
+    */
+  private def zOrderSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))"
+    }.mkString(" | ")
+    s"""WITH m AS (
+       |  SELECT l_orderkey, l_partkey,
+       |         CAST(l_orderkey % 65536 AS BIGINT) AS a,
+       |         CAST(l_partkey % 65536 AS BIGINT) AS b
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_partkey, CAST($terms AS BIGINT) AS z
+       |FROM m ORDER BY z, l_orderkey, l_partkey LIMIT 100""".stripMargin
+  }
 }

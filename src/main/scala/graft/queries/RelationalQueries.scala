@@ -751,6 +751,31 @@ object RelationalQueries {
       .orderBy("c_name")
   }
 
+  /** Column profiling over orders (the generalized form of the reference
+    * DAG's post-load row-count/null logging — ref
+    * dags/sri_vehiculos_etl_dag.py:849-860): one single-scan aggregation,
+    * melted to a row per column.
+    */
+  def q77ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables(spark, dir).orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("column")
+
+  /** Z-order (Morton) clustering key over lineitem's two independent query
+    * dimensions — the multi-dimensional file-clustering primitive. The
+    * layout itself (repartitionByRange on the key) is asserted in
+    * LayoutSpec; here the interleave arithmetic is oracle-checked and the
+    * top-100 by z pins the curve order.
+    */
+  def q78ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.operators.Layout.zValue(
+      pmod(col("l_orderkey"), lit(65536)), pmod(col("l_partkey"), lit(65536)), bits = 16)
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), z.as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_partkey"))
+      .limit(100)
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

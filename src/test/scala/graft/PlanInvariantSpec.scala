@@ -18,7 +18,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q38_ann_ivf",          // centroid table broadcast-crossed for assignment
     "q43_tfidf",            // scalar N broadcast-crossed into the score join
     "q71_unigram_lm",       // scalar corpus-size N broadcast-crossed, as q43
-    "q58_kmv_distinct"      // 1-row sketch × 1-row exact count join
+    "q58_kmv_distinct",     // 1-row sketch × 1-row exact count join
+    "q76_semdedup"          // centroid table broadcast-crossed for assignment, as q38
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

@@ -150,6 +150,38 @@ class DedupSpec extends SparkTestBase {
     assert(asMap(Dedup.jaccardOnPairsByContent(pairs, d, "text", "doc_id")) === ref)
   }
 
+  test("semanticDedup: within-cluster lower-id dominance, clusters isolate") {
+    // centroids = two lowest ids: 1 → (1,0), 2 → (0,1)
+    val d = Seq(
+      (1L, Seq(1f, 0f)),         // centroid/cluster 1, keeper
+      (2L, Seq(0f, 1f)),         // centroid/cluster 2, keeper
+      (3L, Seq(0.99f, 0.1f)),    // cluster 1, near 1 → dup
+      (4L, Seq(0.1f, 0.99f)),    // cluster 2, near 2 → dup
+      (5L, Seq(-1f, 0.1f))       // assigned cluster 2 (cos vs (0,1) beats (1,0)) but far → kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(d, "embedding", "vec_id", numCentroids = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, false)) && out(3L) === ((1L, true)))
+    assert(out(2L) === ((2L, false)) && out(4L) === ((2L, true)))
+    assert(out(5L)._2 === false, "far member of a cluster is kept")
+    assert(out.size === 5, "every vector gets a decision")
+  }
+
+  test("semanticDedup: cross-cluster near-dups are missed by design") {
+    // two distant centroids; ids 3/4 are near-identical but land in
+    // different clusters — SemDeDup's documented approximation
+    val d = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.71f, 0.70f, 0f)),
+      (4L, Seq(0.70f, 0.71f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(d, "embedding", "vec_id", numCentroids = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(3L)._1 === 1L && out(4L)._1 === 2L, "the pair splits across clusters")
+    assert(!out(3L)._2 && !out(4L)._2)
+  }
+
   test("embedding near-dups finds the planted duplicate vector") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val vDup = v.map(x => x * 1.001f)

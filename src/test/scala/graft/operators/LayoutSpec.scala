@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference interleave in plain Scala. */
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+
+  test("zValue matches the bit-interleave reference on edge values") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L))
+    val out = cases.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(out((a, b)) === zRef(a, b, 16), s"($a,$b)")
+    }
+    // full 16-bit interleave peaks at 2^32-1
+    assert(out((65535L, 65535L)) === (1L << 32) - 1)
+  }
+
+  test("zValue on IntegerType input does not wrap at high bits") {
+    val out = Seq((65535, 65535)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 16)).collect().head.getLong(0)
+    assert(out === (1L << 32) - 1, "int inputs must widen before shifting")
+  }
+
+  test("zOrderBy partitions cover tight z ranges and preserve all rows") {
+    val n = 1024
+    val df = spark.range(n.toLong).select(
+      (col("id") % 32).as("a"), (col("id") / 32).as("b"))
+    val zed = Layout.zOrderBy(df, "a", "b", numFiles = 4, bits = 8)
+    assert(zed.count() === n.toLong)
+    // per-partition z ranges must not overlap (range partitioning on z)
+    val ranges = zed
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+}

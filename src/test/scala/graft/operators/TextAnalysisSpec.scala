@@ -19,6 +19,60 @@ class TextAnalysisSpec extends SparkTestBase {
       "more common tokens must score higher")
   }
 
+  test("repeated spans: cross-doc k-token windows found, unique spans dropped") {
+    val d = Seq(
+      (1L, "common header line here x y z"),
+      (2L, "common header line here p q"),
+      (3L, "totally different content words")).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(d, "text", "doc_id", k = 4, minDocs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("common header line here") === ((2L, 2L)))
+    assert(!out.keys.exists(_.contains("different")), "unique spans must not appear")
+  }
+
+  test("repeated spans: within-doc repetition counts occurrences but needs 2 docs") {
+    val d = Seq(
+      (1L, "a b a b a b"), // span "a b" (k=2) occurs 3x but only in doc 1
+      (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(d, "text", "doc_id", k = 2, minDocs = 2)
+    assert(out.count() === 0, "single-doc repetition is not a cross-doc span")
+    val one = TextAnalysis.repeatedSpans(d, "text", "doc_id", k = 2, minDocs = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(one("a b") === 3L)
+  }
+
+  test("flagged spans: per-doc view joins back only inventory spans") {
+    val d = Seq(
+      (1L, "x y z tail one"),
+      (2L, "x y z other tail"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.flaggedSpans(d, "text", "doc_id", k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "x y z"), (2L, "x y z")))
+  }
+
+  test("bigram LM: exact conditional probabilities on a known corpus") {
+    // bigrams: doc1: (a b), (b a), (a b); doc2: (a c)
+    // c(a,b)=2 c(b,a)=1 c(a,c)=1; c(a,·)=3 c(b,·)=1
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp1 = (math.log(2.0 / 3) + math.log(1.0 / 1) + math.log(2.0 / 3)) / 3
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === math.round(exp1 * 1e4) / 1e4)
+    assert(out(2L) === ((1L, math.round(math.log(1.0 / 3) * 1e4) / 1e4)))
+  }
+
+  test("bigram LM: sub-2-token documents are absent; order sensitivity") {
+    val d = Seq((1L, "one"), (2L, "the cat sat"), (3L, "sat cat the"),
+      (4L, "the cat sat")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(1L), "one-token doc has no bigrams")
+    assert(out(2L) > out(3L),
+      "the twice-seen word order must outscore its scramble")
+  }
+
   test("document chunking: overlapping fixed windows, short tail, short docs") {
     // 10 tokens, window 4, overlap 1 -> starts 1,4,7 over max(10-1,1)=9
     val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b")).toDF("doc_id", "text")
