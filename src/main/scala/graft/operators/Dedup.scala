@@ -487,6 +487,14 @@ object Dedup {
     * once, on the cluster id. Cross-cluster near-dups are missed by
     * construction — that is the approximation SemDeDup trades for never
     * computing n² cosines. Returns (idCol, cluster_id, is_dup).
+    *
+    * The centroid-assignment subtree (broadcast cross join + per-vector
+    * argmax window over the whole corpus) feeds the self-join twice AND
+    * the final left join, so it is persisted MEMORY_AND_DISK here —
+    * without it Spark recomputes the assignment three times. The cached
+    * relation is (id, vector, cluster) for the corpus: disk-backed, and
+    * freed by Spark's cache eviction / context shutdown (callers running
+    * many corpora through one session can `spark.catalog.clearCache()`).
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     numCentroids: Int, threshold: Double): DataFrame = {
@@ -500,6 +508,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(byVec))
       .where(col("__rn") === 1)
       .select(col("__vid"), col("__v"), col("__cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("__cid"), col("__vid").as("__ida"), col("__v").as("__va"))
     val r = assigned.select(col("__cid"), col("__vid").as("__idb"), col("__v").as("__vb"))
     val dups = l.join(r, Seq("__cid"))

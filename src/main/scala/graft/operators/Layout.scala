@@ -20,11 +20,17 @@ object Layout {
     * at 2i. A plan-time-unrolled chain of shift/and/or builtins — fully
     * codegen'd, no UDF, and the identical arithmetic replays on any engine
     * with 64-bit integers (the DuckDB oracle generates the same chain).
+    * Inputs are masked to their low `bits` bits after the long widening,
+    * so a negative input contributes its low bits exactly like
+    * `pmod(x, 1L << bits)` would — never a sign-extended interleave that
+    * silently collapses the curve (values wider than `bits` likewise
+    * wrap rather than corrupt neighbouring bit positions).
     */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // widen first: shifting an IntegerType past bit 31 would wrap
-    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val mask = (1L << bits) - 1
+    val (al, bl) = (a.cast("long").bitwiseAND(mask), b.cast("long").bitwiseAND(mask))
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i))

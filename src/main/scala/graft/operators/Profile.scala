@@ -26,26 +26,37 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val measures = col("__n_rows") +: cols.flatMap { c =>
+    // Internal measure names are POSITIONAL (__nn_0, __nd_0, ...), never
+    // derived from the profiled column name, and the melt below is pure
+    // Column DSL — a column named `a.b`, `it's`, or `x` + backtick can
+    // neither break nor inject into any generated SQL. The profiled name
+    // only ever appears as a string LITERAL in the output.
+    // backtick-quote (doubling embedded backticks) so a name containing a
+    // dot resolves as the top-level column, not a nested-field path
+    val inputs = cols.map(c => df.col("`" + c.replace("`", "``") + "`"))
+    val measures = inputs.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(c).as(s"__nn_$i"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"__nd_$i"),
+        min(c).cast("string").as(s"__min_$i"),
+        max(c).cast("string").as(s"__max_$i"))
     }
-    val one = df.agg(count(lit(1)).as("__n_rows"), measures.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', __nn_$c, __nd_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    one.selectExpr(
-        "__n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (column, __nn, n_distinct, min_value, max_value)")
+    val one = df.agg(count(lit(1)).as("__n_rows"), measures: _*)
+    val melted = cols.indices.map { i =>
+      struct(
+        lit(cols(i)).as("column"),
+        col(s"__nn_$i").as("__nn"),
+        col(s"__nd_$i").cast("long").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
+    }
+    one.select(col("__n_rows"), explode(array(melted: _*)).as("__m"))
       .select(
-        col("column"),
+        col("__m.column").as("column"),
         col("__n_rows").as("n_rows"),
-        (col("__n_rows") - col("__nn")).as("n_null"),
-        col("n_distinct"),
-        col("min_value"),
-        col("max_value"))
+        (col("__n_rows") - col("__m.__nn")).as("n_null"),
+        col("__m.n_distinct").as("n_distinct"),
+        col("__m.min_value").as("min_value"),
+        col("__m.max_value").as("max_value"))
   }
 }

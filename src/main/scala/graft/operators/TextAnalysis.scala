@@ -248,25 +248,24 @@ object TextAnalysis {
     * documents are boilerplate/licence headers/templates). Every k-token
     * window of every document is grouped corpus-wide; spans occurring in at
     * least `minDocs` DISTINCT documents are returned with their spread.
-    * Plan shape: the shared [[explodedShingles]] kernel, then ONE
-    * aggregation keyed on the span string with two map-side-combinable
-    * measures (count(*) and a distinct-doc count via a pre-distinct) — the
-    * shuffle carries (span, id) pairs, never documents, and skew is
-    * bounded because a span's multiplicity is capped by corpus repetition
-    * itself. At 100 TB, run it on span HASHES (xxhash64) and join back the
-    * text of the survivors; the string form stays oracle-replayable.
+    * Plan shape: the shared [[explodedShingles]] kernel is scanned ONCE,
+    * into a single aggregation keyed on the span string with both measures
+    * (count(*) map-side-combinable; the distinct-doc count planned by
+    * Catalyst as a two-phase partial-distinct Expand) — the shuffle
+    * carries (span, id) pairs, never documents, and skew is bounded
+    * because a span's multiplicity is capped by corpus repetition itself.
+    * At 100 TB, run it on span HASHES (xxhash64) and join back the text of
+    * the survivors; the string form stays oracle-replayable.
     * Returns (span, n_docs, n_occurrences).
     */
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
-                    k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val spans = explodedShingles(df, textCol, idCol, k)
-    val occ = spans.groupBy(col("__sh")).agg(count(lit(1)).as("n_occurrences"))
-    val docs = spans.select(col("__sh"), col(idCol)).distinct()
-      .groupBy(col("__sh")).agg(count(lit(1)).as("n_docs"))
-    docs.where(col("n_docs") >= minDocs)
-      .join(occ, Seq("__sh"))
+                    k: Int = 8, minDocs: Int = 2): DataFrame =
+    explodedShingles(df, textCol, idCol, k)
+      .groupBy(col("__sh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
       .select(col("__sh").as("span"), col("n_docs"), col("n_occurrences"))
-  }
 
   /** Per-document spans flagged by [[repeatedSpans]] — the "which rows of
     * MY document are boilerplate" view that an exact-substring dedup pass
@@ -315,8 +314,21 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("__c12").cast("double") / col("__c1"))), 4).as("avg_logprob"))
+        detMeanLog(col("__c12").cast("double") / col("__c1")).as("avg_logprob"))
   }
+
+  /** Order-independent 4-decimal mean of ln(x): each term is quantized to
+    * DECIMAL(28,9) (a deterministic per-value rounding), summed EXACTLY in
+    * decimal arithmetic — decimal addition is associative, so partition
+    * count, partial-agg order, and AQE re-plans cannot flip the last
+    * digit the way a floating-point `avg` can — then divided once in
+    * double. The 1e-9 quantization is far below the 1e-4 presentation
+    * rounding. Used by the LM scores whose oracle hash-compares floats.
+    */
+  private def detMeanLog(x: Column): Column =
+    round(
+      sum(log(x).cast("decimal(28,9)")).cast("double") / count(lit(1)),
+      4)
 
   /** CCNet-style language-model quality score with a UNIGRAM model trained
     * on the corpus itself: per-doc mean token log-probability
@@ -341,6 +353,6 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / col("__N"))), 4).as("avg_logprob"))
+        detMeanLog(col("cnt").cast("double") / col("__N")).as("avg_logprob"))
   }
 }

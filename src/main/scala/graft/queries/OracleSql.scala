@@ -338,7 +338,7 @@ object OracleSql {
         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
         |n AS (SELECT count(*) AS n FROM toks)
         |SELECT doc_id, count(*) AS n_tokens,
-        |       round(avg(ln(CAST(cnt AS DOUBLE) / (SELECT n FROM n))), 4) AS avg_logprob
+        |       round(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT n FROM n)) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS avg_logprob
         |FROM toks JOIN freq USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -921,7 +921,7 @@ object OracleSql {
         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |       round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS avg_logprob
+        |       round(CAST(sum(CAST(ln(CAST(c12 AS DOUBLE) / c1) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS avg_logprob
         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -949,7 +949,74 @@ object OracleSql {
         |ORDER BY vec_id""".stripMargin,
 
     "q77_column_profile" -> columnProfileSql,
-    "q78_zorder" -> zOrderSql
+    "q78_zorder" -> zOrderSql,
+
+    // Sharding.shuffleKey's md5-derived 60-bit key, replayed verbatim
+    "q79_train_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // sqrt-smoothed masses quantized to DECIMAL(38,9) before the
+    // normalizing sum — the same order-independence device as q71/q75
+    "q80_mixture_weights" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN text IS NOT NULL
+        |                       THEN len(string_split_regex(trim(text), '\s+'))
+        |                       ELSE 0 END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT g.*, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,9)) AS mass FROM g),
+        |t AS (SELECT sum(mass) AS total FROM m)
+        |SELECT lang, n_docs, n_tokens,
+        |       round(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight,
+        |       CAST(round(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) * 1000000000, 0) AS BIGINT) AS budget_tokens
+        |FROM m, t ORDER BY lang""".stripMargin,
+
+    // Quantize.int8Profile's affine map replayed element-wise; error terms
+    // accumulate in list order on both engines
+    "q81_int8_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v,
+        |              list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx
+        |       FROM e),
+        |q AS (SELECT vec_id, v, mn, mx,
+        |             CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+        |                  ELSE list_transform(v, x -> CAST(round((x - mn) / (mx - mn) * 255, 0) AS INT) - 128)
+        |             END AS qc
+        |      FROM mm)
+        |SELECT vec_id,
+        |       CAST(len(v) AS BIGINT) AS n_dims,
+        |       CAST(list_aggregate(qc, 'min') AS BIGINT) AS q_min,
+        |       CAST(list_aggregate(qc, 'max') AS BIGINT) AS q_max,
+        |       CAST(list_aggregate(qc, 'sum') AS BIGINT) AS q_sum,
+        |       round(list_aggregate(
+        |               list_transform(generate_series(1, len(v)),
+        |                 i -> (v[i] - (mn + (qc[i] + 128) * (mx - mn) / 255))
+        |                    * (v[i] - (mn + (qc[i] + 128) * (mx - mn) / 255))),
+        |               'sum') / len(v), 8) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // q71's decimal-deterministic unigram LM, then ntile(3) quality split
+    "q82_lm_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |              FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM toks),
+        |lm AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         round(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT n FROM n)) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |  FROM toks JOIN freq USING (tok)
+        |  GROUP BY doc_id),
+        |b AS (SELECT lm.*, ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket FROM lm)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(avg_logprob) AS min_logprob, max(avg_logprob) AS max_logprob
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   /** q77's per-column UNION ALL branches, generated from the same column
