@@ -99,7 +99,11 @@ object SparkEntry {
     "q75_bigram_lm"      -> (D.q75BigramLm(_, _)),
     "q76_semdedup"       -> (D.q76SemanticDedup(_, _)),
     "q77_column_profile" -> (R.q77ColumnProfile(_, _)),
-    "q78_zorder"         -> (R.q78ZOrder(_, _))
+    "q78_zorder"         -> (R.q78ZOrder(_, _)),
+    "q79_train_shards"   -> (D.q79TrainShards(_, _)),
+    "q80_mixture_weights" -> (D.q80MixtureWeights(_, _)),
+    "q81_int8_quantize"  -> (D.q81Int8Quantize(_, _)),
+    "q82_lm_buckets"     -> (D.q82LmBuckets(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the "global shuffle + split into N files" step
+  * that turns a curated corpus into the shard set a data loader streams
+  * (cf. the reference's per-table warehouse writes, generalized to the
+  * sharded layout LLM training jobs consume; reference writes one table
+  * per load — `dags/sri_vehiculos_etl_dag.py` write paths).
+  *
+  * A training run needs (a) an order that is STATISTICALLY shuffled —
+  * neighbouring source documents must not land adjacently — and
+  * (b) bit-for-bit REPRODUCIBILITY: re-exporting the same corpus on a
+  * different cluster must produce identical shard contents in identical
+  * order, or a resumed run silently trains on a different stream. Spark's
+  * `repartition(n)` satisfies (a) but not (b): round-robin assignment
+  * depends on input partition layout. Here both come from a pure per-row
+  * function — an md5-derived 60-bit key (md5, not xxhash64, so any engine
+  * reproduces it; same idiom as [[Sampling.bucket]]).
+  *
+  * Scale shape: ONE hash shuffle on the shard id, then a per-shard window
+  * sort for positions. Shards ≫ executors (e.g. 100k shards at 100 TB →
+  * ~1 GB each) keeps every window partition task-memory-sized; no global
+  * sort, no single-partition window, no driver involvement.
+  */
+object Sharding {
+
+  /** 60-bit nonnegative shuffle key: first 15 hex digits of md5 of the
+    * id's string form. Engine-portable (DuckDB:
+    * `CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT)`).
+    */
+  def shuffleKey(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Assign every row a (shard, pos) address: shard = key mod `numShards`,
+    * pos = 1-based rank of the key within the shard (ties broken by id —
+    * md5 collisions are astronomically unlikely but determinism must not
+    * depend on that). Returns the input columns plus (shard, pos).
+    */
+  def assignShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val key = shuffleKey(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", (col("__key") % numShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
+  /** Per-shard balance report: (shard, n_docs, n_tokens) — the check an
+    * export job runs before writing (a skewed shard starves data-parallel
+    * ranks). Token count = whitespace tokens of `textCol`, counted inside
+    * the same single aggregation.
+    */
+  def shardStats(df: DataFrame, idCol: String, textCol: String,
+                 numShards: Int): DataFrame =
+    df.withColumn("shard", (shuffleKey(col(idCol)) % numShards).cast("long"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).isNotNull,
+          size(split(trim(col(textCol)), "\\s+")).cast("long")).otherwise(0L))
+          .as("n_tokens"))
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize}
+import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
   * Oracle-checked where DuckDB can express the same computation; the
@@ -338,6 +339,52 @@ object DocQueries {
       // the driver's hash compare
       .select(col("vec_id"), col("cluster_id"), col("is_dup").cast("long").as("is_dup"))
       .orderBy("vec_id")
+
+  /** Training-shard export addresses (Sharding.assignShards): every doc
+    * gets a reproducible (shard, pos) under an md5-derived global shuffle,
+    * 8 shards. The presentation orderBy is per-doc; the operator itself
+    * never global-sorts.
+    */
+  def q79TrainShards(spark: SparkSession, dir: String): DataFrame =
+    Sharding.assignShards(
+        Tables(spark, dir).documents.select("doc_id"), "doc_id", numShards = 8)
+      .orderBy("doc_id")
+
+  /** α-sampling mixture allocation over languages (Mixture.alphaWeights):
+    * sqrt-smoothed token mass per lang, normalized weights, 1B-token
+    * budget split.
+    */
+  def q80MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    Mixture.alphaWeights(Tables(spark, dir).documents, "lang", "text",
+        alpha = 0.5, budgetTokens = 1000000000L)
+      .orderBy("lang")
+
+  /** int8 scalar quantization fidelity over the embeddings table
+    * (Quantize.int8Profile): per-vector code range, exact code checksum,
+    * dequantization MSE.
+    */
+  def q81Int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Quantize.int8Profile(Tables(spark, dir).embeddings, "embedding", "vec_id")
+      .orderBy("vec_id")
+
+  /** CCNet-style head/middle/tail split: rank documents by unigram-LM
+    * score (q71's decimal-deterministic mean), ntile into 3 quality
+    * buckets, report each bucket's volume and score range. The global
+    * ntile window is the presentation form; at 100 TB the same split uses
+    * two approx-percentile cutoffs (one pass, no global sort).
+    */
+  def q82LmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.unigramLogProb(Tables(spark, dir).documents, "text", "doc_id")
+    val w = Window.orderBy(col("avg_logprob").desc, col("doc_id"))
+    lm.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_logprob")).as("min_logprob"),
+        max(col("avg_logprob")).as("max_logprob"))
+      .orderBy("bucket")
+  }
 
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkTestBase {
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codes span the int8 range endpoints and checksum is exact") {
+    val out = Quantize.int8Profile(embeddings, "embedding", "vec_id").cache()
+    // every non-constant vector's min maps to -128 and max to 127
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_min") === -128L)
+      assert(r.getAs[Long]("q_max") === 127L)
+      assert(r.getAs[Long]("n_dims") > 0)
+    }
+    out.unpersist()
+  }
+
+  test("known vector quantizes exactly") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0f, 1.0f, 2.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8Profile(df, "embedding", "vec_id").collect().head
+    // mn=0 mx=4: codes = round(x/4*255)-128 = -128, round(63.75)-128=-64,
+    // round(127.5)-128=0, 127
+    assert(r.getAs[Long]("q_min") === -128L)
+    assert(r.getAs[Long]("q_max") === 127L)
+    assert(r.getAs[Long]("q_sum") === (-128L - 64L + 0L + 127L))
+  }
+
+  test("constant vector maps to all-zero codes with zero error") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.5f, 3.5f, 3.5f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8Profile(df, "embedding", "vec_id").collect().head
+    assert(r.getAs[Long]("q_min") === 0L)
+    assert(r.getAs[Long]("q_max") === 0L)
+    assert(r.getAs[Long]("q_sum") === 0L)
+    assert(r.getAs[Double]("mse") === 0.0)
+  }
+
+  test("dequantization error is bounded by half a quantization step") {
+    // max |err| per dim <= (mx-mn)/255/2, so mse <= ((mx-mn)/510)^2
+    val out = Quantize.int8Profile(embeddings, "embedding", "vec_id")
+    val v = embeddings.select(
+      col("vec_id"),
+      (array_max(col("embedding")) - array_min(col("embedding"))).cast("double").as("range"))
+    val joined = out.join(v, "vec_id").collect()
+    joined.foreach { r =>
+      val bound = math.pow(r.getAs[Double]("range") / 510.0, 2) * 1.01 + 1e-12
+      assert(r.getAs[Double]("mse") <= bound,
+        s"vec ${r.getAs[Long]("vec_id")} mse ${r.getAs[Double]("mse")} > $bound")
+    }
+  }
+}
