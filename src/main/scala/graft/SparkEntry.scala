@@ -103,7 +103,8 @@ object SparkEntry {
     "q79_train_shards"   -> (D.q79TrainShards(_, _)),
     "q80_mixture_weights" -> (D.q80MixtureWeights(_, _)),
     "q81_int8_quantize"  -> (D.q81Int8Quantize(_, _)),
-    "q82_lm_buckets"     -> (D.q82LmBuckets(_, _))
+    "q82_lm_buckets"     -> (D.q82LmBuckets(_, _)),
+    "q83_curation"       -> (D.q83Curation(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

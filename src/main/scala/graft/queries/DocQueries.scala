@@ -386,6 +386,45 @@ object DocQueries {
       .orderBy("bucket")
   }
 
+  /** End-to-end corpus-curation verdict — the whole filter chain a
+    * pretraining data pipeline applies, as ONE declarative program over
+    * the raw corpus: exact dedup (md5 digest keeper), near-dup dedup with
+    * quality-canonical retention (q70's minhash→LSH→Jaccard→components
+    * chain), a Gopher-style minimum-length rule, and a language allowlist.
+    * Every document gets (keep, reason) with reason = the FIRST failing
+    * stage in pipeline order — the per-stage attrition report a dataset
+    * card publishes. The heavy stages shuffle signatures and pairs, never
+    * the corpus; the verdict itself is two left joins against the (small)
+    * survivor id sets.
+    */
+  def q83Curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val canonical = Dedup.retainCanonical(docs, nearDups, "doc_id",
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("doc_id"), lit(1L).as("__canon"))
+    val exactKeep = Dedup.exactDedup(docs, "text", "doc_id")
+      .select(col("doc_id"), lit(1L).as("__exact"))
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(canonical, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("__exact").isNull, "exact_dup")
+          .when(col("__canon").isNull, "near_dup")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(!col("lang").isin("en", "es", "de", "fr"), "lang_filtered")
+          .otherwise("keep"))
+      .select(col("doc_id"),
+        (col("reason") === "keep").cast("long").as("keep"),
+        col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

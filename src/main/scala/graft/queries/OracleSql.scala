@@ -133,6 +133,60 @@ object OracleSql {
        |SELECT doc_id, lang, n_chars FROM sel WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** q83: q70's recursive-CTE cluster chain → canonical keepers, plus the
+    * exact-digest keepers, melted into the per-document verdict with the
+    * same first-failing-stage precedence as the Spark query.
+    */
+  private val curationSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+       |  FROM words),
+       |nd AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN shd da ON da.doc_id = cand.id_a
+       |  JOIN shd db ON db.doc_id = cand.id_b
+       |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(da.shs, db.shs))) >= 0.8),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM nd
+       |       UNION SELECT id_b, id_a FROM nd),
+       |nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |sel AS (
+       |  SELECT d.doc_id,
+       |         row_number() OVER (PARTITION BY coalesce(c.lbl, d.doc_id)
+       |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |canon AS (SELECT doc_id FROM sel WHERE rn = 1),
+       |exact AS (SELECT min(doc_id) AS doc_id
+       |          FROM documents GROUP BY md5(lower(trim(text)))),
+       |v AS (
+       |  SELECT d.doc_id, d.lang,
+       |         len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+       |         (e.doc_id IS NOT NULL) AS is_exact,
+       |         (k.doc_id IS NOT NULL) AS is_canon
+       |  FROM documents d
+       |  LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |  LEFT JOIN canon k ON k.doc_id = d.doc_id)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |       reason
+       |FROM (SELECT doc_id,
+       |        CASE WHEN NOT is_exact THEN 'exact_dup'
+       |             WHEN NOT is_canon THEN 'near_dup'
+       |             WHEN n_tokens < 20 THEN 'too_short'
+       |             WHEN lang NOT IN ('en','es','de','fr') THEN 'lang_filtered'
+       |             ELSE 'keep' END AS reason
+       |      FROM v)
+       |ORDER BY doc_id""".stripMargin
+
   /** q28: md5 SimHash signatures (same CTEs as q33) + all-pairs Hamming ≤ 3
     * — the oracle for the banded (pigeonhole-exact) Spark plan.
     */
@@ -331,6 +385,7 @@ object OracleSql {
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
+    "q83_curation" -> curationSql,
 
     "q71_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

@@ -32,6 +32,8 @@ class PlanInvariantSpec extends SparkTestBase {
     */
   private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention",
     "q70_retain_canonical",
+    // composes q70's chain (Components runs eagerly at construction)
+    "q83_curation",
     // the incremental allocator reads max(existing) at construction; its
     // building blocks (scalable two-phase ids) are covered by q07/q08 plans
     "q69_incremental_dim")
