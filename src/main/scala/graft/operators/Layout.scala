@@ -37,6 +37,24 @@ object Layout {
     }.reduce(_.bitwiseOR(_)).cast("long")
   }
 
+  /** Size-aware compaction — the small-files rewrite every long-lived
+    * warehouse needs (a daily-partitioned 100-TB table accretes millions
+    * of KB-sized files; scans then pay per-file open/listing costs that
+    * dwarf the reads). Targets ~`targetFileBytes` per output partition
+    * using Catalyst's plan-time size statistic (actual on-disk bytes for
+    * file sources — no action, no sampling pass), so a writer producing
+    * one file per partition lands near the target. Round-robin
+    * repartition, not coalesce: coalesce(n) would also CAP the scan's
+    * parallelism upstream (it removes the exchange), while compaction
+    * must keep reading wide and only narrow at the write.
+    */
+  def compactBySize(df: DataFrame, targetFileBytes: Long): DataFrame = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val numFiles = (planBytes + targetFileBytes - 1) / targetFileBytes
+    df.repartition(numFiles.min(BigInt(1 << 20)).max(BigInt(1)).toInt)
+  }
+
   /** Rewrite `df` into a Z-ordered layout: range-partition on the
     * interleaved key (equi-depth via Spark's range-partitioner sampling,
     * so skewed key distributions still yield balanced files) and sort

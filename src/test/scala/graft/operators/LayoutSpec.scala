@@ -31,6 +31,19 @@ class LayoutSpec extends SparkTestBase {
     assert(out === (1L << 32) - 1, "int inputs must widen before shifting")
   }
 
+  test("compactBySize targets the file size: partition count tracks plan bytes") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val bytes = li.queryExecution.optimizedPlan.stats.sizeInBytes
+    // huge target -> exactly one output partition
+    assert(Layout.compactBySize(li, Long.MaxValue).rdd.getNumPartitions === 1)
+    // small target -> ceil(bytes/target) partitions
+    val target = (bytes / 4).toLong.max(1L)
+    val n = Layout.compactBySize(li, target).rdd.getNumPartitions
+    val want = ((bytes + target - 1) / target).toInt
+    assert(n === want, s"planBytes=$bytes target=$target")
+    assert(Layout.compactBySize(li, target).count() === li.count())
+  }
+
   test("zOrderBy partitions cover tight z ranges and preserve all rows") {
     val n = 1024
     val df = spark.range(n.toLong).select(
