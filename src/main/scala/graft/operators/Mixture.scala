@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * each stratum's token mass to `alpha` < 1 to up-weight the long tail,
   * normalize into sampling weights, and allocate a global token budget.
   *
-  * Scale shape: one map-side-combinable aggregation over the corpus
+  * Scale shape: ONE map-side-combinable aggregation over the corpus
   * (token counting fused into the same scan), then arithmetic on the
-  * tiny per-stratum table; the normalizing total stays INSIDE the plan as
-  * a broadcast 1-row cross join (same pattern as the unigram LM's corpus
-  * size — no eager action, no stale snapshot).
+  * tiny per-stratum table; the normalizing total is an unpartitioned
+  * window sum over THAT table — a single-partition window bounded by the
+  * stratum cardinality (languages/domains: at most thousands), never by
+  * the corpus, so the corpus is scanned exactly once and no cross join
+  * appears in the plan.
   *
   * Determinism: per-stratum token sums are exact longs; the smoothed
   * masses are quantized to DECIMAL(38,9) before the normalizing sum, so
@@ -45,9 +47,9 @@ object Mixture {
       if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
       else pow(col("n_tokens").cast("double"), lit(alpha))
     val massed = perGroup.withColumn("__mass", smoothed.cast("decimal(38,9)"))
-    val total = massed.agg(sum(col("__mass")).as("__total"))
     massed
-      .crossJoin(broadcast(total))
+      .withColumn("__total",
+        sum(col("__mass")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("__share",
         col("__mass").cast("double") / col("__total").cast("double"))
       .select(
