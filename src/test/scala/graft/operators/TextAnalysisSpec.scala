@@ -171,6 +171,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out === Map("a" -> 3L, "b" -> 2L))
   }
 
+  test("LM score means are invariant to input partitioning (decimal-sum determinism)") {
+    // the floating-point failure mode: avg() over doubles sums in
+    // partition order, so repartitioning can flip the 4th decimal; the
+    // decimal-quantized mean must produce IDENTICAL bits regardless
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def uni(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramLogProb(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def bi(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramLogProb(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(d) === uni(d.repartition(31)))
+    assert(bi(d) === bi(d.repartition(31)))
+  }
+
   test("fingerprintAgg equals the inline-HOF fingerprint on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
       .union(Seq((9001L, "one two three", "en", "t", 13L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
