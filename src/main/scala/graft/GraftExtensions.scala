@@ -2,13 +2,25 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, ShiftRight, Substring}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 import graft.functions.CosineSimilarity
+import graft.operators.{Layout, Sharding}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * Catalyst expressions as SQL functions, so `spark.sql("SELECT
-  * cosine_sim(a, b) ...")` works next to the Column API.
+  * Catalyst expressions and deterministic kernels as SQL functions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works next to the Column
+  * API:
+  *
+  *   - `cosine_sim(a, b)` — the native codegen cosine Expression;
+  *   - `z_value(a, b[, bits])` — [[Layout.zValue]]'s Morton interleave
+  *     (bits must be an integer literal: the chain unrolls at plan time);
+  *   - `shuffle_key(id)` — [[Sharding.shuffleKey]]'s md5-derived 60-bit
+  *     reproducible shuffle key.
+  *
+  * The latter two expand to the same built-in-expression trees the Column
+  * API builds (via the graftbridge converters), so they stay fully inside
+  * whole-stage codegen.
   *
   * Install with `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or `spark.sql.extensions=graft.GraftExtensions`.
@@ -22,5 +34,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    e.injectFunction(GraftExtensions.zValueFn)
+    e.injectFunction(GraftExtensions.shuffleKeyFn)
   }
+}
+
+object GraftExtensions {
+
+  /** [[Layout.zValue]]'s interleave, built directly as a Catalyst tree
+    * (a SQL function builder must return RESOLVED expressions — the
+    * Column API's lazy ColumnNodes do not resolve inside SQL analysis).
+    * Arithmetic matches the Column version operator for operator; the
+    * `zValueMatchesColumnApi` spec pins the equivalence.
+    */
+  private def zValueExpr(a: Expression, b: Expression, bits: Int): Expression = {
+    val mask = Literal((1L << bits) - 1, LongType)
+    val al = BitwiseAnd(Cast(a, LongType), mask)
+    val bl = BitwiseAnd(Cast(b, LongType), mask)
+    val one = Literal(1L, LongType)
+    (0 until bits).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(al, Literal(i)), one), Literal(2 * i + 1)),
+        ShiftLeft(BitwiseAnd(ShiftRight(bl, Literal(i)), one), Literal(2 * i)))
+    }.reduce(BitwiseOr(_, _))
+  }
+
+  /** (identifier, info, builder) for `z_value`, shared with the specs. */
+  val zValueFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("z_value"),
+    new ExpressionInfo(Layout.getClass.getName, "z_value"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2 || children.length == 3,
+        "z_value takes (a, b) or (a, b, bits)")
+      val bits = children.drop(2).headOption.map {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"z_value bits must be an integer literal, got $other")
+      }.getOrElse(16)
+      require(bits >= 1 && bits <= 31, s"z_value bits must be in [1,31], got $bits")
+      zValueExpr(children.head, children(1), bits)
+    })
+
+  /** (identifier, info, builder) for `shuffle_key`, shared with the specs. */
+  val shuffleKeyFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shuffle_key"),
+    new ExpressionInfo(Sharding.getClass.getName, "shuffle_key"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "shuffle_key takes exactly 1 argument")
+      // conv(substring(md5(cast(cast(id AS string) AS binary)), 1, 15), 16, 10) AS long
+      Cast(
+        Conv(
+          Substring(
+            Md5(Cast(Cast(children.head, StringType), BinaryType)),
+            Literal(1), Literal(15)),
+          Literal(16), Literal(10)),
+        LongType)
+    })
 }

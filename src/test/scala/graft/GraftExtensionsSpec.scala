@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Sharding}
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  // the shared test session lacks the extension; register the SAME
+  // builders the extension injects as temp functions
+  private def register(): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_value", GraftExtensions.zValueFn._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shuffle_key", GraftExtensions.shuffleKeyFn._3, "built-in")
+  }
+
+  test("SQL z_value equals the Column API on values and respects the bits arg") {
+    register()
+    val sqlOut = spark.sql(
+      "SELECT z_value(12345, 54321) AS z16, z_value(3, 5, 4) AS z4")
+      .collect().head
+    val colOut = spark.range(1).select(
+      Layout.zValue(lit(12345), lit(54321), 16).as("z16"),
+      Layout.zValue(lit(3), lit(5), 4).as("z4")).collect().head
+    assert(sqlOut.getLong(0) === colOut.getLong(0))
+    assert(sqlOut.getLong(1) === colOut.getLong(1))
+  }
+
+  test("SQL z_value rejects a non-literal bits argument") {
+    register()
+    val err = intercept[Exception] {
+      spark.sql("SELECT z_value(1, 2, CAST(rand() * 8 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("SQL shuffle_key equals the Column API and the md5 derivation") {
+    register()
+    val sqlOut = spark.sql("SELECT shuffle_key(42) AS k").collect().head.getLong(0)
+    val colOut = spark.range(1).select(Sharding.shuffleKey(lit(42)).as("k"))
+      .collect().head.getLong(0)
+    val raw = spark.range(1).select(
+      conv(substring(md5(lit("42")), 1, 15), 16, 10).cast("long").as("k"))
+      .collect().head.getLong(0)
+    assert(sqlOut === colOut)
+    assert(sqlOut === raw)
+  }
+}
