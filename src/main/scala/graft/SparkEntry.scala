@@ -104,7 +104,8 @@ object SparkEntry {
     "q80_mixture_weights" -> (D.q80MixtureWeights(_, _)),
     "q81_int8_quantize"  -> (D.q81Int8Quantize(_, _)),
     "q82_lm_buckets"     -> (D.q82LmBuckets(_, _)),
-    "q83_curation"       -> (D.q83Curation(_, _))
+    "q83_curation"       -> (D.q83Curation(_, _)),
+    "q84_incremental_curation" -> (D.q84IncrementalCuration(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -425,6 +425,62 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental DAILY curation — q83's operational twin at O(increment):
+    * the even-id half is the EXISTING corpus (its LSH band index and
+    * content digests are warehouse state — recomputed here only because
+    * the testdata has no persisted warehouse), the odd-id half is today's
+    * increment. Only the increment is signed; the corpus participates
+    * through one band equi-join (Dedup.incrementalCandidatePairsMd5) and
+    * one digest equi-join, so daily cost scales with the increment, not
+    * the corpus. Policy is CORPUS-PRIORITY and greedy: an increment doc
+    * drops when it exact- or near-dups any corpus doc or any LOWER-id
+    * increment doc (the full-corpus recluster with canonical retention is
+    * q83's periodic batch job). Verdict precedence matches q83.
+    */
+  def q84IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val increment = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val index = Dedup.minhashBandIndexMd5(corpus, "text", "doc_id")
+    val cand = Dedup.incrementalCandidatePairsMd5(increment, index, "text", "doc_id")
+    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    // unroll each pair to (me, other); an increment doc drops when the
+    // partner is corpus-side or an earlier increment doc
+    val dropNear = nearDups
+      .select(explode(array(
+        struct(col("id_a").as("me"), col("id_b").as("other")),
+        struct(col("id_b").as("me"), col("id_a").as("other")))).as("p"))
+      .select(col("p.me").as("me"), col("p.other").as("other"))
+      .where(pmod(col("me"), lit(2)) === 1 &&
+        (pmod(col("other"), lit(2)) === 0 || col("other") < col("me")))
+      .select(col("me").as("doc_id")).distinct()
+      .withColumn("__nd", lit(1L))
+    val dig = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("__dig"))
+    val dropExact = dig.as("i")
+      .where(pmod(col("i.doc_id"), lit(2)) === 1)
+      .join(dig.as("o"),
+        col("i.__dig") === col("o.__dig") &&
+          (pmod(col("o.doc_id"), lit(2)) === 0 || col("o.doc_id") < col("i.doc_id")))
+      .select(col("i.doc_id").as("doc_id")).distinct()
+      .withColumn("__ed", lit(1L))
+    increment
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .join(dropExact, Seq("doc_id"), "left")
+      .join(dropNear, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("__ed").isNotNull, "exact_dup")
+          .when(col("__nd").isNotNull, "near_dup")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(!col("lang").isin("en", "es", "de", "fr"), "lang_filtered")
+          .otherwise("keep"))
+      .select(col("doc_id"),
+        (col("reason") === "keep").cast("long").as("keep"),
+        col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -187,6 +187,57 @@ object OracleSql {
        |      FROM v)
        |ORDER BY doc_id""".stripMargin
 
+  /** q84: the full candidate set restricted to increment-touching pairs
+    * (equal to the incremental band-index join by q72's proven band
+    * determinism), Jaccard-verified, then the corpus-priority greedy drop
+    * rules and q83's verdict precedence over the odd-id increment.
+    */
+  private val incrementalCurationSql: String =
+    s"""WITH $minhashCandCtes,
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+       |  FROM words),
+       |nd AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN shd da ON da.doc_id = cand.id_a
+       |  JOIN shd db ON db.doc_id = cand.id_b
+       |  WHERE (id_a % 2 = 1 OR id_b % 2 = 1)
+       |    AND CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(da.shs, db.shs))) >= 0.8),
+       |dropn AS (
+       |  SELECT DISTINCT me AS doc_id FROM (
+       |    SELECT id_a AS me, id_b AS other FROM nd
+       |    UNION ALL SELECT id_b AS me, id_a AS other FROM nd)
+       |  WHERE me % 2 = 1 AND (other % 2 = 0 OR other < me)),
+       |dig AS (SELECT doc_id, md5(lower(trim(text))) AS dg FROM documents),
+       |drope AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM dig i JOIN dig o ON i.dg = o.dg
+       |  WHERE i.doc_id % 2 = 1 AND (o.doc_id % 2 = 0 OR o.doc_id < i.doc_id)),
+       |v AS (
+       |  SELECT d.doc_id, d.lang,
+       |         len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+       |         (e.doc_id IS NOT NULL) AS ex,
+       |         (n.doc_id IS NOT NULL) AS nr
+       |  FROM documents d
+       |  LEFT JOIN drope e ON e.doc_id = d.doc_id
+       |  LEFT JOIN dropn n ON n.doc_id = d.doc_id
+       |  WHERE d.doc_id % 2 = 1)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |       reason
+       |FROM (SELECT doc_id,
+       |        CASE WHEN ex THEN 'exact_dup'
+       |             WHEN nr THEN 'near_dup'
+       |             WHEN n_tokens < 20 THEN 'too_short'
+       |             WHEN lang NOT IN ('en','es','de','fr') THEN 'lang_filtered'
+       |             ELSE 'keep' END AS reason
+       |      FROM v)
+       |ORDER BY doc_id""".stripMargin
+
   /** q28: md5 SimHash signatures (same CTEs as q33) + all-pairs Hamming ≤ 3
     * — the oracle for the banded (pigeonhole-exact) Spark plan.
     */
@@ -386,6 +437,7 @@ object OracleSql {
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,
+    "q84_incremental_curation" -> incrementalCurationSql,
 
     "q71_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
