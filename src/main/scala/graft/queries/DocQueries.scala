@@ -248,7 +248,7 @@ object DocQueries {
     val docs = Tables(spark, dir).documents
     val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
       numHashes = 64, bands = 16)
-    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
     val dropIds = graft.operators.Components
@@ -270,7 +270,7 @@ object DocQueries {
     val docs = Tables(spark, dir).documents
     val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
       numHashes = 64, bands = 16)
-    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
     Dedup.retainCanonical(docs, nearDups, "doc_id",
@@ -401,7 +401,7 @@ object DocQueries {
     val docs = Tables(spark, dir).documents
     val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
       numHashes = 64, bands = 16)
-    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
     val canonical = Dedup.retainCanonical(docs, nearDups, "doc_id",
@@ -443,7 +443,7 @@ object DocQueries {
     val increment = docs.where(pmod(col("doc_id"), lit(2)) === 1)
     val index = Dedup.minhashBandIndexMd5(corpus, "text", "doc_id")
     val cand = Dedup.incrementalCandidatePairsMd5(increment, index, "text", "doc_id")
-    val nearDups = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id", k = 5)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
     // unroll each pair to (me, other); an increment doc drops when the
