@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * dimension while nearest-neighbour ordering degrades only marginally.
   *
   * Plan shape: pure per-row column arithmetic — no shuffle, no UDF. The
-  * array lambdas (`transform` / `zip_with` / `aggregate`) are evaluated
-  * interpreted per element in Spark, which is acceptable at embedding
-  * widths (64–4096); the upgrade path for a hot 100-TB pass is a single
-  * codegen'd Catalyst Expression like [[graft.functions.CosineSimilarity]].
+  * hot path is [[graft.functions.Int8Stats]], a single codegen'd Catalyst
+  * expression that computes every statistic in one fused pass;
+  * [[int8ProfileHof]] keeps the original higher-order-function formulation
+  * (whose array lambdas Spark interprets per element) as the independent
+  * cross-check — QuantizeSpec asserts the two are bitwise identical.
   *
   * Determinism: min/max/quantize/dequantize are IEEE-754 double ops on
   * exactly-widened floats, and the error sums accumulate in ARRAY order —
@@ -26,8 +27,26 @@ object Quantize {
     * int8 codes (q_sum is an exact integer checksum of the whole code
     * vector) and mse is the dequantization mean squared error rounded to
     * 8 decimals. A constant vector (max == min) maps to all-zero codes.
+    * One codegen'd expression per row ([[graft.functions.Int8Stats]]).
     */
   def int8Profile(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    import graft.functions.Int8Stats.int8Stats
+    df.select(col(idCol), int8Stats(col(vecCol)).as("__s"))
+      .select(
+        col(idCol),
+        col("__s.n_dims").as("n_dims"),
+        col("__s.q_min").as("q_min"),
+        col("__s.q_max").as("q_max"),
+        col("__s.q_sum").as("q_sum"),
+        round(col("__s.mse"), 8).as("mse"))
+  }
+
+  /** The pre-[[graft.functions.Int8Stats]] higher-order-function
+    * formulation — retained as the spec cross-check for the native
+    * expression (and as the portable fallback for Spark forks without
+    * extension expressions).
+    */
+  def int8ProfileHof(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     df.select(col(idCol), v.as("__v"))
       .withColumn("__mn", array_min(col("__v")))

@@ -41,6 +41,27 @@ class QuantizeSpec extends SparkTestBase {
     assert(r.getAs[Double]("mse") === 0.0)
   }
 
+  test("native Int8Stats expression is bitwise identical to the HOF formulation") {
+    // the real corpus (float arrays) — whole-row equality incl. the mse
+    // doubles: same op order, so bitwise, not tolerance-based
+    val native = Quantize.int8Profile(embeddings, "embedding", "vec_id")
+    val hof = Quantize.int8ProfileHof(embeddings, "embedding", "vec_id")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("native expression matches HOF on double arrays and edge vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0, 1.0, 2.0, 4.0)),            // the 127.5 HALF_UP tie
+      (2L, Seq(3.5, 3.5, 3.5)),                 // constant
+      (3L, Seq(-1.25, 0.0, 7.75, -0.5, 3.125)), // negatives
+      (4L, Seq(1e-9, -1e-9, 5e-10))             // tiny range
+    ).toDF("vec_id", "embedding")
+    val native = Quantize.int8Profile(df, "embedding", "vec_id")
+    val hof = Quantize.int8ProfileHof(df, "embedding", "vec_id")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("dequantization error is bounded by half a quantization step") {
     // max |err| per dim <= (mx-mn)/255/2, so mse <= ((mx-mn)/510)^2
     val out = Quantize.int8Profile(embeddings, "embedding", "vec_id")
