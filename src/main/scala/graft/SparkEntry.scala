@@ -105,7 +105,10 @@ object SparkEntry {
     "q81_int8_quantize"  -> (D.q81Int8Quantize(_, _)),
     "q82_lm_buckets"     -> (D.q82LmBuckets(_, _)),
     "q83_curation"       -> (D.q83Curation(_, _)),
-    "q84_incremental_curation" -> (D.q84IncrementalCuration(_, _))
+    "q84_incremental_curation" -> (D.q84IncrementalCuration(_, _)),
+    "q85_inverted_index" -> (D.q85InvertedIndex(_, _)),
+    "q86_kmeans_step"    -> (D.q86KmeansStep(_, _)),
+    "q87_source_quota"   -> (D.q87SourceQuota(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering — one Lloyd (k-means) iteration as a declarative
+  * program: assign every vector to its nearest centroid by cosine, then
+  * recompute each centroid as its members' per-dimension mean. Iterating
+  * this to a fixpoint is the k-means loop a corpus-clustering /
+  * SemDeDup-prep pipeline runs; the step itself is the unit worth auditing.
+  *
+  * Plan shape: the centroid table BROADCASTS (k rows), so assignment is a
+  * broadcast join + per-vector argmax window over (vector × k) — the
+  * corpus never shuffles for assignment. The update explodes members to
+  * (cluster, dim, value) and runs ONE map-side-combinable aggregation; the
+  * only shuffle in the whole step carries (cluster, dim) partial sums,
+  * bounded by k · dim · partitions, independent of corpus size.
+  *
+  * Determinism: per-dimension means quantize each value to DECIMAL(28,9)
+  * and sum exactly before one double division (the q71 detMean pattern),
+  * so the result is partition-order invariant and replayable on any engine
+  * with decimal arithmetic — a naive double sum would drift with Spark's
+  * combine order and could never hash-match an oracle.
+  */
+object Clustering {
+
+  /** One Lloyd iteration from [[Similarity.seedCentroids]] seeds (the
+    * `numCentroids` lowest-id vectors — deterministic on any engine).
+    * Output: (cluster_id, dim, n_members, centroid) with `dim` 0-based and
+    * `centroid` the member mean of that dimension rounded to `roundTo`
+    * decimals. Clusters that attract no members (possible once iterated
+    * past step one) simply emit no rows — callers carry forward the old
+    * centroid, the standard empty-cluster policy.
+    */
+  def lloydStep(df: DataFrame, vecCol: String, idCol: String,
+                numCentroids: Int, roundTo: Int = 6): DataFrame = {
+    val assigned = assignToSeedCentroids(df, vecCol, idCol, numCentroids)
+    assigned
+      .select(col("__cid"), posexplode(col("__v")).as(Seq("dim", "__val")))
+      .groupBy(col("__cid"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(
+          (sum(col("__val").cast("double").cast("decimal(28,9)")).cast("double") /
+            count(lit(1))),
+          roundTo).as("centroid"))
+      .select(col("__cid").cast("long").as("cluster_id"),
+        col("dim").cast("long").as("dim"),
+        col("n_members"), col("centroid"))
+  }
+
+  /** Nearest-seed-centroid assignment: (__vid, __v, __cid), one row per
+    * input vector. Broadcast join + argmax window — the same shape q76's
+    * SemDeDup assignment and the IVF probe stage use (cosine ties break on
+    * the lower centroid id).
+    */
+  def assignToSeedCentroids(df: DataFrame, vecCol: String, idCol: String,
+                            numCentroids: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val cents = Similarity.seedCentroids(df, vecCol, idCol, numCentroids)
+    val byVec = Window.partitionBy(col("__vid")).orderBy(col("__csim").desc, col("__cid"))
+    df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(broadcast(cents))
+      .withColumn("__csim", cosineSim(col("__v"), col("__cv")))
+      .withColumn("__rn", row_number().over(byVec))
+      .where(col("__rn") === 1)
+      .select(col("__vid"), col("__v"), col("__cid"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling.
@@ -58,5 +59,47 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(cutoff(rate))).otherwise(acc)
     }
     df.where(bucket(col(idCol)) < cut)
+  }
+
+  /** Per-group quota cap: keep at most `quota` rows per `groupCol` value,
+    * chosen by `preference` order (append the id column for a total order
+    * — ties otherwise make the kept set partition-dependent). The
+    * source-mixing rule of web-corpus curation: no single domain may
+    * contribute more than N documents.
+    *
+    * One shuffle on the group key + a per-group sort. A skewed group
+    * (one domain = half the crawl) sorts its whole partition here;
+    * [[quotaPerGroupSalted]] is the scale formulation.
+    */
+  def quotaPerGroup(df: DataFrame, groupCol: String, quota: Int,
+                    preference: Seq[Column]): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val w = Window.partitionBy(col(groupCol)).orderBy(preference: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** [[quotaPerGroup]] with a salted pre-prune for head-group skew: rows
+    * first keep only their (group, salt)-local top-`quota` (bounding every
+    * sort partition at quota · corpusPartitions per group), then the
+    * survivors — at most `quota · salts` per group — run the exact final
+    * window. Selecting a global top-q per group is prefix-stable under
+    * partitioning, so the result EQUALS [[quotaPerGroup]] row-for-row
+    * (spec-asserted); only the shuffle profile changes. Salt is
+    * md5-derived from the first preference tie-breaker's string form, so
+    * the plan stays engine-portable and deterministic.
+    */
+  def quotaPerGroupSalted(df: DataFrame, groupCol: String, quota: Int,
+                          preference: Seq[Column], saltKey: Column,
+                          salts: Int = 16): DataFrame = {
+    require(quota >= 1 && salts >= 1, s"need quota >= 1 and salts >= 1")
+    val salted = Window
+      .partitionBy(col(groupCol), (bucket(saltKey) % salts).cast("int"))
+      .orderBy(preference: _*)
+    val pruned = df.withColumn("__srn", row_number().over(salted))
+      .where(col("__srn") <= quota)
+      .drop("__srn")
+    quotaPerGroup(pruned, groupCol, quota, preference)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -480,6 +480,33 @@ object DocQueries {
         col("reason"))
       .orderBy("doc_id")
   }
+
+  /** Inverted-index export (Index.invertedIndex): term → (doc_freq,
+    * term_freq, first-20 posting list), hapax terms dropped (minDf=2).
+    */
+  def q85InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Index.invertedIndex(Tables(spark, dir).documents, "text", "doc_id",
+        minDf = 2, maxPostings = 20)
+      .orderBy("term")
+
+  /** One k-means Lloyd iteration over the embeddings table
+    * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension
+    * member means.
+    */
+  def q86KmeansStep(spark: SparkSession, dir: String): DataFrame =
+    Clustering.lloydStep(Tables(spark, dir).embeddings, "embedding", "vec_id",
+        numCentroids = 8)
+      .orderBy("cluster_id", "dim")
+
+  /** Source-quota cap (Sampling.quotaPerGroup): every source keeps its 10
+    * longest documents (doc_id tie-break) — the per-domain contribution
+    * cap of web-corpus curation.
+    */
+  def q87SourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaPerGroup(Tables(spark, dir).documents, "source", 10,
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
 
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media

@@ -439,6 +439,46 @@ object OracleSql {
     "q83_curation" -> curationSql,
     "q84_incremental_curation" -> incrementalCurationSql,
 
+    "q85_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |              FROM documents)
+        |SELECT term,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |       count(*) AS term_freq,
+        |       array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS postings
+        |FROM toks GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY term""".stripMargin,
+
+    // same assignment CTE as q76; centroid means quantize each member value
+    // to DECIMAL(28,9) and sum exactly before one double division (the q71
+    // pattern), matching Clustering.lloydStep bit for bit
+    "q86_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |csim AS (SELECT e.vec_id, e.v, c.cid,
+        |                list_dot_product(e.v, c.cv) /
+        |                  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        |         FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM csim) WHERE rn = 1),
+        |ex AS (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM assigned)
+        |SELECT CAST(cid AS BIGINT) AS cluster_id,
+        |       CAST(dim - 1 AS BIGINT) AS dim,
+        |       count(*) AS n_members,
+        |       round(CAST(sum(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM ex GROUP BY cid, dim
+        |ORDER BY cluster_id, dim""".stripMargin,
+
+    "q87_source_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
     "q71_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         |              FROM documents),

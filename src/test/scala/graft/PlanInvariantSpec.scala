@@ -20,7 +20,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q71_unigram_lm",       // scalar corpus-size N broadcast-crossed, as q43
     "q58_kmv_distinct",     // 1-row sketch × 1-row exact count join
     "q76_semdedup",         // centroid table broadcast-crossed for assignment, as q38
-    "q82_lm_buckets"        // composes q71's unigram LM (same 1-row cross join)
+    "q82_lm_buckets",       // composes q71's unigram LM (same 1-row cross join)
+    "q86_kmeans_step"       // centroid table broadcast-crossed for assignment, as q76
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkTestBase {
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("every vector is assigned to exactly one centroid") {
+    val assigned = Clustering.assignToSeedCentroids(embeddings, "embedding", "vec_id", 8)
+    assert(assigned.count() === embeddings.count())
+    assert(assigned.select("__vid").distinct().count() === embeddings.count())
+    // cluster ids are the 8 seed ids
+    val seeds = embeddings.orderBy("vec_id").limit(8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val cids = assigned.select("__cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf(seeds))
+  }
+
+  test("lloydStep member counts are consistent across dims and sum to the corpus") {
+    val step = Clustering.lloydStep(embeddings, "embedding", "vec_id", 8).cache()
+    // within a cluster, every dim sees the same member count
+    val inconsistent = step.groupBy("cluster_id")
+      .agg(countDistinct("n_members").as("k"))
+      .where(col("k") =!= 1).count()
+    assert(inconsistent === 0L)
+    // per-cluster members sum to corpus size; 64 dims each
+    val perCluster = step.groupBy("cluster_id")
+      .agg(max("n_members").as("m"), count(lit(1)).as("dims"))
+    assert(perCluster.agg(sum("m")).head.getLong(0) === embeddings.count())
+    assert(perCluster.where(col("dims") =!= 64).count() === 0L)
+    step.unpersist()
+  }
+
+  test("known corpus: merged cluster averages, singleton keeps its vector") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // numCentroids=2 → seeds are vectors 1 and 2. Vector 1 → seed 1
+    // (cos 1.0), vector 2 → seed 2 (cos 1.0), vector 3 → seed 2
+    // (cos(3,2)=0.1105 > cos(3,1)=0): cluster 1 = {1}, cluster 2 = {2,3}
+    val step = Clustering.lloydStep(df, "embedding", "vec_id", numCentroids = 2)
+    val byCluster = step.collect().groupBy(_.getAs[Long]("cluster_id"))
+    val c1 = byCluster(1L).sortBy(_.getAs[Long]("dim"))
+    assert(c1.forall(_.getAs[Long]("n_members") === 1L))
+    assert(c1.map(_.getAs[Double]("centroid")).toSeq === Seq(1.0, 0.0))
+    val c2 = byCluster(2L).sortBy(_.getAs[Long]("dim"))
+    assert(c2.forall(_.getAs[Long]("n_members") === 2L))
+    // mean of (0.9f, 0.0f) and (0.1f, 1.0f) per dim, rounded to 6
+    assert(c2.map(_.getAs[Double]("centroid")).toSeq === Seq(0.45, 0.55))
+  }
+
+  test("decimal-quantized means are invariant to input partitioning") {
+    val a = Clustering.lloydStep(embeddings, "embedding", "vec_id", 8)
+    val b = Clustering.lloydStep(embeddings.repartition(17), "embedding", "vec_id", 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}

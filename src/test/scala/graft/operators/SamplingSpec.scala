@@ -51,4 +51,30 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(strat === flat10)
   }
+
+  test("quotaPerGroup keeps exactly the top-quota rows per group") {
+    val out = Sampling.quotaPerGroup(docs, "source", 10,
+      preference = Seq(col("n_chars").desc, col("doc_id")))
+    val counts = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ === 10L)) // every source has 25 docs
+    // the kept set per source is the lexicographic top 10
+    val keptSrc0 = out.where(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantSrc0 = docs.where(col("source") === "src0")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSrc0 === wantSrc0)
+  }
+
+  test("salted quota equals the plain formulation row-for-row") {
+    val pref = Seq(col("n_chars").desc, col("doc_id"))
+    val plain = Sampling.quotaPerGroup(docs, "source", 7, pref)
+    val salted = Sampling.quotaPerGroupSalted(docs, "source", 7, pref,
+      saltKey = col("doc_id"), salts = 5)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // also under different input partitioning
+    val salted2 = Sampling.quotaPerGroupSalted(docs.repartition(11), "source", 7, pref,
+      saltKey = col("doc_id"), salts = 5)
+    assert(plain.exceptAll(salted2).isEmpty && salted2.exceptAll(plain).isEmpty)
+  }
 }
