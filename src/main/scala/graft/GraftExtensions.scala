@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, ShiftRight, Substring}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Int8Stats}
 import graft.operators.{Layout, Sharding}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -13,6 +13,8 @@ import graft.operators.{Layout, Sharding}
   * API:
   *
   *   - `cosine_sim(a, b)` — the native codegen cosine Expression;
+  *   - `int8_stats(v)` — the native codegen int8-quantization statistics
+  *     struct ([[graft.functions.Int8Stats]]);
   *   - `z_value(a, b[, bits])` — [[Layout.zValue]]'s Morton interleave
   *     (bits must be an integer literal: the chain unrolls at plan time);
   *   - `shuffle_key(id)` — [[Sharding.shuffleKey]]'s md5-derived 60-bit
@@ -33,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("int8_stats"),
+      new ExpressionInfo(classOf[Int8Stats].getName, "int8_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_stats takes exactly 1 argument")
+        Int8Stats(children.head)
       }))
     e.injectFunction(GraftExtensions.zValueFn)
     e.injectFunction(GraftExtensions.shuffleKeyFn)

@@ -108,7 +108,8 @@ object SparkEntry {
     "q84_incremental_curation" -> (D.q84IncrementalCuration(_, _)),
     "q85_inverted_index" -> (D.q85InvertedIndex(_, _)),
     "q86_kmeans_step"    -> (D.q86KmeansStep(_, _)),
-    "q87_source_quota"   -> (D.q87SourceQuota(_, _))
+    "q87_source_quota"   -> (D.q87SourceQuota(_, _)),
+    "q88_histogram"      -> (R.q88Histogram(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

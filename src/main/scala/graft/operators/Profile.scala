@@ -59,4 +59,35 @@ object Profile {
         col("__m.min_value").as("min_value"),
         col("__m.max_value").as("max_value"))
   }
+
+  /** Equal-width histogram of a numeric column: (bucket, lo_edge, hi_edge,
+    * n_rows) for the non-empty buckets among `n` equal divisions of the
+    * observed [min, max]. Bounds stay IN-PLAN (one map-side-combinable
+    * min/max pass broadcast back as a 1-row cross join — never a driver
+    * collect), then bucketing is a pure per-row projection: two corpus
+    * scans total, shuffle volume = |non-empty buckets|. The max value
+    * lands in the last bucket; nulls are excluded. Degenerate case
+    * (min == max): every row in bucket 0.
+    *
+    * Edge arithmetic is the same double expression on any engine
+    * (`floor((x - mn) * n / (mx - mn))`), so the DuckDB oracle replays it
+    * exactly — edges are presentation-rounded to 4 decimals.
+    */
+  def histogram(df: DataFrame, colName: String, n: Int): DataFrame = {
+    require(n >= 1, s"need at least 1 bucket, got $n")
+    val x = df.col("`" + colName.replace("`", "``") + "`").cast("double")
+    val vals = df.where(x.isNotNull).select(x.as("__x"))
+    val bounds = vals.agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+    vals.join(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((col("__x") - col("__mn")) * n / (col("__mx") - col("__mn"))).cast("long"),
+            lit(n - 1L))))
+      .groupBy(col("bucket"))
+      .agg(
+        round(first(col("__mn")) + col("bucket") * ((first(col("__mx")) - first(col("__mn"))) / n), 4).as("lo_edge"),
+        round(first(col("__mn")) + (col("bucket") + 1) * ((first(col("__mx")) - first(col("__mn"))) / n), 4).as("hi_edge"),
+        count(lit(1)).as("n_rows"))
+  }
 }

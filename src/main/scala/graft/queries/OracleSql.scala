@@ -472,6 +472,19 @@ object OracleSql {
         |FROM ex GROUP BY cid, dim
         |ORDER BY cluster_id, dim""".stripMargin,
 
+    "q88_histogram" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT min(x) AS mn, max(x) AS mx FROM v),
+        |bk AS (SELECT CASE WHEN mx = mn THEN 0
+        |                   ELSE least(CAST(floor((x - mn) * 20 / (mx - mn)) AS BIGINT), 19) END AS bucket,
+        |              mn, mx
+        |       FROM v CROSS JOIN b)
+        |SELECT bucket,
+        |       round(mn + bucket * ((mx - mn) / 20), 4) AS lo_edge,
+        |       round(mn + (bucket + 1) * ((mx - mn) / 20), 4) AS hi_edge,
+        |       count(*) AS n_rows
+        |FROM bk GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+
     "q87_source_quota" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

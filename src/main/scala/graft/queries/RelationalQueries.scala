@@ -776,6 +776,13 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** Equal-width value histogram of o_totalprice (Profile.histogram):
+    * 20 buckets over the observed range, bounds kept in-plan.
+    */
+  def q88Histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(Tables(spark, dir).orders, "o_totalprice", 20)
+      .orderBy("bucket")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

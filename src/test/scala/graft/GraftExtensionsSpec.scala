@@ -34,6 +34,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("SQL int8_stats equals the Column API struct") {
+    import graft.functions.Int8Stats
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_stats", (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1); Int8Stats(children.head)
+      }, "built-in")
+    val sqlOut = spark.sql(
+      "SELECT int8_stats(array(CAST(0.0 AS DOUBLE), 1.0, 2.0, 4.0)) AS s")
+      .select("s.n_dims", "s.q_min", "s.q_max", "s.q_sum", "s.mse").collect().head
+    val colOut = spark.range(1).select(
+      Int8Stats.int8Stats(array(lit(0.0), lit(1.0), lit(2.0), lit(4.0))).as("s"))
+      .select("s.n_dims", "s.q_min", "s.q_max", "s.q_sum", "s.mse").collect().head
+    assert(sqlOut === colOut)
+  }
+
   test("SQL shuffle_key equals the Column API and the md5 derivation") {
     register()
     val sqlOut = spark.sql("SELECT shuffle_key(42) AS k").collect().head.getLong(0)

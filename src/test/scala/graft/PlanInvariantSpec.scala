@@ -21,7 +21,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q58_kmv_distinct",     // 1-row sketch × 1-row exact count join
     "q76_semdedup",         // centroid table broadcast-crossed for assignment, as q38
     "q82_lm_buckets",       // composes q71's unigram LM (same 1-row cross join)
-    "q86_kmeans_step"       // centroid table broadcast-crossed for assignment, as q76
+    "q86_kmeans_step",      // centroid table broadcast-crossed for assignment, as q76
+    "q88_histogram"         // 1-row min/max bounds broadcast-crossed, as q58
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

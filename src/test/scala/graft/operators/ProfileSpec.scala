@@ -37,4 +37,33 @@ class ProfileSpec extends SparkTestBase {
     val scans = "LocalTableScan".r.findAllIn(plan).length
     assert(scans === 1, s"expected one scan, plan:\n$plan")
   }
+
+  test("histogram: known values land in the right buckets, max in the last") {
+    import spark.implicits._
+    val d = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).toDF("x")
+    val out = Profile.histogram(d, "x", 4).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Double]("lo_edge"), r.getAs[Double]("hi_edge"), r.getAs[Long]("n_rows"))).toMap
+    // range [0,10], width 2.5: 0,1→b0; 2.5→b1; 5.0→b2; 9.9,10.0→b3
+    assert(out(0L) === ((0.0, 2.5, 2L)))
+    assert(out(1L) === ((2.5, 5.0, 1L)))
+    assert(out(2L) === ((5.0, 7.5, 1L)))
+    assert(out(3L) === ((7.5, 10.0, 2L)))
+  }
+
+  test("histogram: constant column degenerates to one bucket, nulls excluded") {
+    import spark.implicits._
+    val d = Seq(Some(5.0), Some(5.0), None).toDF("x")
+    val out = Profile.histogram(d, "x", 10).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("bucket") === 0L)
+    assert(out.head.getAs[Long]("n_rows") === 2L)
+  }
+
+  test("histogram counts sum to the non-null row count") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val out = Profile.histogram(orders, "o_totalprice", 20)
+    val total = out.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+    assert(total === orders.where("o_totalprice IS NOT NULL").count())
+  }
 }
