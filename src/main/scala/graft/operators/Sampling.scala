@@ -67,9 +67,14 @@ object Sampling {
     * source-mixing rule of web-corpus curation: no single domain may
     * contribute more than N documents.
     *
-    * One shuffle on the group key + a per-group sort. A skewed group
-    * (one domain = half the crawl) sorts its whole partition here;
-    * [[quotaPerGroupSalted]] is the scale formulation.
+    * One shuffle on the group key. Spark (≥3.5) plans the rank filter as
+    * partial+final `WindowGroupLimit`, so every MAP task pre-prunes to
+    * `quota` rows per group before the exchange — a head group that is
+    * half the crawl ships quota·mapTasks rows, not half the corpus
+    * (plan-pinned in SamplingSpec; SCALEPROOF_r5 shows plain ≈ salted on
+    * an 8M-row 50%-skew corpus for exactly this reason).
+    * [[quotaPerGroupSalted]] is the engine-portable fallback for planners
+    * without that rewrite.
     */
   def quotaPerGroup(df: DataFrame, groupCol: String, quota: Int,
                     preference: Seq[Column]): DataFrame = {
@@ -80,15 +85,16 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** [[quotaPerGroup]] with a salted pre-prune for head-group skew: rows
-    * first keep only their (group, salt)-local top-`quota` (bounding every
-    * sort partition at quota · corpusPartitions per group), then the
-    * survivors — at most `quota · salts` per group — run the exact final
-    * window. Selecting a global top-q per group is prefix-stable under
-    * partitioning, so the result EQUALS [[quotaPerGroup]] row-for-row
-    * (spec-asserted); only the shuffle profile changes. Salt is
-    * md5-derived from the first preference tie-breaker's string form, so
-    * the plan stays engine-portable and deterministic.
+  /** [[quotaPerGroup]] as an EXPLICIT two-phase plan: rows first keep only
+    * their (group, salt)-local top-`quota`, then the survivors — at most
+    * `quota · salts` per group — run the exact final window. Selecting a
+    * global top-q per group is prefix-stable under partitioning, so the
+    * result EQUALS [[quotaPerGroup]] row-for-row (spec-asserted). On
+    * Spark 4 this buys nothing over [[quotaPerGroup]] — Catalyst's
+    * partial `WindowGroupLimit` already does the same pre-prune inside
+    * the map tasks — it exists as the portable spelling of the technique
+    * for planners without that rewrite. Salt is md5-derived, so the plan
+    * stays engine-portable and deterministic.
     */
   def quotaPerGroupSalted(df: DataFrame, groupCol: String, quota: Int,
                           preference: Seq[Column], saltKey: Column,

@@ -66,6 +66,16 @@ class SamplingSpec extends SparkTestBase {
     assert(keptSrc0 === wantSrc0)
   }
 
+  test("quotaPerGroup plans a partial WindowGroupLimit (map-side pre-prune)") {
+    val plan = Sampling.quotaPerGroup(docs, "source", 10,
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .queryExecution.executedPlan.toString
+    // the property the skew story rests on: each task keeps <= quota rows
+    // per group BEFORE the exchange
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit pair, plan:\n$plan")
+  }
+
   test("salted quota equals the plain formulation row-for-row") {
     val pref = Seq(col("n_chars").desc, col("doc_id"))
     val plain = Sampling.quotaPerGroup(docs, "source", 7, pref)
