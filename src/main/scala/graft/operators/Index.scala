@@ -33,17 +33,23 @@ object Index {
                     minDf: Int = 1, maxPostings: Int = Int.MaxValue): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    // doc_freq is DERIVED from the posting set rather than a separate
+    // countDistinct: a multi-distinct aggregate plans a second (term, id)
+    // pre-aggregation exchange, while the set is being collected anyway —
+    // deriving size() keeps the whole index to ONE term-keyed shuffle with
+    // identical aggregation state
     df.select(col(idCol).as("__id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .groupBy(col("term"))
       .agg(
-        countDistinct(col("__id")).as("doc_freq"),
         count(lit(1)).as("term_freq"),
-        array_join(
-          transform(
-            slice(array_sort(collect_set(col("__id"))), 1, maxPostings),
-            _.cast("string")),
-          ",").as("postings"))
+        sort_array(collect_set(col("__id"))).as("__ids"))
+      .select(
+        col("term"),
+        size(col("__ids")).cast("long").as("doc_freq"),
+        col("term_freq"),
+        array_join(transform(slice(col("__ids"), 1, maxPostings), _.cast("string")), ",")
+          .as("postings"))
       .where(col("doc_freq") >= minDf)
   }
 }
