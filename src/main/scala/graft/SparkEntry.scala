@@ -109,7 +109,11 @@ object SparkEntry {
     "q85_inverted_index" -> (D.q85InvertedIndex(_, _)),
     "q86_kmeans_step"    -> (D.q86KmeansStep(_, _)),
     "q87_source_quota"   -> (D.q87SourceQuota(_, _)),
-    "q88_histogram"      -> (R.q88Histogram(_, _))
+    "q88_histogram"      -> (R.q88Histogram(_, _)),
+    "q89_bm25"           -> (D.q89Bm25(_, _)),
+    "q90_snapshot_diff"  -> (R.q90SnapshotDiff(_, _)),
+    "q91_source_overlap" -> (D.q91SourceOverlap(_, _)),
+    "q92_length_outliers" -> (D.q92LengthOutliers(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

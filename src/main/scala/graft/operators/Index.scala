@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Inverted-index export — the term → posting-list table a search/retrieval
@@ -51,5 +51,64 @@ object Index {
         array_join(transform(slice(col("__ids"), 1, maxPostings), _.cast("string")), ",")
           .as("postings"))
       .where(col("doc_freq") >= minDf)
+  }
+
+  /** BM25 retrieval scoring for a FIXED query-term set (the serving-side
+    * consumer of the inverted index, run as one batch program):
+    *
+    * score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))
+    * with the Lucene idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Plan shape: because the query-term set is small and known, per-doc
+    * term frequencies are conditional counts in the SAME aggregation that
+    * computes document length — ONE explode, ONE doc-keyed shuffle of
+    * map-side-combinable partials, no (doc, term) shuffle and no
+    * tf⋈doclen join. The corpus constants (N, avgdl, per-term df) reduce
+    * to a single 1-row aggregate over that table, joined back as a
+    * broadcast — the q58/q88 in-plan-scalar pattern. Scoring is then a
+    * pure projection; top-k plans as TakeOrderedAndProject (per-partition
+    * heads + driver merge, no global sort).
+    *
+    * Scale: state per doc is |terms|+1 longs; the scalar agg carries
+    * |terms|+2 numbers per partition. Nothing is corpus-cardinality but
+    * the scan and the per-doc table itself.
+    *
+    * Output: (doc id, n_tokens, score rounded to 4) for the `topK` docs by
+    * (score desc, id) — rows with score 0 (no query term present) are
+    * dropped.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size, "queryTerms must be distinct")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def tfCol(t: String) = s"__tf_$t"
+    val perDoc = df
+      .select(col(idCol).as("__id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("__dl"),
+        queryTerms.map(t =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(tfCol(t))): _*)
+    val constCols = avg(col("__dl")).as("__avgdl") +:
+      queryTerms.map(t => sum((col(tfCol(t)) > 0).cast("long")).as(s"__df_$t"))
+    val consts = perDoc.agg(count(lit(1)).as("__n"), constCols: _*)
+    val score: Column = queryTerms.map { t =>
+      val tf = col(tfCol(t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - col(s"__df_$t") + 0.5) / (col(s"__df_$t") + 0.5))
+      when(col(tfCol(t)) > 0,
+        idf * tf * (k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
+        .otherwise(0.0)
+    }.reduce(_ + _)
+    perDoc.join(broadcast(consts))
+      .select(col("__id").as(idCol), col("__dl").as("n_tokens"),
+        round(score, 4).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
   }
 }

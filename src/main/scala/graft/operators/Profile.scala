@@ -90,4 +90,42 @@ object Profile {
         round(first(col("__mn")) + (col("bucket") + 1) * ((first(col("__mx")) - first(col("__mn"))) / n), 4).as("hi_edge"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Per-group Tukey-fence outlier screening of a numeric column: for each
+    * group, the exact p25/p75 (linear interpolation — DuckDB's
+    * quantile_cont semantics), the [p25 − k·IQR, p75 + k·IQR] fences, and
+    * how many rows fall outside them. The robust-statistics filter a
+    * curation pipeline runs on document length / score distributions
+    * before trusting thresholds tuned on the mean.
+    *
+    * Plan shape: the fences come from one group-keyed percentile
+    * aggregation over (group, value) — a |groups|-row table that
+    * broadcast-joins back onto the scan, so classifying is a pure
+    * projection and the only corpus-sized shuffle is the final group
+    * count's map-side-combined partials. Exact percentiles hold sorted
+    * per-group state on the agg side; at 100 TB swap in
+    * percentile_approx (same plan, bounded sketch state) — the fences
+    * are heuristic cutoffs, not query answers.
+    */
+  def iqrOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+                      k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"fence multiplier must be >= 0, got $k")
+    val v = col(valueCol).cast("double")
+    val fences = df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile(CAST(`${valueCol.replace("`", "``")}` AS DOUBLE), 0.25)").as("__p25"),
+        expr(s"percentile(CAST(`${valueCol.replace("`", "``")}` AS DOUBLE), 0.75)").as("__p75"))
+      .select(col(groupCol),
+        (col("__p25") - lit(k) * (col("__p75") - col("__p25"))).as("__lo"),
+        (col("__p75") + lit(k) * (col("__p75") - col("__p25"))).as("__hi"))
+    df.where(v.isNotNull)
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum((v < col("__lo") || v > col("__hi")).cast("long")).as("n_outliers"),
+        round(first(col("__lo")), 4).as("lo_fence"),
+        round(first(col("__hi")), 4).as("hi_fence"))
+  }
 }

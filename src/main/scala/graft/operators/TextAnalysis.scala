@@ -189,6 +189,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-group content overlap: for every ORDERED pair of groups
+    * (e.g. crawl sources), directional shingle containment
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| — the corpus-level twin
+    * of per-document Jaccard. This is how a curation pipeline decides
+    * which sources duplicate each other (mirror detection) and how much
+    * a new source would actually add.
+    *
+    * Plan shape: shingles dedup straight to the GROUP key (never
+    * materializing per-document shingle sets), so the self-join on the
+    * shingle string fans out at most |groups|² rows per distinct shingle
+    * — bounded by the group count, not the corpus. Intersection and
+    * per-group sizes are map-side-combinable counts; the tiny size table
+    * broadcasts back.
+    *
+    * Output: (src_a, src_b, n_a, n_shared, containment) for a ≠ b pairs
+    * with at least one shared shingle.
+    */
+  def groupContainment(df: DataFrame, textCol: String, idCol: String,
+                       groupCol: String, k: Int = 5): DataFrame = {
+    // shingle within each DOCUMENT (the kernel's lead-window partitions by
+    // the key — a bare group key would chain words across doc boundaries),
+    // then dedup straight to (group, shingle)
+    val sh = explodedShingles(
+        df.withColumn("__gid", struct(col(groupCol), col(idCol))),
+        textCol, "__gid", k)
+      .select(col("__gid").getField(groupCol).as(groupCol), col("__sh").as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("n_a"))
+      .withColumnRenamed(groupCol, "src_a")
+    sh.withColumnRenamed(groupCol, "src_a").as("a")
+      .join(sh.withColumnRenamed(groupCol, "src_b").as("b"), Seq("shingle"))
+      .where(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_a"), 4).as("containment"))
+  }
+
   /** PII-style scrubbing: replace digit runs of `minRun`+ with a
     * placeholder (account numbers, phone-like ids). Codegen'd regex, no
     * UDF; pairs with [[redactionCount]] for audit metrics.

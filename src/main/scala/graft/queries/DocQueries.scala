@@ -508,6 +508,32 @@ object DocQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** BM25 retrieval (Index.bm25TopK): top-15 documents for a fixed
+    * 3-term query, scored with Lucene-idf BM25 (k1=1.2, b=0.75) — one
+    * doc-keyed shuffle computing doclen + per-term tfs together, corpus
+    * constants in-plan as a 1-row broadcast.
+    */
+  def q89Bm25(spark: SparkSession, dir: String): DataFrame =
+    Index.bm25TopK(Tables(spark, dir).documents, "text", "doc_id",
+      queryTerms = Seq("spark", "shuffle", "join"), topK = 15)
+
+  /** Cross-source shingle containment (TextAnalysis.groupContainment):
+    * for every ordered source pair, |5-shingles(a) ∩ 5-shingles(b)| /
+    * |5-shingles(a)| — the mirror-detection / marginal-value matrix of
+    * corpus curation.
+    */
+  def q91SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.groupContainment(Tables(spark, dir).documents, "text", "doc_id", "source", k = 5)
+      .orderBy("src_a", "src_b")
+
+  /** Per-source Tukey-fence length screening (Profile.iqrOutlierStats):
+    * exact quartile fences over n_chars broadcast back onto the scan.
+    */
+  def q92LengthOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.iqrOutlierStats(
+        Tables(spark, dir).documents, "source", "n_chars")
+      .orderBy("source")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

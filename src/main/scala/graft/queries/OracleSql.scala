@@ -485,6 +485,100 @@ object OracleSql {
         |       count(*) AS n_rows
         |FROM bk GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
 
+    // BM25: same arithmetic tree as Index.bm25TopK — constants appear as
+    // (1.2 + 1.0)-style runtime sums because the Scala side folds
+    // k1 + 1.0 in Double space and the literal 2.2 is a DIFFERENT double
+    "q89_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+        |         sum(CASE WHEN term = 'shuffle' THEN 1 ELSE 0 END) AS tf_shuffle,
+        |         sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_join
+        |  FROM toks GROUP BY 1),
+        |c AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |         sum(CASE WHEN tf_shuffle > 0 THEN 1 ELSE 0 END) AS df_shuffle,
+        |         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join
+        |  FROM perdoc)
+        |SELECT doc_id, n_tokens, score FROM (
+        |  SELECT doc_id, dl AS n_tokens,
+        |         round(
+        |           (CASE WHEN tf_spark > 0 THEN
+        |              ln(1.0 + (CAST(n AS DOUBLE) - df_spark + 0.5) / (df_spark + 0.5))
+        |                * CAST(tf_spark AS DOUBLE) * (1.2 + 1.0)
+        |                / (CAST(tf_spark AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |            ELSE 0.0 END)
+        |           + (CASE WHEN tf_shuffle > 0 THEN
+        |              ln(1.0 + (CAST(n AS DOUBLE) - df_shuffle + 0.5) / (df_shuffle + 0.5))
+        |                * CAST(tf_shuffle AS DOUBLE) * (1.2 + 1.0)
+        |                / (CAST(tf_shuffle AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |            ELSE 0.0 END)
+        |           + (CASE WHEN tf_join > 0 THEN
+        |              ln(1.0 + (CAST(n AS DOUBLE) - df_join + 0.5) / (df_join + 0.5))
+        |                * CAST(tf_join AS DOUBLE) * (1.2 + 1.0)
+        |                / (CAST(tf_join AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |            ELSE 0.0 END), 4) AS score
+        |  FROM perdoc CROSS JOIN c)
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q90_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN '0-RUSHED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.o_orderstatus <> n.o_orderstatus
+        |                OR o.o_totalprice <> n.o_totalprice
+        |                OR o.o_orderpriority <> n.o_orderpriority THEN 'changed'
+        |              ELSE 'unchanged' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q91_source_overlap" ->
+      """WITH w AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT source, shingle FROM (
+        |         SELECT source, unnest(list_transform(
+        |           generate_series(1, greatest(len(w) - 4, 1)),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS shingle
+        |         FROM w)),
+        |sizes AS (SELECT source, count(*) AS n_a FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+        |          GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_a, n_shared,
+        |       round(CAST(n_shared AS DOUBLE) / n_a, 4) AS containment
+        |FROM inter JOIN sizes ON sizes.source = inter.src_a
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q92_length_outliers" ->
+      """WITH f AS (
+        |  SELECT source,
+        |         quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |         quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |b AS (SELECT source, p25 - 1.5 * (p75 - p25) AS lo, p75 + 1.5 * (p75 - p25) AS hi FROM f)
+        |SELECT d.source, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < b.lo
+        |                  OR CAST(d.n_chars AS DOUBLE) > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(min(b.lo), 4) AS lo_fence,
+        |       round(min(b.hi), 4) AS hi_fence
+        |FROM documents d JOIN b ON b.source = d.source
+        |WHERE d.n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q87_source_quota" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

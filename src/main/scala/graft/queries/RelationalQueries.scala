@@ -783,6 +783,31 @@ object RelationalQueries {
     graft.operators.Profile.histogram(Tables(spark, dir).orders, "o_totalprice", 20)
       .orderBy("bucket")
 
+  /** Snapshot diff (operators.Diff): classify every order key across two
+    * deterministic snapshots of the orders table — "old" drops keys
+    * ≡ 3 (mod 10), "new" drops keys ≡ 7 (mod 10) and re-prioritizes keys
+    * ≡ 0 (mod 5) — then roll the per-key verdicts up to (change, n,
+    * min_key, max_key). The CDC-out-of-full-snapshots audit the
+    * reference's truncate-reload pattern cannot answer; one full-outer
+    * key join over (key, row-digest) streams.
+    */
+  def q90SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    val oldSnap = orders.where(pmod(col("o_orderkey"), lit(10)) =!= 3)
+    val newSnap = orders.where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("0-RUSHED"))
+          .otherwise(col("o_orderpriority")))
+    graft.operators.Diff.snapshotDiff(oldSnap, newSnap,
+        keyCols = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("change")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

@@ -22,7 +22,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q76_semdedup",         // centroid table broadcast-crossed for assignment, as q38
     "q82_lm_buckets",       // composes q71's unigram LM (same 1-row cross join)
     "q86_kmeans_step",      // centroid table broadcast-crossed for assignment, as q76
-    "q88_histogram"         // 1-row min/max bounds broadcast-crossed, as q58
+    "q88_histogram",        // 1-row min/max bounds broadcast-crossed, as q58
+    "q89_bm25"              // 1-row corpus constants (N, avgdl, dfs) broadcast-crossed
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

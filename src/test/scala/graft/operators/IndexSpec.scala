@@ -54,4 +54,34 @@ class IndexSpec extends SparkTestBase {
     val b = Index.invertedIndex(docs.repartition(13), "text", "doc_id", minDf = 2, maxPostings = 20)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("bm25 matches the hand-computed formula on a known corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark join spark"),
+      (2L, "join fast"),
+      (3L, "other words here")
+    ).toDF("doc_id", "text")
+    val out = Index.bm25TopK(df, "text", "doc_id", Seq("spark", "join"), topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("score"))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def term(tf: Double, df0: Double, dl: Double): Double =
+      math.log(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf * (k1 + 1.0) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3L, r4(term(2, 1, 3) + term(1, 2, 3)))))
+    assert(out(2L) === ((2L, r4(term(1, 2, 2)))))
+    assert(!out.contains(3L)) // no query term -> score 0 -> dropped
+  }
+
+  test("bm25 is invariant to input partitioning and caps at topK") {
+    val a = Index.bm25TopK(docs, "text", "doc_id", Seq("spark", "shuffle", "join"), topK = 15)
+    val b = Index.bm25TopK(docs.repartition(13), "text", "doc_id",
+      Seq("spark", "shuffle", "join"), topK = 15)
+    val ra = a.collect(); val rb = b.collect()
+    assert(ra.length <= 15 && ra.nonEmpty)
+    assert(ra.map(_.toString).toSeq === rb.map(_.toString).toSeq)
+  }
 }

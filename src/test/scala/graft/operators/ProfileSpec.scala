@@ -66,4 +66,34 @@ class ProfileSpec extends SparkTestBase {
     val total = out.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
     assert(total === orders.where("o_totalprice IS NOT NULL").count())
   }
+
+  test("iqrOutlierStats: Tukey fences from exact interpolated quartiles") {
+    import spark.implicits._
+    // 1..100 plus one far point: p25 = 26, p75 = 76 (linear interpolation
+    // at rank (n-1)*q over n=101 sorted values), IQR = 50 -> fences
+    // [-49, 151]; only 1000 falls outside
+    val d = ((1 to 100).map(v => ("g", v)) :+ (("g", 1000))).toDF("grp", "v")
+    val out = Profile.iqrOutlierStats(d, "grp", "v").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") === 101L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("lo_fence") === -49.0)
+    assert(r.getAs[Double]("hi_fence") === 151.0)
+  }
+
+  test("iqrOutlierStats: nulls excluded, k=0 degenerates to the IQR itself") {
+    import spark.implicits._
+    val d = Seq(("a", Some(1)), ("a", Some(2)), ("a", Some(3)), ("a", Some(4)), ("a", None))
+      .toDF("grp", "v")
+    val out = Profile.iqrOutlierStats(d, "grp", "v", k = 0.0).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // p25 = 1.75, p75 = 3.25; with k=0 the fences ARE the quartiles:
+    // values 1 and 4 fall outside, nulls don't count
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("n_outliers") === 2L)
+    assert(r.getAs[Double]("lo_fence") === 1.75)
+    assert(r.getAs[Double]("hi_fence") === 3.25)
+  }
 }

@@ -186,6 +186,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(bi(d) === bi(d.repartition(31)))
   }
 
+  test("groupContainment shingles per document, never across doc boundaries") {
+    import spark.implicits._
+    // g1 = two docs "a b" and "c d": with k=2 its shingle set is exactly
+    // {"a b","c d"} — a cross-doc chain would also produce "b c"
+    val d = Seq(
+      (1L, "a b", "g1"),
+      (2L, "c d", "g1"),
+      (3L, "a b", "g2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.groupContainment(d, "text", "doc_id", "source", k = 2)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    assert(out(("g1", "g2")) === ((2L, 1L, 0.5)), "g1 must have exactly 2 shingles (no chain)")
+    assert(out(("g2", "g1")) === ((1L, 1L, 1.0)))
+    assert(out.size === 2)
+  }
+
+  test("groupContainment is invariant to input partitioning") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.groupContainment(d, "text", "doc_id", "source")
+    val b = TextAnalysis.groupContainment(d.repartition(13), "text", "doc_id", "source")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("fingerprintAgg equals the inline-HOF fingerprint on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
       .union(Seq((9001L, "one two three", "en", "t", 13L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
