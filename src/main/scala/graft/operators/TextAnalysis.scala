@@ -210,12 +210,16 @@ object TextAnalysis {
                        groupCol: String, k: Int = 5): DataFrame = {
     // shingle within each DOCUMENT (the kernel's lead-window partitions by
     // the key — a bare group key would chain words across doc boundaries),
-    // then dedup straight to (group, shingle)
+    // then dedup straight to (group, shingle). The deduped stream feeds
+    // both sides of the self-join plus the size table, so it is persisted
+    // MEMORY_AND_DISK (the semanticDedup pattern) — without it Spark
+    // recomputes the explode+window chain three times.
     val sh = explodedShingles(
         df.withColumn("__gid", struct(col(groupCol), col(idCol))),
         textCol, "__gid", k)
       .select(col("__gid").getField(groupCol).as(groupCol), col("__sh").as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("n_a"))
       .withColumnRenamed(groupCol, "src_a")
     sh.withColumnRenamed(groupCol, "src_a").as("a")
