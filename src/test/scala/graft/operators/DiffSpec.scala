@@ -47,6 +47,32 @@ class DiffSpec extends SparkTestBase {
     assert(out.where(col("change") =!= "unchanged").count() === 0)
   }
 
+  test("diff over equal-bucketed snapshots plans with zero Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff_bucket").toString
+    val wh = graft.etl.ParquetWarehouse(spark, dir)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    wh.writeBucketed("d_old", orders.where(pmod(col("o_orderkey"), lit(10)) =!= 3),
+      4, Seq("o_orderkey"), Seq("o_orderkey"))
+    wh.writeBucketed("d_new", orders.where(pmod(col("o_orderkey"), lit(10)) =!= 7),
+      4, Seq("o_orderkey"), Seq("o_orderkey"))
+    try {
+      val diff = Diff.snapshotDiff(wh.readTable("d_old"), wh.readTable("d_new"),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      val counts = diff.groupBy("change").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("added") > 0 && counts("removed") > 0 && counts("unchanged") > 0)
+      // the digest projection preserves the bucketed distribution, so the
+      // full-outer sort-merge join needs NO shuffle on either snapshot
+      val joinPlan = diff.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"),
+        s"bucketed snapshot diff must not shuffle either side:\n$joinPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS d_old")
+      spark.sql("DROP TABLE IF EXISTS d_new")
+    }
+  }
+
   test("result is invariant to input partitioning") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val oldSnap = orders.where(pmod(col("o_orderkey"), lit(10)) =!= 3)
