@@ -27,6 +27,14 @@ import graft.operators.{Clustering, Index, Sampling}
   *      centroid: the decimal-exact mean of k copies of the same multiset
   *      is the same mean. Asserted exactly (the double-sum formulation
   *      would fail this — combine-order drift).
+  *   4. **Snapshot diff ×100** — 15M-key snapshots with churn planted by
+  *      key arithmetic (0.1% removed, 0.1% added, ~1% changed), so the
+  *      expected class counts are exact, not statistical. Asserts the
+  *      diff recovers them exactly, then repeats the diff over co-bucketed
+  *      warehouse snapshots and asserts the join plans with ZERO
+  *      exchanges (the DiffSpec CI pin, exercised at scale) — the shape a
+  *      100-TB warehouse's daily reload audit needs, where only the
+  *      one-time bucketed write pays a shuffle.
   *
   * Run: `sbt "runMain graft.ScaleProofR5 /root/testdata/sf0.1 SCALEPROOF_r5.json"`
   */
@@ -116,6 +124,60 @@ object ScaleProofR5 {
       scaledExpect.exceptAll(scaledStep).count()
     val kmEqual = kmDiff == 0
 
+    // ---- 4. snapshot diff ×100: planted churn found exactly; bucketed
+    // snapshots diff with ZERO exchanges ----
+    // 15M-key snapshots built from orders ×100 with fresh keys. Churn is
+    // planted by key arithmetic so expected class counts are EXACT:
+    //   removed    = keys ≡ 0 (mod 1000) of the old snapshot
+    //   added      = fresh keys beyond the old key space, 0.1% of base
+    //   changed    = surviving keys ≡ 1 (mod 100) (price bumped)
+    val orders = graft.sources.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val oStride = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val repD = 100
+    val oldSnap = orders.crossJoin(spark.range(repD.toLong).toDF("__r"))
+      .select((col("o_orderkey") + col("__r") * oStride).as("k"),
+        col("o_totalprice").as("v"))
+    val nOld = oldSnap.count()
+    val addedN = nOld / 1000
+    val newSnap = oldSnap.where(pmod(col("k"), lit(1000)) =!= 0)
+      .select(col("k"),
+        when(pmod(col("k"), lit(100)) === 1, col("v") + 1.0).otherwise(col("v")).as("v"))
+      .unionByName(spark.range(addedN).toDF("i")
+        .select((col("i") + oStride * repD).as("k"), lit(1.0).as("v")))
+    val expRemoved = oldSnap.where(pmod(col("k"), lit(1000)) === 0).count()
+    val expChanged = oldSnap.where(pmod(col("k"), lit(1000)) =!= 0 &&
+      pmod(col("k"), lit(100)) === 1).count()
+
+    val tRaw = System.nanoTime()
+    val rawCounts = graft.operators.Diff.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .groupBy(col("change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawSec = secs(tRaw)
+    val diffExact = rawCounts.getOrElse("removed", 0L) == expRemoved &&
+      rawCounts.getOrElse("changed", 0L) == expChanged &&
+      rawCounts.getOrElse("added", 0L) == addedN &&
+      rawCounts.getOrElse("unchanged", 0L) == nOld - expRemoved - expChanged
+
+    // bucketed path: one-time co-bucketed write, then the diff join plans
+    // with no Exchange (the CI pin in DiffSpec, here at 15M keys)
+    val whDir = java.nio.file.Files.createTempDirectory("graft_diff_scale").toString
+    val wh = graft.etl.ParquetWarehouse(spark, whDir)
+    val tWrite = System.nanoTime()
+    wh.writeBucketed("sp_old", oldSnap, 64, Seq("k"), Seq("k"))
+    wh.writeBucketed("sp_new", newSnap, 64, Seq("k"), Seq("k"))
+    val writeSec = secs(tWrite)
+    val tBuck = System.nanoTime()
+    val buckDiff = graft.operators.Diff.snapshotDiff(
+      wh.readTable("sp_old"), wh.readTable("sp_new"), Seq("k"), Seq("v"))
+    val buckCounts = buckDiff.groupBy(col("change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buckSec = secs(tBuck)
+    val buckNoExchange = !buckDiff.queryExecution.executedPlan.toString.contains("Exchange")
+    val buckEqual = buckCounts == rawCounts
+    spark.sql("DROP TABLE IF EXISTS sp_old")
+    spark.sql("DROP TABLE IF EXISTS sp_new")
+
     val json =
       s"""{"metric":"scaleproof_r5","sf_dir":"$sfDir",
          |"quota":{"rows":$nRows,"head_share":0.5,"quota":100,"salts":64,
@@ -126,13 +188,22 @@ object ScaleProofR5 {
          |"n_terms":${scaled.getLong(0)},"df_tf_scale_exact":$idxEqual},
          |"kmeans":{"vecs_base":$nVecs,"replication":$repKm,
          |"vecs_scaled":${nVecs * repKm},"wall_sec":${f"$kmSec%.1f"},
-         |"rows":$kmN,"centroids_invariant":$kmEqual,"diff_rows":$kmDiff}}"""
+         |"rows":$kmN,"centroids_invariant":$kmEqual,"diff_rows":$kmDiff},
+         |"snapshot_diff":{"keys":$nOld,"removed":$expRemoved,
+         |"changed":$expChanged,"added":$addedN,
+         |"raw_sec":${f"$rawSec%.1f"},"bucketed_write_sec":${f"$writeSec%.1f"},
+         |"bucketed_diff_sec":${f"$buckSec%.1f"},
+         |"counts_exact":$diffExact,"bucketed_no_exchange":$buckNoExchange,
+         |"bucketed_equal":$buckEqual}}"""
         .stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     require(quotaEqual, "salted quota diverged from plain")
     require(idxEqual, "inverted index did not scale df/tf exactly")
     require(kmEqual, "k-means centroids moved under replication")
+    require(diffExact, "snapshot diff missed planted churn")
+    require(buckNoExchange, "bucketed snapshot diff planned an Exchange")
+    require(buckEqual, "bucketed diff counts diverged from raw")
     spark.stop()
   }
 }

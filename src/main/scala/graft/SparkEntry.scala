@@ -113,7 +113,8 @@ object SparkEntry {
     "q89_bm25"           -> (D.q89Bm25(_, _)),
     "q90_snapshot_diff"  -> (R.q90SnapshotDiff(_, _)),
     "q91_source_overlap" -> (D.q91SourceOverlap(_, _)),
-    "q92_length_outliers" -> (D.q92LengthOutliers(_, _))
+    "q92_length_outliers" -> (D.q92LengthOutliers(_, _)),
+    "q93_weighted_sample" -> (D.q93WeightedSample(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

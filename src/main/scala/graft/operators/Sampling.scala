@@ -61,6 +61,35 @@ object Sampling {
     df.where(bucket(col(idCol)) < cut)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws key = ln(u)/w from a DETERMINISTIC uniform u — the
+    * md5 of its id, so the "random" draw is a pure row function, same on
+    * any partitioning or engine — and the global top-`n` keys win.
+    * Inclusion probability is proportional to weight, exactly the
+    * quality-weighted subsampling a curation pipeline uses to keep a
+    * token budget while favoring high-score documents.
+    *
+    * u = (h + 0.5) / 16^12 with h the first 12 md5 hex digits (48 bits —
+    * exact in a double on every engine), so u ∈ (0,1) and ln(u) is
+    * finite. Rows with weight <= 0 are excluded (A-ES requires positive
+    * weights).
+    *
+    * Scale: no shuffle — the key is a projection and the top-n plans as
+    * TakeOrderedAndProject (per-partition heads + driver merge of
+    * n·partitions rows, no global sort). Output keeps all columns plus
+    * the selection key as `__es_key`.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("double")
+    val u = (h + 0.5) / lit(281474976710656.0) // 16^12 = 2^48
+    val w = col(weightCol).cast("double")
+    df.where(w > 0)
+      .withColumn("__es_key", log(u) / w)
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Per-group quota cap: keep at most `quota` rows per `groupCol` value,
     * chosen by `preference` order (append the id column for a total order
     * — ties otherwise make the kept set partition-dependent). The

@@ -534,6 +534,16 @@ object DocQueries {
         Tables(spark, dir).documents, "source", "n_chars")
       .orderBy("source")
 
+  /** Deterministic weighted sampling (Sampling.weightedSample): 50 docs
+    * drawn without replacement with probability ∝ n_chars via
+    * Efraimidis–Spirakis keys over md5 uniforms — reproducible on any
+    * partitioning and replayable by any engine that can md5.
+    */
+  def q93WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(Tables(spark, dir).documents, "doc_id", "n_chars", n = 50)
+      .select(col("doc_id"), col("n_chars"), round(col("__es_key"), 6).as("es_key"))
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -579,6 +579,17 @@ object OracleSql {
         |WHERE d.n_chars IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Efraimidis–Spirakis keys: identical md5-uniform + ln arithmetic on
+    // both engines; selection orders by the RAW key, output rounds it
+    "q93_weighted_sample" ->
+      """SELECT doc_id, n_chars, round(k, 6) AS es_key FROM (
+        |  SELECT doc_id, n_chars,
+        |         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+        |            / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+        |  ORDER BY k DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+
     "q87_source_quota" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -87,4 +87,42 @@ class SamplingSpec extends SparkTestBase {
       saltKey = col("doc_id"), salts = 5)
     assert(plain.exceptAll(salted2).isEmpty && salted2.exceptAll(plain).isEmpty)
   }
+
+  test("weightedSample key matches the A-ES formula computed independently") {
+    import spark.implicits._
+    val d = Seq((1L, 100L), (2L, 200L), (3L, 50L)).toDF("id", "w")
+    val out = Sampling.weightedSample(d, "id", "w", n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("__es_key")).toMap
+    def expected(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 12), 16).toDouble
+      math.log((h + 0.5) / 281474976710656.0) / w
+    }
+    // Spark's Log expression (StrictMath.log) and the JVM intrinsic
+    // Math.log may differ in the last ulp — selection and the 6-decimal
+    // presentation rounding are insensitive to it, so the pin allows 2 ulps
+    for ((id, w) <- Seq((1L, 100.0), (2L, 200.0), (3L, 50.0))) {
+      val e = expected(id, w)
+      assert(math.abs(out(id) - e) <= 2 * math.ulp(e).abs, s"id=$id: ${out(id)} vs $e")
+    }
+  }
+
+  test("weightedSample: top-n selection, non-positive weights excluded, partition-invariant") {
+    import spark.implicits._
+    val d = ((1L to 100L).map(i => (i, i)) :+ ((101L, 0L)) :+ ((102L, -5L)))
+      .toDF("doc_id", "w")
+    val out = Sampling.weightedSample(d, "doc_id", "w", n = 10)
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size === 10)
+    assert(!ids.contains(101L) && !ids.contains(102L), "w<=0 must never be drawn")
+    val ids2 = Sampling.weightedSample(d.repartition(13), "doc_id", "w", n = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === ids2)
+    // heavier rows win more: the kept set's mean weight must exceed the
+    // population mean (weights 1..100, uniform draw would average ~50)
+    val meanKept = out.agg(avg(col("w"))).head.getDouble(0)
+    assert(meanKept > 50.0, s"weighted draw should favor heavy rows, mean=$meanKept")
+  }
 }
