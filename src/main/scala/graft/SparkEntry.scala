@@ -114,7 +114,12 @@ object SparkEntry {
     "q90_snapshot_diff"  -> (R.q90SnapshotDiff(_, _)),
     "q91_source_overlap" -> (D.q91SourceOverlap(_, _)),
     "q92_length_outliers" -> (D.q92LengthOutliers(_, _)),
-    "q93_weighted_sample" -> (D.q93WeightedSample(_, _))
+    "q93_weighted_sample" -> (D.q93WeightedSample(_, _)),
+    "q94_dim_stats"      -> (D.q94DimStats(_, _)),
+    "q95_vocab_encode"   -> (D.q95VocabEncode(_, _)),
+    "q96_hybrid_retrieval" -> (D.q96HybridRetrieval(_, _)),
+    "q97_char_entropy"   -> (D.q97CharEntropy(_, _)),
+    "q98_group_weighted_sample" -> (D.q98GroupWeightedSample(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -111,4 +111,42 @@ object Index {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion of two retrieval result lists — the standard
+    * hybrid-search combiner (lexical BM25 list ⊕ dense-embedding list):
+    * each candidate scores Σ 1/(kRrf + rank_i) over the lists it appears
+    * in, missing-from-a-list contributes 0. Rank-based fusion needs no
+    * score normalization, so the two lists' incomparable score scales
+    * never meet.
+    *
+    * `a` and `b` carry (idCol, scoreColX); ranks are assigned here as
+    * row_number over (score desc, id) so ties are deterministic. Both
+    * inputs are expected to be ALREADY top-k truncated (the output of
+    * [[bm25TopK]] / a cosine top-k): the rank windows are global but run
+    * over ≤k rows — bounded by construction, never corpus-cardinality —
+    * and the fusion is a full-outer join of two ≤k-row tables. Returns
+    * (idCol, rank_a, rank_b, rrf) for the `topK` best fused candidates,
+    * with 0 marking "absent from this list".
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              scoreColA: String, scoreColB: String,
+              topK: Int, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val ra = a.select(col(idCol),
+      row_number().over(Window.orderBy(col(scoreColA).desc, col(idCol))).cast("long").as("rank_a"))
+    val rb = b.select(col(idCol),
+      row_number().over(Window.orderBy(col(scoreColB).desc, col(idCol))).cast("long").as("rank_b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"),
+        round(
+          when(col("rank_a").isNotNull, lit(1.0) / (col("rank_a") + kRrf)).otherwise(0.0) +
+          when(col("rank_b").isNotNull, lit(1.0) / (col("rank_b") + kRrf)).otherwise(0.0),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

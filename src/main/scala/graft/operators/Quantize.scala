@@ -76,4 +76,31 @@ object Quantize {
   /** Dequantized doubles: mn + (q + 128) * (mx - mn) / 255. */
   private def dequant(q: Column, mn: Column, mx: Column): Column =
     transform(q, qi => mn + (qi + 128).cast("double") * (mx - mn) / 255)
+
+  /** Per-DIMENSION calibration statistics over an embedding corpus:
+    * (dim, n_vals, mean_val, min_val, max_val) for every coordinate — the
+    * range scan behind per-channel (as opposed to [[int8Profile]]'s
+    * per-vector) quantization, and the sanity profile that catches a dead
+    * or exploding embedding dimension before it poisons ANN recall.
+    *
+    * Plan shape: one posexplode of the vector column into (dim, value)
+    * pairs, then ONE dim-keyed aggregation — count/sum/min/max all combine
+    * map-side, so the single shuffle carries `dims × partitions` partial
+    * states, never the exploded stream. Nothing is corpus-cardinality but
+    * the scan itself.
+    *
+    * Determinism: float→double widening is exact; the mean accumulates as
+    * DECIMAL(28,9) so partition/summation order cannot perturb the last
+    * bit (the q86 centroid rule). mean/min/max are presentation-rounded to
+    * 6 decimals.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__dim", "__x")))
+      .groupBy(col("__dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n_vals"),
+        round(sum(col("__x").cast("decimal(28,9)")).cast("double") / count(lit(1)), 6)
+          .as("mean_val"),
+        round(min(col("__x")), 6).as("min_val"),
+        round(max(col("__x")), 6).as("max_val"))
 }

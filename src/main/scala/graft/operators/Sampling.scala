@@ -81,13 +81,43 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("double")
-    val u = (h + 0.5) / lit(281474976710656.0) // 16^12 = 2^48
-    val w = col(weightCol).cast("double")
-    df.where(w > 0)
-      .withColumn("__es_key", log(u) / w)
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("__es_key", esKey(col(idCol), col(weightCol)))
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(n)
+  }
+
+  /** The Efraimidis–Spirakis selection key ln(u)/w with the deterministic
+    * md5-uniform u of [[weightedSample]] — factored out so per-group and
+    * global sampling draw IDENTICAL keys for the same row.
+    */
+  def esKey(idCol: Column, weightCol: Column): Column = {
+    val h = conv(substring(md5(idCol.cast("string")), 1, 12), 16, 10).cast("double")
+    val u = (h + 0.5) / lit(281474976710656.0) // 16^12 = 2^48
+    log(u) / weightCol.cast("double")
+  }
+
+  /** [[weightedSample]] per group: an independent A-ES draw of `nPerGroup`
+    * rows WITHIN each `groupCol` value — stratified weighted subsampling
+    * (keep 100 quality-weighted documents per language/source). Keys are
+    * the same pure row function as [[weightedSample]], so the per-group
+    * draw is reproducible on any partitioning and any engine.
+    *
+    * One shuffle on the group key; the row_number-≤-n filter plans as
+    * partial+final `WindowGroupLimit` (the q87 shape), so map tasks
+    * pre-prune to `nPerGroup` rows per group before the exchange — a
+    * dominant group never ships more than nPerGroup·mapTasks rows.
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
+                             groupCol: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1, s"nPerGroup must be >= 1, got $nPerGroup")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__es_key").desc, col(idCol))
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("__es_key", esKey(col(idCol), col(weightCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nPerGroup)
+      .drop("__rn")
   }
 
   /** Per-group quota cap: keep at most `quota` rows per `groupCol` value,

@@ -398,4 +398,77 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         detMeanLog(col("cnt").cast("double") / col("__N")).as("avg_logprob"))
   }
+
+  /** Token→id encoding against a corpus-derived vocabulary — the
+    * tokenize-to-ids step that turns a curated text corpus into model
+    * input. The vocabulary is the `vocabSize` most frequent whitespace
+    * tokens (count desc, token asc — a total order, so the vocab is
+    * reproducible on any engine); ids are dense 1..vocabSize in that
+    * order, with 0 as the out-of-vocabulary id. Returns
+    * (idCol, n_tokens, token_ids: array<long>) with ids in original token
+    * order.
+    *
+    * Plan shape: ONE posexplode of the token stream feeds both sides: the
+    * vocabulary is a map-side-combinable term count + TakeOrderedAndProject
+    * head (per-partition heaps, no global sort), and the encode is a
+    * broadcast join of that ≤vocabSize-row table back onto the stream
+    * followed by ONE doc-keyed shuffle that reassembles (pos, id) pairs
+    * with array_sort — collect_list's partition-order nondeterminism is
+    * neutralized by sorting on the carried position.
+    *
+    * The id-assignment window is global but runs AFTER the limit, over at
+    * most `vocabSize` rows — bounded by construction, never
+    * corpus-cardinality.
+    */
+  def encodeTokens(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__tok")))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok"))
+      .limit(vocabSize)
+      .withColumn("__tid",
+        row_number().over(Window.orderBy(col("__cnt").desc, col("__tok"))).cast("long"))
+      .select(col("__tok"), col("__tid"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(col("__tid"), lit(0L)).as("__t")))).as("__ps"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        transform(col("__ps"), _.getField("__t")).as("token_ids"))
+  }
+
+  /** Character-distribution entropy of the letters [a-z] in the lowercased
+    * text — a language-agnostic quality signal: natural prose sits near
+    * the letter-frequency entropy of its language (~2.8–3 nats), while
+    * keyboard mash, base64 blobs, and single-char repetition fall far
+    * outside. Returns (idCol, n_alpha, char_entropy) for documents with at
+    * least one letter; entropy uses H = ln(n) − Σ c·ln(c) / n so no
+    * per-term probability needs the total before the sum.
+    *
+    * Plan shape: one letter explode, then (doc, char)-keyed counts — both
+    * aggregations are map-side combinable, and the per-doc state after the
+    * first agg is bounded by the 26-letter alphabet, so the doc-keyed
+    * shuffle carries ≤26 rows per document regardless of text length. The
+    * c·ln(c) terms are quantized to DECIMAL(28,9) before summing so
+    * partition order cannot perturb the result (the q71 rule).
+    */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]"), lit(0))).as("__ch"))
+      .groupBy(col("__id"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum((col("__c").cast("double") * log(col("__c").cast("double")))
+          .cast("decimal(28,9)")).as("__clnc"))
+      .select(col("__id").as(idCol),
+        col("__n").as("n_alpha"),
+        round(log(col("__n").cast("double")) -
+          col("__clnc").cast("double") / col("__n").cast("double"), 4).as("char_entropy"))
 }

@@ -544,6 +544,66 @@ object DocQueries {
       .select(col("doc_id"), col("n_chars"), round(col("__es_key"), 6).as("es_key"))
       .orderBy("doc_id")
 
+  /** Per-dimension embedding calibration stats (Quantize.dimStats):
+    * count/mean/min/max for each of the 64 coordinates — the range scan
+    * behind per-channel quantization, decimal-exact means.
+    */
+  def q94DimStats(spark: SparkSession, dir: String): DataFrame =
+    Quantize.dimStats(Tables(spark, dir).embeddings, "embedding")
+      .orderBy("dim")
+
+  /** Vocabulary token-id encoding (TextAnalysis.encodeTokens): ids 1..256
+    * by corpus frequency (count desc, token asc), OOV → 0, per-doc id
+    * sequence in original token order.
+    */
+  def q95VocabEncode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.encodeTokens(Tables(spark, dir).documents, "text", "doc_id",
+        vocabSize = 256)
+      .select(col("doc_id"), col("n_tokens"),
+        // comma-joined (the q41 cross-engine list convention)
+        array_join(transform(col("token_ids"), _.cast("string")), ",").as("token_ids"))
+      .orderBy("doc_id")
+
+  /** Hybrid retrieval (Index.rrfFuse): reciprocal-rank fusion of the
+    * BM25 top-50 lexical list (q89's fixed 3-term query) with the dense
+    * top-50 cosine list against vec_id 0's embedding — the standard
+    * two-tower hybrid search combiner, rank-based so the incomparable
+    * score scales never meet.
+    */
+  def q96HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val t = Tables(spark, dir)
+    val bm = Index.bm25TopK(t.documents, "text", "doc_id",
+      queryTerms = Seq("spark", "shuffle", "join"), topK = 50)
+    val q = t.embeddings.where(col("vec_id") === 0)
+      .select(col("embedding").as("__qv"))
+    val dense = t.embeddings.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(50)
+    Index.rrfFuse(bm, dense, "doc_id", "score", "cos_sim", topK = 20)
+      .orderBy("doc_id")
+  }
+
+  /** Character-entropy quality signal (TextAnalysis.charEntropy): the
+    * [a-z] distribution entropy per document.
+    */
+  def q97CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** Per-source weighted sampling (Sampling.weightedSamplePerGroup): an
+    * independent 5-document A-ES draw ∝ n_chars within every source.
+    */
+  def q98GroupWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSamplePerGroup(Tables(spark, dir).documents,
+        "doc_id", "n_chars", "source", nPerGroup = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("__es_key"), 6).as("es_key"))
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

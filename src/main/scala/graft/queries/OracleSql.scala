@@ -590,6 +590,109 @@ object OracleSql {
         |  ORDER BY k DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 
+    "q94_dim_stats" ->
+      """WITH ex AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+        |                   generate_subscripts(embedding, 1) AS dim
+        |            FROM embeddings)
+        |SELECT CAST(dim - 1 AS BIGINT) AS dim, count(*) AS n_vals,
+        |       round(CAST(sum(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_val,
+        |       round(min(val), 6) AS min_val,
+        |       round(max(val), 6) AS max_val
+        |FROM ex GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q95_vocab_encode" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM w),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS tid
+        |          FROM (SELECT * FROM freq ORDER BY cnt DESC, tok LIMIT 256))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       array_to_string(list(coalesce(tid, 0) ORDER BY pos), ',') AS token_ids
+        |FROM toks LEFT JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 side is q89's arithmetic at top-50; dense side is q25's cosine
+    // against vec 0; fusion ranks are ints, 1/(rank+60) the same double op
+    "q96_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+        |         sum(CASE WHEN term = 'shuffle' THEN 1 ELSE 0 END) AS tf_shuffle,
+        |         sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_join
+        |  FROM toks GROUP BY 1),
+        |c AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |         sum(CASE WHEN tf_shuffle > 0 THEN 1 ELSE 0 END) AS df_shuffle,
+        |         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join
+        |  FROM perdoc),
+        |bm AS (SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |         round(
+        |           (CASE WHEN tf_spark > 0 THEN
+        |              ln(1.0 + (CAST(n AS DOUBLE) - df_spark + 0.5) / (df_spark + 0.5))
+        |                * CAST(tf_spark AS DOUBLE) * (1.2 + 1.0)
+        |                / (CAST(tf_spark AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |            ELSE 0.0 END)
+        |           + (CASE WHEN tf_shuffle > 0 THEN
+        |              ln(1.0 + (CAST(n AS DOUBLE) - df_shuffle + 0.5) / (df_shuffle + 0.5))
+        |                * CAST(tf_shuffle AS DOUBLE) * (1.2 + 1.0)
+        |                / (CAST(tf_shuffle AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |            ELSE 0.0 END)
+        |           + (CASE WHEN tf_join > 0 THEN
+        |              ln(1.0 + (CAST(n AS DOUBLE) - df_join + 0.5) / (df_join + 0.5))
+        |                * CAST(tf_join AS DOUBLE) * (1.2 + 1.0)
+        |                / (CAST(tf_join AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |            ELSE 0.0 END), 4) AS score
+        |  FROM perdoc CROSS JOIN c)
+        |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |dense AS (SELECT doc_id, cos_sim FROM (
+        |  SELECT vec_id AS doc_id,
+        |         list_dot_product(nv, qv) /
+        |           (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(qv, qv))) AS cos_sim
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv
+        |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN q)
+        |  ORDER BY cos_sim DESC, doc_id LIMIT 50),
+        |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a FROM bm),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_b FROM dense),
+        |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |             coalesce(rank_a, 0) AS rank_a, coalesce(rank_b, 0) AS rank_b,
+        |             round((CASE WHEN rank_a IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (rank_a + 60) ELSE 0.0 END)
+        |                 + (CASE WHEN rank_b IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (rank_b + 60) ELSE 0.0 END), 6) AS rrf
+        |      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+        |SELECT doc_id, rank_a, rank_b, rrf
+        |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+
+    // H = ln(n) - sum(c*ln c)/n over [a-z] counts; the c*ln(c) terms are
+    // decimal-quantized before summing on both engines (the q71 rule)
+    "q97_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_alpha,
+        |       round(ln(CAST(sum(c) AS DOUBLE)) -
+        |             CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,9))) AS DOUBLE)
+        |               / CAST(sum(c) AS DOUBLE), 4) AS char_entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q93's key arithmetic, ranked within source instead of globally
+    "q98_group_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+        |            / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+        |SELECT doc_id, source, n_chars, round(k, 6) AS es_key FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        |  FROM k)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
     "q87_source_quota" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -23,7 +23,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q82_lm_buckets",       // composes q71's unigram LM (same 1-row cross join)
     "q86_kmeans_step",      // centroid table broadcast-crossed for assignment, as q76
     "q88_histogram",        // 1-row min/max bounds broadcast-crossed, as q58
-    "q89_bm25"              // 1-row corpus constants (N, avgdl, dfs) broadcast-crossed
+    "q89_bm25",             // 1-row corpus constants (N, avgdl, dfs) broadcast-crossed
+    "q96_hybrid_retrieval"  // composes q89's constants cross join + q25's 1-row query-vector broadcast
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

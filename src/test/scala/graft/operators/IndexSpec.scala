@@ -84,4 +84,29 @@ class IndexSpec extends SparkTestBase {
     assert(ra.length <= 15 && ra.nonEmpty)
     assert(ra.map(_.toString).toSeq === rb.map(_.toString).toSeq)
   }
+
+  test("rrfFuse combines two ranked lists with reciprocal-rank scores") {
+    import spark.implicits._
+    val a = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 9.0), (3L, 8.0), (4L, 7.0)).toDF("doc_id", "cos")
+    val out = Index.rrfFuse(a, b, "doc_id", "score", "cos", topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fused order: 2 (1/62+1/61) > 3 (1/63+1/62) > 1 (1/61) > 4 (1/63)
+    assert(out.map(_._1).toSeq === Seq(2L, 3L, 1L, 4L))
+    assert(out(0) === ((2L, 2L, 1L, r6(1.0 / 62 + 1.0 / 61))))
+    assert(out(1) === ((3L, 3L, 2L, r6(1.0 / 63 + 1.0 / 62))))
+    assert(out(2) === ((1L, 1L, 0L, r6(1.0 / 61)))) // absent from b -> rank_b 0
+    assert(out(3) === ((4L, 0L, 3L, r6(1.0 / 63)))) // absent from a -> rank_a 0
+  }
+
+  test("rrfFuse truncates to topK and breaks score ties by id") {
+    import spark.implicits._
+    val a = Seq((5L, 1.0), (6L, 1.0)).toDF("doc_id", "s") // tied scores
+    val b = Seq((6L, 1.0), (5L, 1.0)).toDF("doc_id", "s")
+    val out = Index.rrfFuse(a, b, "doc_id", "s", "s", topK = 1).collect()
+    // both lists rank 5 before 6 on the id tiebreak; 5 wins the fused tie too
+    assert(out.length === 1 && out(0).getLong(0) === 5L)
+  }
 }

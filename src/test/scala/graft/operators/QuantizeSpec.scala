@@ -75,4 +75,29 @@ class QuantizeSpec extends SparkTestBase {
         s"vec ${r.getAs[Long]("vec_id")} mse ${r.getAs[Double]("mse")} > $bound")
     }
   }
+
+  test("dimStats computes per-dimension count/mean/min/max on a known corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(-1.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.dimStats(df, "embedding").orderBy("dim").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(0) === 0L && out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === 1.0 && out(0).getDouble(3) === -1.0 && out(0).getDouble(4) === 3.0)
+    assert(out(1).getLong(0) === 1L && out(1).getLong(1) === 3L)
+    assert(math.abs(out(1).getDouble(2) - (2.0 + 4.0 + 10.0) / 3) < 1e-6)
+    assert(out(1).getDouble(3) === 2.0 && out(1).getDouble(4) === 10.0)
+  }
+
+  test("dimStats covers every dimension with full count and is partitioning-invariant") {
+    val a = Quantize.dimStats(embeddings, "embedding").orderBy("dim").collect()
+    val b = Quantize.dimStats(embeddings.repartition(13), "embedding").orderBy("dim").collect()
+    val n = embeddings.count()
+    assert(a.length === 64)
+    assert(a.forall(_.getLong(1) === n))
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
 }

@@ -125,4 +125,25 @@ class SamplingSpec extends SparkTestBase {
     val meanKept = out.agg(avg(col("w"))).head.getDouble(0)
     assert(meanKept > 50.0, s"weighted draw should favor heavy rows, mean=$meanKept")
   }
+
+  test("weightedSamplePerGroup draws the group-local weightedSample in every group") {
+    val out = Sampling.weightedSamplePerGroup(docs, "doc_id", "n_chars", "source", nPerGroup = 5)
+    val bySource = out.collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(bySource.values.forall(_.size === 5))
+    // each group's draw is exactly weightedSample run on that group alone
+    // (keys are a pure row function, so restriction commutes with selection)
+    for (src <- bySource.keys.take(3)) {
+      val solo = Sampling.weightedSample(
+          docs.where(col("source") === src), "doc_id", "n_chars", n = 5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(bySource(src) === solo, s"group $src")
+    }
+    // partitioning invariance
+    val again = Sampling.weightedSamplePerGroup(
+        docs.repartition(13), "doc_id", "n_chars", "source", nPerGroup = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === bySource.values.flatten.toSet)
+  }
 }

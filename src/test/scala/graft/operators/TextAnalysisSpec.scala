@@ -219,4 +219,44 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(agg === hof, "explode+min-agg plan must reproduce the HOF column exactly (incl. short docs)")
   }
+
+  test("encodeTokens assigns frequency-ranked ids with OOV = 0, in token order") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    // freqs: a=2 b=2 c=1 -> vocab order (cnt desc, tok asc): a=1, b=2; c is OOV
+    val out = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(out(1L) === ((3L, Seq(1L, 2L, 1L))))
+    assert(out(2L) === ((2L, Seq(2L, 0L))))
+  }
+
+  test("encodeTokens ids stay in [0, vocabSize] and are partitioning-invariant") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64)
+    val rows = a.collect()
+    assert(rows.forall(r => r.getLong(1) === r.getSeq[Long](2).size.toLong))
+    assert(rows.forall(_.getSeq[Long](2).forall(id => id >= 0L && id <= 64L)))
+    val b = TextAnalysis.encodeTokens(d.repartition(13), "text", "doc_id", vocabSize = 64)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("charEntropy: zero for single-letter docs, ln 2 for two balanced letters") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "AaB1 b!"), (4L, "123 .,")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((4L, 0.0)))
+    assert(out(2L) === ((4L, r4(math.log(2)))))
+    assert(out(3L) === ((4L, r4(math.log(2)))), "case-folded, digits/punct ignored")
+    assert(!out.contains(4L), "no letters -> no row")
+  }
+
+  test("charEntropy is bounded by ln 26 and partitioning-invariant on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.charEntropy(d, "text", "doc_id")
+    assert(a.where(col("char_entropy") < 0 || col("char_entropy") > math.log(26)).isEmpty)
+    val b = TextAnalysis.charEntropy(d.repartition(13), "text", "doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
