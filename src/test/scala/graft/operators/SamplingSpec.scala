@@ -146,4 +146,11 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again === bySource.values.flatten.toSet)
   }
+
+  test("weightedSamplePerGroup plans the partial WindowGroupLimit pre-prune") {
+    val plan = Sampling.weightedSamplePerGroup(docs, "doc_id", "n_chars", "source", 5)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit pair, plan:\n$plan")
+  }
 }

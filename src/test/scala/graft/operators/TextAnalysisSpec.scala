@@ -230,6 +230,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) === ((2L, Seq(2L, 0L))))
   }
 
+  test("encodeTokens plans a TakeOrderedAndProject vocab head and a broadcast encode join") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64)
+      .queryExecution.executedPlan.toString
+    // the vocab head must be a per-partition-heap top-k, not a global sort,
+    // and the encode must broadcast the <=V-row vocab, not shuffle the stream
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+  }
+
   test("encodeTokens ids stay in [0, vocabSize] and are partitioning-invariant") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64)
