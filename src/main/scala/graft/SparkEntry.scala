@@ -119,7 +119,8 @@ object SparkEntry {
     "q95_vocab_encode"   -> (D.q95VocabEncode(_, _)),
     "q96_hybrid_retrieval" -> (D.q96HybridRetrieval(_, _)),
     "q97_char_entropy"   -> (D.q97CharEntropy(_, _)),
-    "q98_group_weighted_sample" -> (D.q98GroupWeightedSample(_, _))
+    "q98_group_weighted_sample" -> (D.q98GroupWeightedSample(_, _)),
+    "q99_bm25_batch"     -> (D.q99Bm25Batch(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

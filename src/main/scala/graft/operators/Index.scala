@@ -112,6 +112,82 @@ object Index {
       .limit(topK)
   }
 
+  /** Batch multi-query BM25 top-k — the serving shape [[bm25TopK]] cannot
+    * reach: scoring Q query-term sets with [[bm25TopK]] costs Q full
+    * corpus aggregations, while real retrieval scores thousands of
+    * queries against ONE pass of the index. This form composes the
+    * [[invertedIndex]] idea with a (query_id, term) table instead.
+    *
+    * Plan shape — the corpus token stream is aggregated ONCE:
+    *   1. `tf` — ONE (doc, term)-keyed aggregation of the token stream
+    *      (map-side combinable; this IS the index body), persisted
+    *      MEMORY_AND_DISK across its three consumers (doc lengths,
+    *      per-term df, scoring) so the corpus is tokenized exactly once.
+    *   2. doc lengths + corpus constants (N, avgdl) derive from `tf`,
+    *      never from a second corpus scan; N/avgdl reduce to a 1-row
+    *      in-plan broadcast (the q58/q88 scalar pattern).
+    *   3. the query table and the per-term df table (computed over query
+    *      terms only, via a broadcast semi-join prune) BROADCAST onto
+    *      `tf` — the term-keyed equi-join ships zero corpus rows.
+    *   4. per-(query, doc) scores aggregate the surviving (doc, term)
+    *      hits; per-term contributions quantize to DECIMAL(28,9) before
+    *      summing (the q71 rule) so partition order cannot perturb the
+    *      score, and any engine replays it exactly.
+    *   5. per-query top-k is a rank window over query_id — Catalyst plans
+    *      it as partial+final `WindowGroupLimit` (the q87/q98 shape), so
+    *      map tasks pre-prune to k rows per query before the exchange.
+    *
+    * The only corpus-cardinality shuffles are the (doc, term) index
+    * aggregation and the doc-keyed join of the PRUNED hits against the
+    * doc-length table; everything query-sized broadcasts.
+    *
+    * `queries` carries (query_id, term), one row per term, terms distinct
+    * within a query. Arithmetic per term is identical to [[bm25TopK]]
+    * (Lucene idf). Output: (query_id, idCol, n_tokens, score) for the
+    * `topK` docs per query by (score desc, id); only docs containing at
+    * least one query term appear (Lucene idf > 0 always, so every hit
+    * scores > 0 — the same semantics as bm25TopK's score > 0 filter).
+    */
+  def bm25TopKBatch(df: DataFrame, textCol: String, idCol: String,
+                    queries: DataFrame, topK: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tf = df
+      .select(col(idCol).as("__id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))
+    val consts = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val qterms = queries.select(col("query_id"), col("term"))
+    val dfT = tf
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val tfd = col("__tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val termScore = idf * tfd * (k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("__id"))
+      .join(broadcast(consts))
+      .select(col("query_id"), col("__id"), col("__dl"),
+        termScore.cast("decimal(28,9)").as("__ts"))
+      .groupBy(col("query_id"), col("__id"), col("__dl"))
+      .agg(round(sum(col("__ts")).cast("double"), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("__id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("query_id"), col("__id").as(idCol),
+        col("__dl").as("n_tokens"), col("score"))
+  }
+
   /** Reciprocal-rank fusion of two retrieval result lists — the standard
     * hybrid-search combiner (lexical BM25 list ⊕ dense-embedding list):
     * each candidate scores Σ 1/(kRrf + rank_i) over the lists it appears
@@ -121,19 +197,35 @@ object Index {
     *
     * `a` and `b` carry (idCol, scoreColX); ranks are assigned here as
     * row_number over (score desc, id) so ties are deterministic. Both
-    * inputs are expected to be ALREADY top-k truncated (the output of
-    * [[bm25TopK]] / a cosine top-k): the rank windows are global but run
-    * over ≤k rows — bounded by construction, never corpus-cardinality —
-    * and the fusion is a full-outer join of two ≤k-row tables. Returns
+    * inputs must be ALREADY top-k truncated (the output of [[bm25TopK]] /
+    * a cosine top-k): the rank windows are global but run over ≤k rows —
+    * bounded by construction, never corpus-cardinality — and the fusion
+    * is a full-outer join of two ≤k-row tables. The contract is ENFORCED,
+    * not just documented: each input's analyzed plan must carry a static
+    * row bound (`LogicalPlan.maxRows`, propagated through
+    * Project/Sort/Filter from a `limit(k)` or a literal relation) of at
+    * most `maxInputRows`, so passing a raw corpus fails loudly at plan
+    * time instead of planning a single-partition sort over it. Returns
     * (idCol, rank_a, rank_b, rrf) for the `topK` best fused candidates,
     * with 0 marking "absent from this list".
     */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
               scoreColA: String, scoreColB: String,
-              topK: Int, kRrf: Int = 60): DataFrame = {
+              topK: Int, kRrf: Int = 60,
+              maxInputRows: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    def assertBounded(df: DataFrame, side: String): Unit = {
+      val bound = df.queryExecution.analyzed.maxRows
+      require(bound.exists(_ <= maxInputRows),
+        s"rrfFuse input '$side' is not statically bounded to <= $maxInputRows rows " +
+          s"(plan maxRows=$bound): rank fusion runs GLOBAL windows, so inputs must be " +
+          "pre-truncated top-k lists — apply .limit(k) (e.g. the output of bm25TopK " +
+          "or a cosine top-k) before fusing")
+    }
+    assertBounded(a, "a")
+    assertBounded(b, "b")
     val ra = a.select(col(idCol),
       row_number().over(Window.orderBy(col(scoreColA).desc, col(idCol))).cast("long").as("rank_a"))
     val rb = b.select(col(idCol),

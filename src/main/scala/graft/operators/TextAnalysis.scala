@@ -408,13 +408,17 @@ object TextAnalysis {
     * (idCol, n_tokens, token_ids: array<long>) with ids in original token
     * order.
     *
-    * Plan shape: ONE posexplode of the token stream feeds both sides: the
-    * vocabulary is a map-side-combinable term count + TakeOrderedAndProject
-    * head (per-partition heaps, no global sort), and the encode is a
-    * broadcast join of that ≤vocabSize-row table back onto the stream
-    * followed by ONE doc-keyed shuffle that reassembles (pos, id) pairs
-    * with array_sort — collect_list's partition-order nondeterminism is
-    * neutralized by sorting on the carried position.
+    * Plan shape: ONE posexplode of the token stream feeds both consumers —
+    * and because Spark does not share subtrees across join sides, the
+    * stream is persisted MEMORY_AND_DISK (the [[groupContainment]]
+    * precedent) so the corpus is scanned and tokenized exactly once, not
+    * once per consumer. The vocabulary is a map-side-combinable term count
+    * + TakeOrderedAndProject head (per-partition heaps, no global sort),
+    * and the encode is a broadcast join of that ≤vocabSize-row table back
+    * onto the cached stream followed by ONE doc-keyed shuffle that
+    * reassembles (pos, id) pairs with array_sort — collect_list's
+    * partition-order nondeterminism is neutralized by sorting on the
+    * carried position.
     *
     * The id-assignment window is global but runs AFTER the limit, over at
     * most `vocabSize` rows — bounded by construction, never
@@ -425,7 +429,8 @@ object TextAnalysis {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("__id"),
-      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__tok")))
+        posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__tok"))
       .limit(vocabSize)

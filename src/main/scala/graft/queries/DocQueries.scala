@@ -604,6 +604,27 @@ object DocQueries {
         round(col("__es_key"), 6).as("es_key"))
       .orderBy("doc_id")
 
+  /** The q99 batch query table — (query_id, term), terms distinct within
+    * each query. Query 1 is exactly q89's term set, so BatchBm25Spec can
+    * cross-check the batch path against the single-query path.
+    */
+  val Bm25BatchQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "shuffle", 1L -> "join",
+    2L -> "data", 2L -> "parquet",
+    3L -> "the", 3L -> "of", 3L -> "and")
+
+  /** Batch multi-query BM25 (Index.bm25TopKBatch): three query-term sets
+    * scored against ONE pass of the (doc, term) index — per-query top-10,
+    * q89's Lucene-idf arithmetic, per-term contributions decimal-quantized
+    * so the per-(query, doc) sum is partition-order invariant.
+    */
+  def q99Bm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Index.bm25TopKBatch(Tables(spark, dir).documents, "text", "doc_id",
+        Bm25BatchQueries.toDF("query_id", "term"), topK = 10)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

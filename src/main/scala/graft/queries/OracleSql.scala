@@ -693,6 +693,41 @@ object OracleSql {
         |  FROM k)
         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
+    // batch BM25 replays bm25TopKBatch stage for stage: the (doc, term)
+    // index, doc lengths + constants derived FROM it, per-term Lucene idf
+    // with the same (1.2 + 1.0)-style double tree as q89, per-term scores
+    // quantized to DECIMAL(28,9) before the per-(query, doc) sum
+    "q99_bm25_batch" ->
+      """WITH q AS (
+        |  SELECT CAST(v.query_id AS BIGINT) AS query_id, v.term
+        |  FROM (VALUES (1, 'spark'), (1, 'shuffle'), (1, 'join'),
+        |               (2, 'data'), (2, 'parquet'),
+        |               (3, 'the'), (3, 'of'), (3, 'and')) AS v(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+        |hits AS (
+        |  SELECT q.query_id, tf.doc_id, dl.dl,
+        |         CAST(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |              * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+        |            AS DECIMAL(28,9)) AS ts
+        |  FROM tf JOIN q USING (term) JOIN dft USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN c),
+        |scored AS (
+        |  SELECT query_id, doc_id, max(dl) AS n_tokens,
+        |         round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |  FROM hits GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_tokens, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
+
     "q87_source_quota" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -24,7 +24,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q86_kmeans_step",      // centroid table broadcast-crossed for assignment, as q76
     "q88_histogram",        // 1-row min/max bounds broadcast-crossed, as q58
     "q89_bm25",             // 1-row corpus constants (N, avgdl, dfs) broadcast-crossed
-    "q96_hybrid_retrieval"  // composes q89's constants cross join + q25's 1-row query-vector broadcast
+    "q96_hybrid_retrieval", // composes q89's constants cross join + q25's 1-row query-vector broadcast
+    "q99_bm25_batch"        // 1-row corpus constants (N, avgdl) broadcast-crossed, as q89
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

@@ -101,6 +101,99 @@ class IndexSpec extends SparkTestBase {
     assert(out(3) === ((4L, 0L, 3L, r6(1.0 / 63)))) // absent from a -> rank_a 0
   }
 
+  test("batch bm25 equals the single-query path for the shared term set") {
+    import spark.implicits._
+    val qs = graft.queries.DocQueries.Bm25BatchQueries.toDF("query_id", "term")
+    val batch = Index.bm25TopKBatch(docs, "text", "doc_id", qs, topK = 15)
+      .where(col("query_id") === 1L)
+      .select("doc_id", "n_tokens", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect()
+    val single = Index.bm25TopK(docs, "text", "doc_id",
+      Seq("spark", "shuffle", "join"), topK = 15).collect()
+    assert(batch.length === single.length && batch.nonEmpty)
+    batch.zip(single).foreach { case (bRow, sRow) =>
+      assert(bRow.getAs[Long]("doc_id") === sRow.getAs[Long]("doc_id"))
+      assert(bRow.getAs[Long]("n_tokens") === sRow.getAs[Long]("n_tokens"))
+      // batch quantizes per-term contributions to DECIMAL(28,9) before the
+      // group sum (partition-order invariance); the single-query path sums
+      // doubles in fixed term order — equal to well past the 4-decimal
+      // presentation rounding, but not guaranteed bitwise
+      assert(math.abs(bRow.getAs[Double]("score") - sRow.getAs[Double]("score")) < 1e-6,
+        s"doc ${bRow.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("batch bm25 matches the hand-computed formula per query") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark join spark"),
+      (2L, "join fast"),
+      (3L, "other words here")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark"), (10L, "join"), (20L, "fast"))
+      .toDF("query_id", "term")
+    val out = Index.bm25TopKBatch(df, "text", "doc_id", qs, topK = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("score"))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def term(tf: Double, df0: Double, dl: Double): Double =
+      math.log(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf * (k1 + 1.0) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((10L, 1L)) === ((3L, r4(term(2, 1, 3) + term(1, 2, 3)))))
+    assert(out((10L, 2L)) === ((2L, r4(term(1, 2, 2)))))
+    assert(out((20L, 2L)) === ((2L, r4(term(1, 1, 2)))))
+    // docs without a query term never appear for that query
+    assert(out.keySet === Set((10L, 1L), (10L, 2L), (20L, 2L)))
+  }
+
+  test("batch bm25 is invariant to input partitioning") {
+    import spark.implicits._
+    val qs = graft.queries.DocQueries.Bm25BatchQueries.toDF("query_id", "term")
+    val a = Index.bm25TopKBatch(docs, "text", "doc_id", qs, topK = 10)
+      .orderBy("query_id", "doc_id").collect()
+    val b = Index.bm25TopKBatch(docs.repartition(13), "text", "doc_id", qs, topK = 10)
+      .orderBy("query_id", "doc_id").collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
+  test("batch bm25 plan: WindowGroupLimit top-k, broadcast query joins, one cached index") {
+    import spark.implicits._
+    val qs = graft.queries.DocQueries.Bm25BatchQueries.toDF("query_id", "term")
+    val out = Index.bm25TopKBatch(docs, "text", "doc_id", qs, topK = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must pre-prune as WindowGroupLimit, not a bare filter after Window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-term and df tables must broadcast onto the index")
+    assert(plan.contains("InMemoryTableScan"),
+      "the (doc, term) index must be persisted across its three consumers")
+    assert(!plan.contains("SortMergeJoin") ||
+      "InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      "tf index recomputed instead of read from cache")
+  }
+
+  test("rrfFuse rejects inputs without a static row bound") {
+    import spark.implicits._
+    val bounded = Seq((1L, 1.0)).toDF("doc_id", "s")
+    // a parquet scan has no static row bound — exactly the misuse to refuse
+    val unbounded = docs.select(col("doc_id"), col("n_chars").cast("double").as("s"))
+    val e = intercept[IllegalArgumentException] {
+      Index.rrfFuse(unbounded, bounded, "doc_id", "s", "s", topK = 5)
+    }
+    assert(e.getMessage.contains("statically bounded"))
+    val e2 = intercept[IllegalArgumentException] {
+      Index.rrfFuse(bounded, unbounded, "doc_id", "s", "s", topK = 5)
+    }
+    assert(e2.getMessage.contains("'b'"))
+    // the same corpus-shaped input IS accepted once truncated
+    val ok = Index.rrfFuse(bounded, unbounded.limit(5), "doc_id", "s", "s", topK = 5)
+    assert(ok.count() >= 1)
+  }
+
   test("rrfFuse truncates to topK and breaks score ties by id") {
     import spark.implicits._
     val a = Seq((5L, 1.0), (6L, 1.0)).toDF("doc_id", "s") // tied scores

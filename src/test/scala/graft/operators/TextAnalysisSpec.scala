@@ -240,6 +240,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
   }
 
+  test("encodeTokens tokenizes the corpus ONCE: both consumers read the cached stream") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64)
+      .queryExecution.executedPlan.toString
+    // Spark does not share subtrees across join sides, so without the
+    // persist the scan + posexplode chain runs twice (once per consumer);
+    // with it, BOTH the vocab head and the encode join read InMemoryTableScan
+    val cachedReads = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cachedReads >= 2, s"expected both consumers on the cached token stream:\n$plan")
+  }
+
   test("encodeTokens ids stay in [0, vocabSize] and are partitioning-invariant") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64)
