@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, ShiftRight, Substring}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
-import graft.functions.{CosineSimilarity, Int8Stats}
+import graft.functions.{CharDistEntropy, CosineSimilarity, Int8Stats}
 import graft.operators.{Layout, Sharding}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -15,6 +15,9 @@ import graft.operators.{Layout, Sharding}
   *   - `cosine_sim(a, b)` — the native codegen cosine Expression;
   *   - `int8_stats(v)` — the native codegen int8-quantization statistics
   *     struct ([[graft.functions.Int8Stats]]);
+  *   - `char_dist_entropy(s)` — the native codegen [a-z] distribution
+  *     entropy struct ([[graft.functions.CharDistEntropy]]); pass the
+  *     already-lowercased text;
   *   - `z_value(a, b[, bits])` — [[Layout.zValue]]'s Morton interleave
   *     (bits must be an integer literal: the chain unrolls at plan time);
   *   - `shuffle_key(id)` — [[Sharding.shuffleKey]]'s md5-derived 60-bit
@@ -42,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "int8_stats takes exactly 1 argument")
         Int8Stats(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("char_dist_entropy"),
+      new ExpressionInfo(classOf[CharDistEntropy].getName, "char_dist_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "char_dist_entropy takes exactly 1 argument")
+        CharDistEntropy(children.head)
       }))
     e.injectFunction(GraftExtensions.zValueFn)
     e.injectFunction(GraftExtensions.shuffleKeyFn)

@@ -455,14 +455,35 @@ object TextAnalysis {
     * least one letter; entropy uses H = ln(n) − Σ c·ln(c) / n so no
     * per-term probability needs the total before the sum.
     *
-    * Plan shape: one letter explode, then (doc, char)-keyed counts — both
-    * aggregations are map-side combinable, and the per-doc state after the
-    * first agg is bounded by the 26-letter alphabet, so the doc-keyed
-    * shuffle carries ≤26 rows per document regardless of text length. The
-    * c·ln(c) terms are quantized to DECIMAL(28,9) before summing so
-    * partition order cannot perturb the result (the q71 rule).
+    * Plan shape: a PURE PROJECTION — entropy is per-document, so nothing
+    * here needs a shuffle at all. [[graft.functions.CharDistEntropy]]
+    * (a native codegen expression, the Int8Stats pattern) computes the 26
+    * letter counts and the decimal-quantized entropy in one byte scan per
+    * row; results are bitwise identical to [[charEntropyExploded]]
+    * (spec-asserted), which this replaced as the default.
     */
-  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.CharDistEntropy.charDistEntropy
+    df.select(col(idCol), charDistEntropy(lower(col(textCol))).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col(idCol),
+        col("__s").getField("n_alpha").as("n_alpha"),
+        round(col("__s").getField("char_entropy"), 4).as("char_entropy"))
+  }
+
+  /** The pre-[[graft.functions.CharDistEntropy]] relational formulation —
+    * retained as the spec cross-check for the native expression (and as
+    * the portable spelling for engines without extension expressions):
+    * one letter explode, then (doc, char)-keyed counts. Both aggregations
+    * are map-side combinable and the per-doc state after the first agg is
+    * bounded by the 26-letter alphabet, so the doc-keyed shuffle carries
+    * ≤26 rows per document — the cost is not the shuffle but the
+    * corpus-character cardinality of per-row explode CPU, which the fused
+    * expression deletes. The c·ln(c) terms are quantized to DECIMAL(28,9)
+    * before summing so partition order cannot perturb the result (the q71
+    * rule) — the fused form replays exactly that quantization.
+    */
+  def charEntropyExploded(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]"), lit(0))).as("__ch"))
       .groupBy(col("__id"), col("__ch"))

@@ -49,6 +49,25 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlOut === colOut)
   }
 
+  test("SQL char_dist_entropy equals the Column API struct") {
+    import graft.functions.CharDistEntropy
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_dist_entropy", (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1); CharDistEntropy(children.head)
+      }, "built-in")
+    val sqlOut = spark.sql(
+      "SELECT char_dist_entropy(lower('AbAb!! 12')) AS s")
+      .select("s.n_alpha", "s.char_entropy").collect().head
+    val colOut = spark.range(1).select(
+      CharDistEntropy.charDistEntropy(lower(lit("AbAb!! 12"))).as("s"))
+      .select("s.n_alpha", "s.char_entropy").collect().head
+    assert(sqlOut === colOut)
+    assert(sqlOut.getLong(0) === 4L)
+    assert(math.abs(sqlOut.getDouble(1) - math.log(2)) < 1e-9)
+    // letterless input -> null struct (the exploded form emits no row)
+    assert(spark.sql("SELECT char_dist_entropy('123 .,!') AS s").collect().head.isNullAt(0))
+  }
+
   test("SQL shuffle_key equals the Column API and the md5 derivation") {
     register()
     val sqlOut = spark.sql("SELECT shuffle_key(42) AS k").collect().head.getLong(0)

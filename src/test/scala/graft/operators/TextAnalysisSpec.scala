@@ -280,4 +280,27 @@ class TextAnalysisSpec extends SparkTestBase {
     val b = TextAnalysis.charEntropy(d.repartition(13), "text", "doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("fused charEntropy is bitwise identical to the exploded cross-check on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = TextAnalysis.charEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exploded = TextAnalysis.charEntropyExploded(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(fused.keySet === exploded.keySet)
+    fused.foreach { case (id, (n, h)) =>
+      val (ne, he) = exploded(id)
+      assert(n === ne, s"n_alpha mismatch for doc $id")
+      assert(java.lang.Double.doubleToLongBits(h) === java.lang.Double.doubleToLongBits(he),
+        s"entropy not bitwise equal for doc $id: fused=$h exploded=$he")
+    }
+  }
+
+  test("fused charEntropy plans as a pure projection: no explode, no exchange") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.charEntropy(d, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"explode survived the fusion:\n$plan")
+    assert(!plan.contains("Exchange"), s"per-doc entropy must not shuffle:\n$plan")
+  }
 }
