@@ -120,7 +120,11 @@ object SparkEntry {
     "q96_hybrid_retrieval" -> (D.q96HybridRetrieval(_, _)),
     "q97_char_entropy"   -> (D.q97CharEntropy(_, _)),
     "q98_group_weighted_sample" -> (D.q98GroupWeightedSample(_, _)),
-    "q99_bm25_batch"     -> (D.q99Bm25Batch(_, _))
+    "q99_bm25_batch"     -> (D.q99Bm25Batch(_, _)),
+    "q100_pq_codebooks"  -> (D.q100PqCodebooks(_, _)),
+    "q101_pq_codes"      -> (D.q101PqCodes(_, _)),
+    "q102_pq_adc_topk"   -> (D.q102PqAdcTopK(_, _)),
+    "q103_pq_rerank"     -> (D.q103PqRerank(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

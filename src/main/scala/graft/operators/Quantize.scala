@@ -103,4 +103,114 @@ object Quantize {
           .as("mean_val"),
         round(min(col("__x")), 6).as("min_val"),
         round(max(col("__x")), 6).as("max_val"))
+
+  // ---------------------------------------------------------------------
+  // Product quantization (the IVF-PQ compression path): split each vector
+  // into `m` contiguous subvectors, k-means each subspace independently,
+  // and store per vector only the m nearest-centroid ids — 64 float dims
+  // become 4 bytes. Composes the engine's existing pieces: deterministic
+  // lowest-id seeds (Similarity.seedCentroids), one decimal-exact Lloyd
+  // step per subspace (the q86 Clustering.lloydStep rule), broadcast-
+  // argmin assignment (the q76 shape), and ADC scoring in
+  // Similarity.pqTopK.
+  // ---------------------------------------------------------------------
+
+  /** Unrolled squared-L2 distance between two array<double> columns of
+    * STATIC width `dim`: a left-associated sum of (a_i − b_i)² terms —
+    * plain codegen'd arithmetic with a fixed association order (the
+    * signPlaneBucket unroll precedent), so any engine replays it bit for
+    * bit; an interpreted higher-order `aggregate` fold would be slower AND
+    * harder to replay.
+    */
+  def l2Sq(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { j =>
+      val d = element_at(a, j + 1) - element_at(b, j + 1)
+      d * d
+    }.reduce(_ + _)
+
+  /** (__vid, __ss, __sv): every input vector split into `m` subvectors of
+    * `subDim` contiguous dimensions — subspace `s` covers dims
+    * [s·subDim, (s+1)·subDim). One projection, no shuffle.
+    */
+  private[operators] def sliced(df: DataFrame, vecCol: String, idCol: String,
+                                m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__vid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("__v"), s * subDim + 1, lit(subDim)))).as(Seq("__ss", "__sv")))
+
+  /** PQ codebook training: per subspace, `k` centroids seeded from the
+    * `k` lowest-id vectors' subvectors (dense ids 0..k−1 in vector-id
+    * order — deterministic on any engine) and refined by ONE decimal-exact
+    * Lloyd step (the q86 policy: iterate further as needed; a cluster that
+    * attracts no members emits no rows and the caller carries the seed
+    * forward). Output: (subspace, centroid_id, dim, n_members, value)
+    * with `dim` 0-based within the subspace and `value` the member mean
+    * rounded to `roundTo` decimals.
+    *
+    * Plan shape: the k·m seed table BROADCASTS; assignment is a broadcast
+    * join + min(struct(dist, cid, sv)) aggregation — argmin as a map-side-
+    * combinable struct-min, so the (vid, subspace)-keyed shuffle carries
+    * one candidate per group per map task, never the k-way fan-out. The
+    * update explodes members to (subspace, cid, dim, value) and runs ONE
+    * aggregation whose state is bounded by m · k · subDim · partitions,
+    * independent of corpus size.
+    */
+  def pqCodebooks(df: DataFrame, vecCol: String, idCol: String,
+                  m: Int, subDim: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1, s"need m, subDim, k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__sid"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__cid",
+        row_number().over(Window.orderBy(col("__sid"))).cast("long") - 1)
+      .select(col("__cid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("__v"), s * subDim + 1, lit(subDim)))).as(Seq("__ss", "__cv")))
+    sliced(df, vecCol, idCol, m, subDim)
+      .join(broadcast(seeds), Seq("__ss"))
+      .withColumn("__d", l2Sq(col("__sv"), col("__cv"), subDim))
+      .groupBy(col("__vid"), col("__ss"))
+      .agg(min(struct(col("__d"), col("__cid"), col("__sv"))).as("__m"))
+      .select(col("__ss"), col("__m.__cid").as("__cid"),
+        posexplode(col("__m.__sv")).as(Seq("dim", "__val")))
+      .groupBy(col("__ss"), col("__cid"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("__val").cast("decimal(28,9)")).cast("double") / count(lit(1)),
+          roundTo).as("value"))
+      .select(col("__ss").cast("long").as("subspace"), col("__cid").as("centroid_id"),
+        col("dim").cast("long").as("dim"), col("n_members"), col("value"))
+  }
+
+  /** Reassemble [[pqCodebooks]]'s flat (subspace, centroid_id, dim, value)
+    * rows into (__ss, __cid, __cv: array<double>) — the broadcastable form
+    * assignment and ADC scoring consume. Tiny table (m · k rows);
+    * array_sort on the carried dim neutralizes collect_list order.
+    */
+  def pqCodebookArrays(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy(col("subspace"), col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("value")))).as("__ps"))
+      .select(col("subspace").as("__ss"), col("centroid_id").as("__cid"),
+        transform(col("__ps"), _.getField("value")).as("__cv"))
+
+  /** PQ code assignment: each vector's m subvectors mapped to their
+    * nearest codebook centroid (squared L2, ties to the lower centroid
+    * id). Output: (idCol, subspace, code) — the m-byte compressed
+    * representation, one row per (vector, subspace).
+    *
+    * Plan shape: codebook broadcasts (m·k rows); argmin is the same
+    * map-side-combinable min(struct) as training — the only shuffle is
+    * (vid, subspace)-keyed partial-argmin states. Nothing is
+    * corpus-cardinality but the scan.
+    */
+  def pqCodes(df: DataFrame, vecCol: String, idCol: String,
+              codebooks: DataFrame, m: Int, subDim: Int): DataFrame =
+    sliced(df, vecCol, idCol, m, subDim)
+      .join(broadcast(pqCodebookArrays(codebooks)), Seq("__ss"))
+      .withColumn("__d", l2Sq(col("__sv"), col("__cv"), subDim))
+      .groupBy(col("__vid"), col("__ss"))
+      .agg(min(struct(col("__d"), col("__cid"))).as("__m"))
+      .select(col("__vid").as(idCol), col("__ss").cast("long").as("subspace"),
+        col("__m.__cid").as("code"))
 }

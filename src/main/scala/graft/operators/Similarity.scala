@@ -198,6 +198,98 @@ object Similarity {
       .select(col(cidCol), coalesce(col("__mean"), col(cvCol)).as(cvCol))
   }
 
+  /** IVF-PQ-style ANN via asymmetric distance computation (ADC): the
+    * corpus is stored only as [[Quantize.pqCodes]] m-byte codes; a query
+    * never touches a corpus vector again. Per query, the exact squared-L2
+    * from each of its m subvectors to every codebook centroid forms a
+    * (query, subspace, code) → distance TABLE (|q|·m·k rows — tiny), and a
+    * corpus vector's approximate distance is the sum of its m table
+    * lookups. This is the FAISS serving shape: scan cost per query drops
+    * from n·dim multiplies to n·m additions.
+    *
+    * Plan shape: the distance table BROADCASTS onto the codes table — the
+    * (subspace, code) equi-join ships zero corpus rows — and the
+    * per-(query, vector) sum is ONE map-side-combinable aggregation of
+    * decimal-quantized lookups (partition-order invariant, the q71 rule).
+    * Per-query top-k is the rank-window / WindowGroupLimit shape. Nothing
+    * is corpus-cardinality but the codes scan itself.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist) — rank by
+    * (adc_dist asc, neighbor_id), self-pairs excluded, adc_dist rounded
+    * to 6 decimals before ranking so any engine ranks identically.
+    */
+  def pqTopKWithCodes(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                      vecCol: String, idCol: String, k: Int,
+                      m: Int, subDim: Int): DataFrame = {
+    val dt = Quantize.sliced(queries, vecCol, idCol, m, subDim)
+      .join(broadcast(Quantize.pqCodebookArrays(codebooks)), Seq("__ss"))
+      .select(col("__vid").as("query_id"),
+        col("__ss").cast("long").as("subspace"),
+        col("__cid").as("code"),
+        Quantize.l2Sq(col("__sv"), col("__cv"), subDim).cast("decimal(28,9)").as("__qd"))
+    val scored = codes
+      .join(broadcast(dt), Seq("subspace", "code"))
+      .where(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__qd")).cast("double"), 6).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** [[pqTopKWithCodes]] end to end: train [[Quantize.pqCodebooks]] on the
+    * corpus, assign [[Quantize.pqCodes]], then ADC-score the queries — the
+    * one-call form for ad-hoc use; production stores the codebook + codes
+    * once and serves many query batches through [[pqTopKWithCodes]].
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+             k: Int, m: Int = 4, subDim: Int = 16, numCentroids: Int = 8): DataFrame = {
+    // the trained codebook feeds BOTH code assignment and the distance
+    // table; persist the tiny (m·k·subDim rows) result so training's
+    // corpus pass runs once, not once per consumer
+    val cb = Quantize.pqCodebooks(corpus, vecCol, idCol, m, subDim, numCentroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqTopKWithCodes(queries, Quantize.pqCodes(corpus, vecCol, idCol, cb, m, subDim),
+      cb, vecCol, idCol, k, m, subDim)
+  }
+
+  /** Two-stage PQ serving — ADC shortlist, then EXACT rerank (the
+    * standard FAISS pattern, and the reason coarse-PQ recall is
+    * acceptable in production): [[pqTopK]] produces a `shortlist`-sized
+    * candidate set per query from codes alone, then only the
+    * |queries|·shortlist surviving pairs fetch their real vectors for an
+    * exact unrolled-L2 re-sort. Corpus-cardinality work stays in the code
+    * scan; the float vectors are touched for the shortlist only.
+    *
+    * Plan shape: the shortlist (an aggregation output, small by
+    * construction) broadcasts onto the corpus vector table — an equi-join
+    * on the neighbor id, no shuffle of the corpus — and the query vectors
+    * broadcast as in [[bruteForceTopK]]. `dim` is the full vector width (a
+    * plan-time constant: the unrolled distance needs a static term count).
+    * Output: (query_id, rank, neighbor_id, l2_dist) with l2_dist rounded
+    * to 6 decimals BEFORE ranking so any engine ranks identically.
+    */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+                     k: Int, shortlist: Int, dim: Int,
+                     m: Int = 4, subDim: Int = 16, numCentroids: Int = 8): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = pqTopK(queries, corpus, vecCol, idCol, shortlist, m, subDim, numCentroids)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("neighbor_id"))
+    broadcast(short).join(nv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("l2_dist", round(Quantize.l2Sq(col("__qv"), col("__nv"), dim), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2_dist"))
+  }
+
   /** SRP-LSH ANN top-k: restrict each query to corpus vectors in the same
     * hyperplane bucket, then exact cosine within the bucket. Recall is
     * tunable via `planes` (fewer planes → bigger buckets → higher recall,

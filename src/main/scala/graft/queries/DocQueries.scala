@@ -625,6 +625,50 @@ object DocQueries {
       .orderBy("query_id", "doc_id")
   }
 
+  /** PQ codebook training (Quantize.pqCodebooks): 4 subspaces × 16 dims ×
+    * 8 centroids over the embeddings table — lowest-id seeds, one
+    * decimal-exact Lloyd step per subspace (the q86 rule applied per
+    * subspace).
+    */
+  def q100PqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    Quantize.pqCodebooks(Tables(spark, dir).embeddings, "embedding", "vec_id",
+        m = 4, subDim = 16, k = 8)
+      .orderBy("subspace", "centroid_id", "dim")
+
+  /** PQ code assignment (Quantize.pqCodes): every vector compressed to 4
+    * nearest-centroid ids against the q100 codebook — the m-byte
+    * representation ADC serving scans instead of the float vectors.
+    */
+  def q101PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cb = Quantize.pqCodebooks(e, "embedding", "vec_id", m = 4, subDim = 16, k = 8)
+    Quantize.pqCodes(e, "embedding", "vec_id", cb, m = 4, subDim = 16)
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** PQ ADC retrieval (Similarity.pqTopK): top-10 approximate-L2
+    * neighbours for query vectors 0–2, scored purely from the q101 codes
+    * via each query's broadcast (subspace, code) → distance table.
+    */
+  def q102PqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqTopK(e.where(col("vec_id") < 3), e, "embedding", "vec_id",
+        k = 10, m = 4, subDim = 16, numCentroids = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ two-stage serving (Similarity.pqTopKReranked): ADC top-50
+    * shortlist from codes alone, exact unrolled-L2 rerank of only the
+    * shortlisted pairs, final top-10 — the FAISS shortlist-then-rerank
+    * pattern that restores recall lost to coarse quantization.
+    */
+  def q103PqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.pqTopKReranked(e.where(col("vec_id") < 3), e, "embedding", "vec_id",
+        k = 10, shortlist = 50, dim = 64, m = 4, subDim = 16, numCentroids = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -728,6 +728,14 @@ object OracleSql {
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
 
+    // PQ family: generated SQL (the zOrder/SimHash precedent) replaying
+    // training, assignment, and ADC scoring with Quantize.l2Sq's exact
+    // unrolled association order
+    "q100_pq_codebooks" -> pqCodebooksSql,
+    "q101_pq_codes" -> pqCodesSql,
+    "q102_pq_adc_topk" -> pqAdcTopKSql,
+    "q103_pq_rerank" -> pqRerankSql,
+
     "q87_source_quota" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
@@ -1421,6 +1429,101 @@ object OracleSql {
         |       min(avg_logprob) AS min_logprob, max(avg_logprob) AS max_logprob
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
+
+  /** Unrolled squared-L2 over `dim` list elements with the SAME left
+    * association as Quantize.l2Sq's reduce — bit-identical doubles on both
+    * engines (the zOrderSql unroll precedent).
+    */
+  private def l2SqSql(a: String, b: String, dim: Int): String =
+    (0 until dim).map(j => s"($a[${j + 1}] - $b[${j + 1}]) * ($a[${j + 1}] - $b[${j + 1}])")
+      .mkString(" + ")
+
+  /** Shared PQ CTE chain replaying Quantize.pqCodebooks (m=4, subDim=16,
+    * k=8): slice → lowest-id seeds with dense 0-based cids → unrolled-L2
+    * argmin (dist, cid tiebreak — the min(struct) order) → decimal-exact
+    * member means. `cb` is the flat codebook, `cbsub`/`codes` replay
+    * pqCodebookArrays + pqCodes for the downstream queries.
+    */
+  private def pqCtes: String = {
+    val seedDist = l2SqSql("sl.sv", "seeds.cv", 16)
+    val codeDist = l2SqSql("sl.sv", "cbsub.cv", 16)
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sl AS (SELECT vec_id AS vid, t.s AS ss, v[(t.s*16+1):(t.s*16+16)] AS sv
+       |       FROM e CROSS JOIN range(4) t(s)),
+       |seedv AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid
+       |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+       |seeds AS (SELECT cid, t.s AS ss, v[(t.s*16+1):(t.s*16+16)] AS cv
+       |          FROM seedv CROSS JOIN range(4) t(s)),
+       |assigned AS (SELECT vid, ss, cid, sv FROM (
+       |    SELECT sl.vid, sl.ss, seeds.cid, sl.sv,
+       |           row_number() OVER (PARTITION BY sl.vid, sl.ss
+       |                              ORDER BY $seedDist, seeds.cid) AS rn
+       |    FROM sl JOIN seeds ON sl.ss = seeds.ss)
+       |  WHERE rn = 1),
+       |exm AS (SELECT ss, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS dim
+       |        FROM assigned),
+       |cb AS (SELECT CAST(ss AS BIGINT) AS subspace, cid AS centroid_id,
+       |              CAST(dim - 1 AS BIGINT) AS dim, count(*) AS n_members,
+       |              round(CAST(sum(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS value
+       |       FROM exm GROUP BY ss, cid, dim),
+       |cbsub AS (SELECT subspace AS ss, centroid_id AS cid, list(value ORDER BY dim) AS cv
+       |          FROM cb GROUP BY 1, 2),
+       |codes AS (SELECT vid, ss, cid AS code FROM (
+       |    SELECT sl.vid, sl.ss, cbsub.cid,
+       |           row_number() OVER (PARTITION BY sl.vid, sl.ss
+       |                              ORDER BY $codeDist, cbsub.cid) AS rn
+       |    FROM sl JOIN cbsub ON sl.ss = cbsub.ss)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqCodebooksSql: String =
+    s"""WITH $pqCtes
+       |SELECT subspace, centroid_id, dim, n_members, value
+       |FROM cb ORDER BY subspace, centroid_id, dim""".stripMargin
+
+  private def pqCodesSql: String =
+    s"""WITH $pqCtes
+       |SELECT vid AS vec_id, CAST(ss AS BIGINT) AS subspace, code
+       |FROM codes ORDER BY vec_id, subspace""".stripMargin
+
+  /** The ADC scoring CTEs shared by q102/q103: query slices, per-(query,
+    * subspace, centroid) distance table, per-(query, vector) decimal sum.
+    */
+  private def pqAdcCtes: String = {
+    val adcDist = l2SqSql("qsl.sv", "cbsub.cv", 16)
+    s"""qsl AS (SELECT vid AS qid, ss, sv FROM sl WHERE vid < 3),
+       |dt AS (SELECT qid, cbsub.ss, cbsub.cid, CAST($adcDist AS DECIMAL(28,9)) AS qd
+       |       FROM qsl JOIN cbsub ON qsl.ss = cbsub.ss),
+       |scored AS (SELECT dt.qid, codes.vid,
+       |                  round(CAST(sum(qd) AS DOUBLE), 6) AS adc_dist
+       |           FROM codes JOIN dt ON codes.ss = dt.ss AND codes.code = dt.cid
+       |           WHERE dt.qid <> codes.vid
+       |           GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def pqAdcTopKSql: String =
+    s"""WITH $pqCtes,
+       |$pqAdcCtes
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rn
+       |      FROM scored)
+       |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def pqRerankSql: String = {
+    val exact = l2SqSql("qe.v", "ne.v", 64)
+    s"""WITH $pqCtes,
+       |$pqAdcCtes,
+       |short AS (SELECT qid, vid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 50),
+       |rr AS (SELECT s.qid, s.vid, round($exact, 6) AS l2_dist
+       |       FROM short s JOIN e qe ON qe.vec_id = s.qid JOIN e ne ON ne.vec_id = s.vid)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, l2_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2_dist, vid) AS rn
+       |      FROM rr)
+       |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q77's per-column UNION ALL branches, generated from the same column
     * list the Spark query profiles.

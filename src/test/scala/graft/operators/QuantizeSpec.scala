@@ -92,6 +92,76 @@ class QuantizeSpec extends SparkTestBase {
     assert(out(1).getDouble(3) === 2.0 && out(1).getDouble(4) === 10.0)
   }
 
+  test("pqCodebooks on a hand-checkable corpus: lowest-id seeds, L2 argmin, exact means") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 centroids; seeds = ids 1,2
+    val d = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(4.0, 4.0, 20.0, 20.0)),
+      (3L, Seq(1.0, 1.0, 21.0, 21.0)),
+      (4L, Seq(3.0, 3.0, 11.0, 11.0))
+    ).toDF("vec_id", "embedding")
+    val cb = Quantize.pqCodebooks(d, "embedding", "vec_id", m = 2, subDim = 2, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    // subspace 0 (dims 0-1): seeds c0=(0,0) c1=(4,4); members c0={v1,v3} c1={v2,v4}
+    assert(cb((0L, 0L, 0L)) === ((2L, 0.5)) && cb((0L, 0L, 1L)) === ((2L, 0.5)))
+    assert(cb((0L, 1L, 0L)) === ((2L, 3.5)) && cb((0L, 1L, 1L)) === ((2L, 3.5)))
+    // subspace 1 (dims 2-3): seeds c0=(10,10) c1=(20,20); members c0={v1,v4} c1={v2,v3}
+    assert(cb((1L, 0L, 0L)) === ((2L, 10.5)) && cb((1L, 0L, 1L)) === ((2L, 10.5)))
+    assert(cb((1L, 1L, 0L)) === ((2L, 20.5)) && cb((1L, 1L, 1L)) === ((2L, 20.5)))
+  }
+
+  test("pqCodes assigns each subvector to its nearest trained centroid") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(4.0, 4.0, 20.0, 20.0)),
+      (3L, Seq(1.0, 1.0, 21.0, 21.0)),
+      (4L, Seq(3.0, 3.0, 11.0, 11.0))
+    ).toDF("vec_id", "embedding")
+    val cb = Quantize.pqCodebooks(d, "embedding", "vec_id", m = 2, subDim = 2, k = 2)
+    val codes = Quantize.pqCodes(d, "embedding", "vec_id", cb, m = 2, subDim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // trained centroids: sub0 c0=(0.5,0.5) c1=(3.5,3.5); sub1 c0=(10.5,10.5) c1=(20.5,20.5)
+    assert(codes === Map(
+      (1L, 0L) -> 0L, (1L, 1L) -> 0L,
+      (2L, 0L) -> 1L, (2L, 1L) -> 1L,
+      (3L, 0L) -> 0L, (3L, 1L) -> 1L,
+      (4L, 0L) -> 1L, (4L, 1L) -> 0L))
+  }
+
+  test("pq training + assignment is invariant to input partitioning") {
+    val cbA = Quantize.pqCodebooks(embeddings, "embedding", "vec_id", 4, 16, 8)
+    val cbB = Quantize.pqCodebooks(embeddings.repartition(13), "embedding", "vec_id", 4, 16, 8)
+    assert(cbA.exceptAll(cbB).isEmpty && cbB.exceptAll(cbA).isEmpty)
+    val cA = Quantize.pqCodes(embeddings, "embedding", "vec_id", cbA, 4, 16)
+    val cB = Quantize.pqCodes(embeddings.repartition(7), "embedding", "vec_id", cbA, 4, 16)
+    assert(cA.exceptAll(cB).isEmpty && cB.exceptAll(cA).isEmpty)
+  }
+
+  test("pqCodes plan: codebook broadcasts; argmin aggregates map-side, no window, no sort-merge") {
+    val cb = Quantize.pqCodebooks(embeddings, "embedding", "vec_id", 4, 16, 8)
+    val plan = Quantize.pqCodes(embeddings, "embedding", "vec_id", cb, 4, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the codebook join:\n$plan")
+    // argmin must be min(struct) — a partial+final aggregation pair (struct
+    // buffers plan as SortAggregate: per-partition sort, still map-side
+    // combined so the exchange carries one candidate per (vid, ss) per map
+    // task), never a rank window over the k-way fan-out
+    // the only legitimate Window is the dense seed-id assignment over the
+    // <=k seed rows (unpartitioned, inside the broadcast codebook
+    // subtree — its node can print more than once under adaptive reuse);
+    // the corpus-side argmin must NEVER be a window, and that regression
+    // would partition by the per-vector key
+    assert(!plan.contains("windowspecdefinition(__vid"),
+      s"corpus argmin regressed to a per-vector window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"argmin no longer combines map-side:\n$plan")
+  }
+
   test("dimStats covers every dimension with full count and is partitioning-invariant") {
     val a = Quantize.dimStats(embeddings, "embedding").orderBy("dim").collect()
     val b = Quantize.dimStats(embeddings.repartition(13), "embedding").orderBy("dim").collect()
