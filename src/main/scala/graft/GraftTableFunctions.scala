@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.{Dedup, Diff, Sampling}
+
+/** SQL TABLE-function entry points for the curation operator library —
+  * the surface that lets a pure-`spark.sql` user run the pipeline
+  * operators without touching the Scala API:
+  *
+  *   - `graft_dedup_exact(table, textCol, idCol)` —
+  *     [[graft.operators.Dedup.exact]]'s (content_hash, keep_id, n_dups);
+  *   - `graft_weighted_sample(table, idCol, weightCol, n)` —
+  *     [[graft.operators.Sampling.weightedSample]]'s deterministic A-ES
+  *     draw (the q93 operator);
+  *   - `graft_quota_per_group(table, groupCol, quota, orderCol, idCol)` —
+  *     [[graft.operators.Sampling.quotaPerGroup]] with preference
+  *     (orderCol DESC, idCol) — the q87 per-source cap;
+  *   - `graft_snapshot_diff(oldTable, newTable, keyCol, compareCols)` —
+  *     [[graft.operators.Diff.snapshotDiff]], `compareCols` comma-joined.
+  *
+  * Each builder resolves its table arguments against the ACTIVE session's
+  * catalog (temp views, warehouse tables, anything `spark.table` reaches),
+  * applies the same DataFrame operator the Scala API runs, and returns the
+  * analyzed logical plan — so the SQL path plans IDENTICALLY to the Column
+  * path (same WindowGroupLimit / TakeOrderedAndProject / broadcast shapes,
+  * spec-asserted equality). Arguments must be literals: a table function's
+  * plan is built once at analysis time.
+  *
+  * Installed by [[GraftExtensions]] via `injectTableFunction`; usable as
+  * `spark.sql("SELECT * FROM graft_dedup_exact('docs', 'text', 'doc_id')")`.
+  */
+object GraftTableFunctions {
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _: StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def int(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def table(name: String) = SparkSession.active.table(name)
+
+  type TableFn = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  val dedupExactFn: TableFn = (
+    FunctionIdentifier("graft_dedup_exact"),
+    new ExpressionInfo(Dedup.getClass.getName, "graft_dedup_exact"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "graft_dedup_exact takes (table, textCol, idCol)")
+      Dedup.exact(table(str(args(0), "table")),
+          str(args(1), "textCol"), str(args(2), "idCol"))
+        .queryExecution.analyzed
+    })
+
+  val weightedSampleFn: TableFn = (
+    FunctionIdentifier("graft_weighted_sample"),
+    new ExpressionInfo(Sampling.getClass.getName, "graft_weighted_sample"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4, "graft_weighted_sample takes (table, idCol, weightCol, n)")
+      Sampling.weightedSample(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "weightCol"), int(args(3), "n"))
+        .queryExecution.analyzed
+    })
+
+  val quotaPerGroupFn: TableFn = (
+    FunctionIdentifier("graft_quota_per_group"),
+    new ExpressionInfo(Sampling.getClass.getName, "graft_quota_per_group"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_quota_per_group takes (table, groupCol, quota, orderCol, idCol)")
+      Sampling.quotaPerGroup(table(str(args(0), "table")),
+          str(args(1), "groupCol"), int(args(2), "quota"),
+          Seq(col(str(args(3), "orderCol")).desc, col(str(args(4), "idCol"))))
+        .queryExecution.analyzed
+    })
+
+  val snapshotDiffFn: TableFn = (
+    FunctionIdentifier("graft_snapshot_diff"),
+    new ExpressionInfo(Diff.getClass.getName, "graft_snapshot_diff"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_snapshot_diff takes (oldTable, newTable, keyCol, compareColsCsv)")
+      Diff.snapshotDiff(table(str(args(0), "oldTable")), table(str(args(1), "newTable")),
+          Seq(str(args(2), "keyCol")),
+          str(args(3), "compareCols").split(",").map(_.trim).toSeq)
+        .queryExecution.analyzed
+    })
+
+  /** Every table function, in registration order — shared by
+    * [[GraftExtensions]] and the specs so the two cannot drift.
+    */
+  val all: Seq[TableFn] =
+    Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn)
+}

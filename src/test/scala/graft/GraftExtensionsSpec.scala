@@ -68,6 +68,48 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT char_dist_entropy('123 .,!') AS s").collect().head.isNullAt(0))
   }
 
+  test("SQL table functions drive dedup and sampling end-to-end through spark.sql") {
+    import graft.operators.{Dedup, Sampling}
+    // the shared session lacks the extension; register the SAME builders
+    // GraftExtensions injects (the scalar-function test precedent)
+    GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_tf_v")
+
+    val sqlDedup = spark.sql(
+      "SELECT * FROM graft_dedup_exact('docs_tf_v', 'text', 'doc_id') ORDER BY content_hash")
+      .collect().map(_.toString).toSeq
+    val apiDedup = Dedup.exact(docs, "text", "doc_id").orderBy("content_hash")
+      .collect().map(_.toString).toSeq
+    assert(sqlDedup.nonEmpty && sqlDedup === apiDedup)
+
+    val sqlSample = spark.sql(
+      "SELECT doc_id FROM graft_weighted_sample('docs_tf_v', 'doc_id', 'n_chars', 50) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val apiSample = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sqlSample.length === 50 && sqlSample === apiSample)
+
+    // the SQL path must inherit the Scala path's plan shape, not just its rows
+    val quotaPlan = spark.sql(
+      "SELECT * FROM graft_quota_per_group('docs_tf_v', 'source', 10, 'n_chars', 'doc_id')")
+      .queryExecution.executedPlan.toString
+    assert(quotaPlan.contains("WindowGroupLimit"),
+      s"SQL quota lost the WindowGroupLimit pre-prune:\n$quotaPlan")
+
+    docs.where(col("doc_id") % 2 === 0).createOrReplaceTempView("docs_tf_old")
+    docs.where(col("doc_id") % 3 === 0).createOrReplaceTempView("docs_tf_new")
+    val diff = spark.sql(
+      """SELECT change, count(*) AS n
+        |FROM graft_snapshot_diff('docs_tf_old', 'docs_tf_new', 'doc_id', 'text,source')
+        |GROUP BY change""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff.keySet === Set("added", "removed", "unchanged"))
+    assert(diff("unchanged") > 0 && diff("added") > 0 && diff("removed") > 0)
+  }
+
   test("SQL shuffle_key equals the Column API and the md5 derivation") {
     register()
     val sqlOut = spark.sql("SELECT shuffle_key(42) AS k").collect().head.getLong(0)
