@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Index, Quantize, Similarity, TextAnalysis}
+
+/** Round-6 scale proof: the round-5/6 text-retrieval operators and the PQ
+  * family, forced onto 50-1000× the bench corpus with EXACT structural
+  * invariants (never statistical ones), one JSON artifact:
+  *
+  *   1. **Vocab encode ×50** (q95) — replicating every document ×50 (fresh
+  *      ids, identical text) multiplies every term count by exactly 50, so
+  *      the top-256 vocabulary and every document's token-id sequence are
+  *      UNCHANGED. Asserted for all 250k scaled rows by projecting each
+  *      replica onto its base id and counting token_ids mismatches (must
+  *      be 0).
+  *   2. **Char entropy ×50** (q97, fused expression) — replicas are
+  *      textually identical, so (n_alpha, char_entropy) must equal the
+  *      base row exactly for all 250k rows. Also the throughput witness
+  *      for the explode-free pure-projection plan.
+  *   3. **BM25 ×50 + RRF** (q89 → q96) — on the replicated corpus every
+  *      replica of a document scores IDENTICALLY (same tf, same dl; df and
+  *      N both ×50), so the scaled top-750 must consist of EXACTLY 15
+  *      complete 50-replica families — partial families would mean
+  *      replica-dependent scores. The scaled BM25 top-50 arm then fuses
+  *      with the ×50 dense cosine arm through rrfFuse (bounded global
+  *      windows over ≤50-row lists — the fusion cost does not scale with
+  *      the corpus), asserted partition-invariant.
+  *   4. **Batch BM25 ×50** (q99) — the multi-query serving path at 250k
+  *      docs: 3 query-term sets in ONE index pass, per-query top-500
+  *      asserted to be complete families (10 per query × 50 replicas).
+  *   5. **PQ ×1000** (q100-q101) — 2M vectors: the decimal-exact subspace
+  *      means are invariant under replication (n_members exactly ×1000,
+  *      centroid values bit-equal), and every replica's 4 codes equal its
+  *      base vector's codes — asserted over all 8M (vector, subspace)
+  *      rows.
+  *
+  * Run: `sbt "runMain graft.ScaleProofR6 /root/testdata/sf0.1 SCALEPROOF_r6.json"`
+  */
+object ScaleProofR6 {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.lift(1).getOrElse("SCALEPROOF_r6.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 4 * cpus.toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val nDocs = docs.count()
+    val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val rep = 50
+    // fresh ids; replica r of doc d gets id d + r·stride, so r=0 keeps the
+    // original ids and pmod(id, stride) projects any replica onto its base
+    val corpus = docs.crossJoin(spark.range(rep.toLong).toDF("__r"))
+      .select((col("doc_id") + col("__r") * stride).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+
+    // ---- 1. vocab encode ×50 ----
+    val baseEnc = TextAnalysis.encodeTokens(docs, "text", "doc_id", vocabSize = 256)
+      .select(col("doc_id").as("__bid"),
+        array_join(transform(col("token_ids"), _.cast("string")), ",").as("__base_ids"))
+    val tEnc = System.nanoTime()
+    val scaledEnc = TextAnalysis.encodeTokens(corpus, "text", "doc_id", vocabSize = 256)
+      .select(pmod(col("doc_id"), lit(stride)).as("__bid"),
+        array_join(transform(col("token_ids"), _.cast("string")), ",").as("__ids"))
+    val encRows = scaledEnc.count()
+    val encSec = secs(tEnc)
+    val encMismatch = scaledEnc.join(baseEnc, Seq("__bid"))
+      .where(col("__ids") =!= col("__base_ids")).count()
+    val encEqual = encMismatch == 0 && encRows == nDocs * rep
+
+    // ---- 2. char entropy ×50 (fused expression) ----
+    val baseEnt = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .select(col("doc_id").as("__bid"), col("n_alpha").as("__bn"),
+        col("char_entropy").as("__bh"))
+    val tEnt = System.nanoTime()
+    val scaledEnt = TextAnalysis.charEntropy(corpus, "text", "doc_id")
+      .select(pmod(col("doc_id"), lit(stride)).as("__bid"),
+        col("n_alpha"), col("char_entropy"))
+    val entRows = scaledEnt.count()
+    val entSec = secs(tEnt)
+    val entMismatch = scaledEnt.join(baseEnt, Seq("__bid"))
+      .where(col("n_alpha") =!= col("__bn") || col("char_entropy") =!= col("__bh"))
+      .count()
+    val entEqual = entMismatch == 0
+
+    // ---- 3. bm25 ×50 -> complete families; rrf fusion bounded ----
+    val terms = Seq("spark", "shuffle", "join")
+    val tBm = System.nanoTime()
+    val bmScaled = Index.bm25TopK(corpus, "text", "doc_id", terms, topK = 15 * rep)
+      .localCheckpoint(true)
+    val bmFamilies = bmScaled
+      .groupBy(pmod(col("doc_id"), lit(stride)).as("__bid"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("score")).as("ns"))
+      .collect()
+    val bmSec = secs(tBm)
+    val bmComplete = bmFamilies.length == 15 &&
+      bmFamilies.forall(r => r.getLong(1) == rep.toLong && r.getLong(2) == 1L)
+
+    val emb = graft.sources.Tables(spark, sfDir).embeddings
+    val vStride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val embScaled = emb.crossJoin(spark.range(rep.toLong).toDF("__r"))
+      .select((col("vec_id") + col("__r") * vStride).as("vec_id"), col("embedding"))
+    val tRrf = System.nanoTime()
+    def denseArm(e: DataFrame): DataFrame = {
+      import graft.functions.CosineSimilarity.cosineSim
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          cosineSim(col("embedding"), col("__qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+        .limit(50)
+    }
+    val bmArm = bmScaled.orderBy(col("score").desc, col("doc_id")).limit(50)
+    val fused = Index.rrfFuse(bmArm, denseArm(embScaled),
+      "doc_id", "score", "cos_sim", topK = 20)
+    val fusedRows = fused.collect()
+    val rrfSec = secs(tRrf)
+    val bmArmShuffled = bmScaled.repartition(13)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val fusedAgain = Index.rrfFuse(bmArmShuffled,
+      denseArm(embScaled), "doc_id", "score", "cos_sim", topK = 20).collect()
+    val rrfOk = fusedRows.length == 20 &&
+      fusedRows.map(_.toString).sorted.sameElements(fusedAgain.map(_.toString).sorted)
+
+    // ---- 4. batch bm25 ×50: one pass, 3 queries, complete families ----
+    import spark.implicits._
+    val queries = graft.queries.DocQueries.Bm25BatchQueries.toDF("query_id", "term")
+    val tBatch = System.nanoTime()
+    val batchScaled = Index.bm25TopKBatch(corpus, "text", "doc_id", queries, topK = 10 * rep)
+    val batchFamilies = batchScaled
+      .groupBy(col("query_id"), pmod(col("doc_id"), lit(stride)).as("__bid"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("score")).as("ns"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("families"),
+        sum(when(col("n") === rep && col("ns") === 1, 0L).otherwise(1L)).as("bad"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batchSec = secs(tBatch)
+    val batchComplete = batchFamilies.size == 3 &&
+      batchFamilies.values.forall { case (fams, bad) => fams == 10L && bad == 0L }
+
+    // ---- 5. PQ ×1000: 2M vectors, codebook + codes replication-invariant ----
+    val repPq = 1000
+    val nVecs = emb.count()
+    val embPq = emb.crossJoin(spark.range(repPq.toLong).toDF("__r"))
+      .select((col("vec_id") + col("__r") * vStride).as("vec_id"), col("embedding"))
+    val baseCb = Quantize.pqCodebooks(emb, "embedding", "vec_id", 4, 16, 8)
+      .localCheckpoint(true)
+    val tPq = System.nanoTime()
+    val scaledCb = Quantize.pqCodebooks(embPq, "embedding", "vec_id", 4, 16, 8)
+      .localCheckpoint(true)
+    val cbExpect = baseCb.select(col("subspace"), col("centroid_id"), col("dim"),
+      (col("n_members") * repPq).as("n_members"), col("value"))
+    val cbDiff = scaledCb.exceptAll(cbExpect).count() + cbExpect.exceptAll(scaledCb).count()
+    val baseCodes = Quantize.pqCodes(emb, "embedding", "vec_id", baseCb, 4, 16)
+      .select(col("vec_id").as("__bid"), col("subspace"), col("code").as("__bcode"))
+    val scaledCodes = Quantize.pqCodes(embPq, "embedding", "vec_id", scaledCb, 4, 16)
+      .select(pmod(col("vec_id"), lit(vStride)).as("__bid"), col("subspace"), col("code"))
+    val codeRows = scaledCodes.count()
+    val codeMismatch = scaledCodes.join(baseCodes, Seq("__bid", "subspace"))
+      .where(col("code") =!= col("__bcode")).count()
+    val pqSec = secs(tPq)
+    val pqEqual = cbDiff == 0 && codeMismatch == 0 && codeRows == nVecs * repPq * 4
+
+    val json =
+      s"""{"metric":"scaleproof_r6","sf_dir":"$sfDir",
+         |"vocab_encode":{"docs_base":$nDocs,"replication":$rep,
+         |"docs_scaled":$encRows,"wall_sec":${f"$encSec%.1f"},
+         |"ids_invariant":$encEqual,"mismatches":$encMismatch},
+         |"char_entropy":{"docs_scaled":$entRows,"wall_sec":${f"$entSec%.1f"},
+         |"values_invariant":$entEqual,"mismatches":$entMismatch},
+         |"bm25":{"docs_scaled":${nDocs * rep},"topk":${15 * rep},
+         |"wall_sec":${f"$bmSec%.1f"},"complete_families":$bmComplete},
+         |"rrf":{"wall_sec":${f"$rrfSec%.1f"},"fused_rows":${fusedRows.length},
+         |"partition_invariant":$rrfOk},
+         |"bm25_batch":{"docs_scaled":${nDocs * rep},"queries":3,
+         |"wall_sec":${f"$batchSec%.1f"},"complete_families":$batchComplete},
+         |"pq":{"vecs_base":$nVecs,"replication":$repPq,
+         |"vecs_scaled":${nVecs * repPq},"wall_sec":${f"$pqSec%.1f"},
+         |"codebook_invariant":${cbDiff == 0},"code_rows":$codeRows,
+         |"codes_invariant":${codeMismatch == 0}}}"""
+        .stripMargin.replace("\n", "")
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    require(encEqual, "vocab encode not invariant under replication")
+    require(entEqual, "char entropy not invariant under replication")
+    require(bmComplete, "bm25 scaled top-k is not complete replica families")
+    require(rrfOk, "rrf fusion not partition-invariant")
+    require(batchComplete, "batch bm25 scaled top-k is not complete replica families")
+    require(pqEqual, "PQ codebook/codes not invariant under replication")
+    spark.stop()
+  }
+}
