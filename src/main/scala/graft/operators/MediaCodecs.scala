@@ -1,0 +1,199 @@
+package graft.operators
+
+/** REAL pure-JVM media codecs for the uncompressed formats that need no
+  * external codec library — the honest upgrade of [[Multimodal]]'s decode
+  * stubs: PCM WAV (RIFF) audio and binary PPM (P6) images are fully
+  * decodable with byte arithmetic alone, so their kernels compute REAL
+  * features (sample rate, duration, RMS, zero-crossings; dimensions, mean
+  * channels, luminance) and a REAL nearest-neighbour image resize.
+  * Compressed formats (JPEG/PNG/MP4) still require codecs absent from this
+  * container and remain clearly-marked stubs in [[Multimodal]].
+  *
+  * All functions are pure byte→value: safe inside `mapPartitions`,
+  * deterministic on any partitioning, no codec state. Malformed payloads
+  * return None — a corrupt-asset row becomes a quarantine row, never a
+  * task failure (the petabyte-media-corpus requirement).
+  */
+object MediaCodecs {
+
+  /** Decoded PCM WAV summary — real signal statistics, not fakes. */
+  case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long,
+      durationMs: Long, rms: Double, peak: Double, zeroCrossRate: Double)
+
+  /** Decoded P6 PPM summary. */
+  case class PpmInfo(
+      width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double,
+      meanLuma: Double)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Encode 16-bit mono PCM samples as a canonical 44-byte-header WAV. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a PCM WAV: walks the RIFF chunk list (any chunk order, unknown
+    * chunks skipped — real files carry LIST/INFO chunks), then one pass
+    * over the int16 samples for RMS (of full-scale-normalized amplitude),
+    * peak, and zero-crossing rate. None for non-RIFF, non-PCM, or
+    * truncated payloads.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off); val size = le32(bytes, off + 4)
+      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+        val audioFormat = le16(bytes, off + 8)
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12).toInt
+        bits = le16(bytes, off + 22)
+        fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && sampleRate > 0
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong)
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) return None
+    val nFrames = dataLen / 2 / channels
+    var i = dataOff
+    val end = dataOff + (dataLen - (dataLen % 2)).toInt
+    var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prev = 0; var n = 0L
+    while (i + 1 < end) {
+      val s = le16(bytes, i).toShort.toInt
+      val a = s / 32768.0
+      sumSq += a * a
+      if (math.abs(a) > peak) peak = math.abs(a)
+      if (n > 0 && ((s >= 0 && prev < 0) || (s < 0 && prev >= 0))) crossings += 1
+      prev = s; n += 1; i += 2
+    }
+    Some(WavInfo(sampleRate, channels, bits, nFrames,
+      nFrames * 1000L / sampleRate,
+      math.sqrt(sumSq / n), peak,
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0))
+  }
+
+  /** Encode interleaved RGB bytes as a binary P6 PPM. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"rgb length ${rgb.length} != $width x $height x 3")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** (width, height, pixel offset) of a P6 payload, honoring PPM's
+    * whitespace/comment grammar. None unless the full raster is present.
+    */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var off = 2
+    def nextInt(): Option[Int] = {
+      while (off < bytes.length &&
+        (bytes(off) == ' ' || bytes(off) == '\n' || bytes(off) == '\r' ||
+          bytes(off) == '\t' || bytes(off) == '#')) {
+        if (bytes(off) == '#') { while (off < bytes.length && bytes(off) != '\n') off += 1 }
+        else off += 1
+      }
+      val start = off
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') off += 1
+      if (off == start) None
+      else Some(new String(bytes, start, off - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxV <- nextInt()
+      if maxV == 255 && w > 0 && h > 0 && off + 1 + w * h * 3 <= bytes.length
+    } yield (w, h, off + 1) // single whitespace byte after maxval
+  }
+
+  /** Decode a P6 PPM: real per-channel means and Rec.601 luminance. */
+  def decodePpm(bytes: Array[Byte]): Option[PpmInfo] =
+    ppmHeader(bytes).map { case (w, h, px) =>
+      var r = 0.0; var g = 0.0; var b = 0.0
+      var i = px
+      val n = w * h
+      var k = 0
+      while (k < n) {
+        r += (bytes(i) & 0xff); g += (bytes(i + 1) & 0xff); b += (bytes(i + 2) & 0xff)
+        i += 3; k += 1
+      }
+      val (mr, mg, mb) = (r / n, g / n, b / n)
+      PpmInfo(w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+    }
+
+  /** REAL nearest-neighbour resize of a P6 payload — source pixel
+    * (⌊x·w/W⌋, ⌊y·h/H⌋) for each target pixel, re-encoded as a valid P6.
+    */
+  def resizePpmNearest(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    require(newW > 0 && newH > 0, "target dimensions must be positive")
+    ppmHeader(bytes).map { case (w, h, px) =>
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = y.toLong * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x.toLong * w / newW
+          val src = px + 3 * (sy.toInt * w + sx.toInt)
+          val dst = 3 * (y * newW + x)
+          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePpm(newW, newH, out)
+    }
+  }
+
+  /** Deterministic REAL WAV synthesis for the testdata corpus: a sine tone
+    * whose frequency/length derive from the seed — a genuine decodable
+    * asset with analytically known RMS (amp/√2) and zero-cross rate
+    * (2f/rate).
+    */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val freq = 200.0 + (math.abs(seed) % 20) * 40.0 // 200..960 Hz
+    val amp = 0.5
+    val samples = Array.tabulate(nSamples) { i =>
+      (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toShort
+    }
+    encodeWavPcm16(samples, sampleRate)
+  }
+
+  /** Deterministic REAL PPM synthesis: pixels derived from the seed bytes
+    * (repeating), a genuine decodable raster with knowable channel means.
+    */
+  def syntheticPpm(seedBytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val n = width * height * 3
+    val rgb = new Array[Byte](n)
+    val m = math.max(seedBytes.length, 1)
+    var i = 0
+    while (i < n) {
+      rgb(i) = if (seedBytes.isEmpty) 0 else seedBytes(i % m)
+      i += 1
+    }
+    encodePpm(width, height, rgb)
+  }
+}

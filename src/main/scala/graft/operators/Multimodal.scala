@@ -12,11 +12,20 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so each task amortizes codec initialization across its
   * whole partition (the JVM-side equivalent of `mapInPandas` batching).
   *
-  * The actual codecs (JPEG/PNG decode, audio resample, video demux) are NOT
-  * available in this container — the decode kernels below are clearly-marked
-  * DETERMINISTIC STUBS: they produce fake-but-stable features derived from
-  * the bytes so the surrounding Spark plumbing (schema, batching,
-  * partitioning, joins against feature tables) is real and testable.
+  * Decode kernels come in two honesty classes:
+  *   - REAL, pure-JVM ([[MediaCodecs]]): PCM WAV audio (RIFF chunk walk →
+  *     sample rate, duration, RMS, peak, zero-cross rate) and binary PPM
+  *     (P6) images (header + raster → dimensions, channel means,
+  *     luminance; genuine nearest-neighbour resize). These run real
+  *     signal/pixel arithmetic — no fakes.
+  *   - STUBS for compressed codecs (JPEG/PNG decode, MP4 demux), which
+  *     need libraries absent from this container; the stubs produce
+  *     fake-but-stable features so the surrounding plumbing (schema,
+  *     batching, partitioning, joins) stays testable and is real.
+  * [[extractFeatures]] dispatches by mime type: decodable payloads get the
+  * real kernel, everything else falls back to the stub; a malformed
+  * payload of a decodable type yields the stub features too (quarantine
+  * semantics — never a task failure).
   */
 object Multimodal {
 
@@ -63,22 +72,86 @@ object Multimodal {
     md.digest(bytes).map("%02x".format(_)).mkString
   }
 
+  /** REAL feature vector for a decoded WAV: normalized rate, duration,
+    * RMS, peak, zero-cross rate, sample count — analytically checkable
+    * signal statistics (a sine of amplitude a has RMS a/√2).
+    */
+  private[operators] def wavFeatures(info: MediaCodecs.WavInfo): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = 1.0f // decoded-for-real marker plane: audio
+    out(1) = info.sampleRate / 48000.0f
+    out(2) = info.durationMs / 1000.0f
+    out(3) = info.rms.toFloat
+    out(4) = info.peak.toFloat
+    out(5) = info.zeroCrossRate.toFloat
+    out(6) = info.nSamples / 1e6f
+    out
+  }
+
+  /** REAL feature vector for a decoded P6 image: normalized dimensions,
+    * channel means, Rec.601 luminance.
+    */
+  private[operators] def ppmFeatures(info: MediaCodecs.PpmInfo): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = 2.0f // decoded-for-real marker plane: image
+    out(1) = info.width / 4096.0f
+    out(2) = info.height / 4096.0f
+    out(3) = (info.meanR / 255.0).toFloat
+    out(4) = (info.meanG / 255.0).toFloat
+    out(5) = (info.meanB / 255.0).toFloat
+    out(6) = (info.meanLuma / 255.0).toFloat
+    out
+  }
+
   /** Decode + feature-extract over a partitioned media Dataset. Runs in
-    * `mapPartitions` so codec state would be initialized once per task;
-    * output is a columnar-friendly fixed-width feature table.
+    * `mapPartitions` so codec state is initialized once per task; output
+    * is a columnar-friendly fixed-width feature table. Dispatch: WAV and
+    * P6 payloads run the REAL [[MediaCodecs]] kernels; compressed/unknown
+    * formats (and malformed decodable payloads) fall back to the stub.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: initialize decoder/codec context here, once per partition
+      // real impl for compressed codecs would initialize decoder context
+      // here, once per partition; the pure-JVM kernels need no state
       it.map { m =>
+        val feature = m.mime_type match {
+          case "audio/wav" | "audio/x-wav" =>
+            MediaCodecs.decodeWav(m.content).map(wavFeatures)
+              .getOrElse(stubDecodeFeatures(m.content))
+          case "image/x-portable-pixmap" =>
+            MediaCodecs.decodePpm(m.content).map(ppmFeatures)
+              .getOrElse(stubDecodeFeatures(m.content))
+          case _ => stubDecodeFeatures(m.content)
+        }
         MediaFeatures(
           media_id = m.media_id,
           modality = m.modality,
           n_bytes = m.content.length.toLong,
           content_digest = hexDigest(m.content),
-          feature = stubDecodeFeatures(m.content)
+          feature = feature
         )
+      }
+    }
+  }
+
+  /** REAL image resize for P6 payloads ([[MediaCodecs.resizePpmNearest]]):
+    * nearest-neighbour resample re-encoded as a valid P6, width/height
+    * metadata updated. Non-P6 and malformed payloads pass through
+    * unchanged (compressed formats would need their codecs). Same
+    * mapPartitions shape as [[extractFeatures]].
+    */
+  def resizeImages(media: Dataset[MediaRecord], newW: Int, newH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.mime_type == "image/x-portable-pixmap") {
+          MediaCodecs.resizePpmNearest(m.content, newW, newH) match {
+            case Some(resized) =>
+              m.copy(content = resized, width = Some(newW), height = Some(newH))
+            case None => m
+          }
+        } else m
       }
     }
   }
@@ -134,6 +207,39 @@ object Multimodal {
       .select(col("media_id"), col("modality"), col("content"), col("mime_type"),
         col("width"), col("height"), col("sample_rate"), col("duration_ms"))
       .as[MediaRecord]
+  }
+
+  /** Build a media table of GENUINELY DECODABLE assets from the documents
+    * table: every "image" row carries a real P6 PPM raster seeded from the
+    * text bytes, every "audio" row a real PCM WAV sine tone seeded from
+    * the doc id — so [[extractFeatures]] exercises the REAL kernels on
+    * well-formed files at every scale factor. "video" rows keep an opaque
+    * payload (MP4 demux is a stub). Runs the synthesis in mapPartitions
+    * (same shape as decode).
+    */
+  def mediaRealAssets(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, text, nChars) =>
+          (id % 3) match {
+            case 0 =>
+              val (w, h) = (32, 24)
+              MediaRecord(id, "image",
+                MediaCodecs.syntheticPpm(text.getBytes("UTF-8"), w, h),
+                "image/x-portable-pixmap", Some(w), Some(h), None, None)
+            case 1 =>
+              val rate = 16000
+              val n = math.max(1600, math.min(16000, nChars.toInt * 8))
+              MediaRecord(id, "audio", MediaCodecs.syntheticWav(id, n, rate),
+                "audio/wav", None, None, Some(rate), Some(n * 1000L / rate))
+            case _ =>
+              MediaRecord(id, "video", text.getBytes("UTF-8"), "video/mp4",
+                None, None, None, Some(nChars * 10))
+          }
+        }
+      }
   }
 
   /** Build a synthetic media table from the documents table: encodes text as

@@ -64,6 +64,82 @@ class MultimodalSpec extends SparkTestBase {
     assert(lens.map(_.getInt(0)).toSet === Set(32))
   }
 
+  test("WAV codec: encode/decode roundtrip recovers real signal statistics") {
+    val rate = 16000
+    val freq = 440.0
+    val amp = 0.5
+    val n = 16000 // one second
+    val samples = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toShort)
+    val wav = MediaCodecs.encodeWavPcm16(samples, rate)
+    val info = MediaCodecs.decodeWav(wav).get
+    assert(info.sampleRate === rate && info.channels === 1 && info.bitsPerSample === 16)
+    assert(info.nSamples === n.toLong && info.durationMs === 1000L)
+    // REAL signal arithmetic: a sine of amplitude a has RMS a/sqrt(2) and
+    // zero-cross rate 2f/rate
+    assert(math.abs(info.rms - amp / math.sqrt(2)) < 0.005, s"rms=${info.rms}")
+    assert(math.abs(info.peak - amp) < 0.01, s"peak=${info.peak}")
+    assert(math.abs(info.zeroCrossRate - 2 * freq / rate) < 0.002, s"zcr=${info.zeroCrossRate}")
+    // malformed payloads quarantine as None, never throw
+    assert(MediaCodecs.decodeWav("not a wav at all".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(wav.take(30)).isEmpty)
+  }
+
+  test("PPM codec: decode means are exact; nearest resize picks real source pixels") {
+    // 2x2: red, green / blue, white
+    val rgb: Array[Byte] = Array(
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val ppm = MediaCodecs.encodePpm(2, 2, rgb)
+    val info = MediaCodecs.decodePpm(ppm).get
+    assert(info.width === 2 && info.height === 2)
+    assert(info.meanR === 127.5 && info.meanG === 127.5 && info.meanB === 127.5)
+    // upscale 2x2 -> 4x4: each source pixel becomes a 2x2 block (floor map)
+    val up = MediaCodecs.resizePpmNearest(ppm, 4, 4).get
+    val upInfo = MediaCodecs.decodePpm(up).get
+    assert(upInfo.width === 4 && upInfo.height === 4)
+    assert(upInfo.meanR === 127.5 && upInfo.meanG === 127.5 && upInfo.meanB === 127.5)
+    // downscale to 1x1 picks pixel (0,0) = red
+    val down = MediaCodecs.decodePpm(MediaCodecs.resizePpmNearest(ppm, 1, 1).get).get
+    assert(down.meanR === 255.0 && down.meanG === 0.0 && down.meanB === 0.0)
+    // comment-bearing headers parse; truncated rasters quarantine
+    val commented = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb)
+    assert(MediaCodecs.decodePpm(commented).get.width === 2)
+    assert(MediaCodecs.decodePpm(ppm.dropRight(3)).isEmpty)
+  }
+
+  test("real-asset corpus: WAV and PPM rows get REAL decoded features, video stays stub") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val assets = Multimodal.mediaRealAssets(spark, docs)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length === 60)
+    val byModality = feats.groupBy(_.modality)
+    // audio: marker plane 1, rate 16k, rms ~ 0.5/sqrt(2) for every row
+    byModality("audio").foreach { f =>
+      assert(f.feature(0) === 1.0f, "real WAV decode marker")
+      assert(math.abs(f.feature(1) - 16000 / 48000.0f) < 1e-6)
+      assert(math.abs(f.feature(3) - 0.3535f) < 0.01f, s"rms=${f.feature(3)}")
+    }
+    // image: marker plane 2, real 32x24 dimensions from the raster header
+    byModality("image").foreach { f =>
+      assert(f.feature(0) === 2.0f, "real PPM decode marker")
+      assert(math.abs(f.feature(1) - 32 / 4096.0f) < 1e-6)
+      assert(math.abs(f.feature(2) - 24 / 4096.0f) < 1e-6)
+    }
+    // video: compressed container stays a stub (marker plane never 1/2)
+    byModality("video").foreach(f =>
+      assert(f.feature(0) != 1.0f && f.feature(0) != 2.0f))
+    // real resize end-to-end: every image payload becomes a valid 8x6 P6
+    val resized = Multimodal.resizeImages(assets, 8, 6)
+      .filter(_.modality == "image").collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m =>
+      val info = MediaCodecs.decodePpm(m.content).get
+      assert(info.width === 8 && info.height === 6)
+      assert(m.width === Some(8) && m.height === Some(6))
+    }
+  }
+
   test("frame sampling explodes video rows only") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2)
     val n = frames.count()
