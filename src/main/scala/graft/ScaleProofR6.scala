@@ -151,6 +151,31 @@ object ScaleProofR6 {
     val batchSec = secs(tBatch)
     val batchComplete = batchFamilies.size == 3 &&
       batchFamilies.values.forall { case (fams, bad) => fams == 10L && bad == 0L }
+    // amortization witness, both sides of the crossover: a single-set
+    // bm25TopK is ONE cheap fused aggregation (conditional counts, no
+    // materialized index), so at small Q separate runs can still win —
+    // the batch form's one-time (doc, term) index build amortizes as Q
+    // grows because each extra query adds only broadcast rows. Measure
+    // the SAME query workload both ways at Q=3 and Q=12.
+    def separateRuns(sets: Seq[(Long, String)]): Long =
+      sets.groupBy(_._1).toSeq.map { case (_, qs) =>
+        Index.bm25TopK(corpus, "text", "doc_id", qs.map(_._2), topK = 10 * rep).count()
+      }.sum
+    val tSep = System.nanoTime()
+    val sepRows = separateRuns(graft.queries.DocQueries.Bm25BatchQueries)
+    val sepSec = secs(tSep)
+    val ts12 = Seq("data", "the", "of", "and", "in", "to", "a", "is",
+      "spark", "shuffle", "join", "parquet")
+    val sets12: Seq[(Long, String)] = (0 until 12).flatMap(i =>
+      Seq((i + 1).toLong -> ts12(i), (i + 1).toLong -> ts12((i + 1) % 12)))
+    val tB12 = System.nanoTime()
+    val b12Rows = Index.bm25TopKBatch(corpus, "text", "doc_id",
+      sets12.toDF("query_id", "term"), topK = 10 * rep).count()
+    val b12Sec = secs(tB12)
+    val tS12 = System.nanoTime()
+    val s12Rows = separateRuns(sets12)
+    val s12Sec = secs(tS12)
+    val amortOk = b12Rows == s12Rows
 
     // ---- 5. PQ ×1000: 2M vectors, codebook + codes replication-invariant ----
     val repPq = 1000
@@ -175,6 +200,21 @@ object ScaleProofR6 {
     val pqSec = secs(tPq)
     val pqEqual = cbDiff == 0 && codeMismatch == 0 && codeRows == nVecs * repPq * 4
 
+    // ---- 6. IVF-PQ prune at 2M vectors: probing 2/16 coarse lists vs the
+    // full ADC scan (both end-to-end incl. their training passes) ----
+    val pqQueries = embPq.where(col("vec_id") < 3)
+    val tFull = System.nanoTime()
+    val fullRows = Similarity.pqTopK(pqQueries, embPq, "embedding", "vec_id", k = 10)
+      .collect()
+    val fullSec = secs(tFull)
+    val tIvf = System.nanoTime()
+    val ivfRows = Similarity.ivfPqTopK(pqQueries, embPq, "embedding", "vec_id",
+      k = 10, numCoarse = 16, numProbe = 2).collect()
+    val ivfSec = secs(tIvf)
+    val ivfOk = fullRows.length == 30 && ivfRows.length == 30 &&
+      ivfRows.groupBy(_.getAs[Long]("query_id")).values
+        .forall(rs => rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+
     val json =
       s"""{"metric":"scaleproof_r6","sf_dir":"$sfDir",
          |"vocab_encode":{"docs_base":$nDocs,"replication":$rep,
@@ -187,11 +227,17 @@ object ScaleProofR6 {
          |"rrf":{"wall_sec":${f"$rrfSec%.1f"},"fused_rows":${fusedRows.length},
          |"partition_invariant":$rrfOk},
          |"bm25_batch":{"docs_scaled":${nDocs * rep},"queries":3,
-         |"wall_sec":${f"$batchSec%.1f"},"complete_families":$batchComplete},
+         |"wall_sec":${f"$batchSec%.1f"},"complete_families":$batchComplete,
+         |"separate_runs_sec":${f"$sepSec%.1f"},"separate_rows":$sepRows,
+         |"q12_batch_sec":${f"$b12Sec%.1f"},"q12_separate_sec":${f"$s12Sec%.1f"},
+         |"q12_rows_equal":$amortOk},
          |"pq":{"vecs_base":$nVecs,"replication":$repPq,
          |"vecs_scaled":${nVecs * repPq},"wall_sec":${f"$pqSec%.1f"},
          |"codebook_invariant":${cbDiff == 0},"code_rows":$codeRows,
-         |"codes_invariant":${codeMismatch == 0}}}"""
+         |"codes_invariant":${codeMismatch == 0}},
+         |"ivf_pq":{"vecs_scaled":${nVecs * repPq},"queries":3,
+         |"full_adc_sec":${f"$fullSec%.1f"},"probe2_of_16_sec":${f"$ivfSec%.1f"},
+         |"valid":$ivfOk}}"""
         .stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
@@ -201,6 +247,8 @@ object ScaleProofR6 {
     require(rrfOk, "rrf fusion not partition-invariant")
     require(batchComplete, "batch bm25 scaled top-k is not complete replica families")
     require(pqEqual, "PQ codebook/codes not invariant under replication")
+    require(ivfOk, "IVF-PQ pruned retrieval malformed at scale")
+    require(amortOk, "batch and separate BM25 disagree on row counts")
     spark.stop()
   }
 }

@@ -151,14 +151,32 @@ object Index {
   def bm25TopKBatch(df: DataFrame, textCol: String, idCol: String,
                     queries: DataFrame, topK: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(topK >= 1, s"topK must be >= 1, got $topK")
     val tf = df
       .select(col(idCol).as("__id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .groupBy(col("__id"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumnRenamed("__id", idCol)
+    bm25TopKFromIndex(tf, idCol, queries, topK, k1, b)
+  }
+
+  /** [[bm25TopKBatch]] against a STORED (idCol, term, tf) index table — the
+    * true serving form, and the reason the one-pass index build pays for
+    * itself: SCALEPROOF_r6 shows that at small Q the inline build still
+    * costs more than Q fused single-query aggregations, but a warehouse
+    * that persists the index once (the stored-LSH-index precedent,
+    * INCPROOF_r3) serves EVERY subsequent query batch with zero corpus
+    * passes — doc lengths, per-term dfs, and corpus constants all derive
+    * from the index itself. Same arithmetic, same output contract as
+    * [[bm25TopKBatch]] (which is exactly this function fed a
+    * freshly-aggregated index; spec-asserted equal).
+    */
+  def bm25TopKFromIndex(index: DataFrame, idCol: String, queries: DataFrame,
+                        topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tf = index.select(col(idCol).as("__id"), col("term"), col("tf").as("__tf"))
     val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))
     val consts = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val qterms = queries.select(col("query_id"), col("term"))

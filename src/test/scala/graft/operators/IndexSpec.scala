@@ -176,6 +176,21 @@ class IndexSpec extends SparkTestBase {
       "tf index recomputed instead of read from cache")
   }
 
+  test("bm25TopKFromIndex on a stored index equals the inline batch path") {
+    import spark.implicits._
+    val qs = graft.queries.DocQueries.Bm25BatchQueries.toDF("query_id", "term")
+    // a warehouse-stored (doc, term, tf) index — built here once, as a
+    // production pipeline would persist it
+    val stored = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val fromIndex = Index.bm25TopKFromIndex(stored, "doc_id", qs, topK = 10)
+      .orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    val inline = Index.bm25TopKBatch(docs, "text", "doc_id", qs, topK = 10)
+      .orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    assert(fromIndex.nonEmpty && fromIndex === inline)
+  }
+
   test("rrfFuse rejects inputs without a static row bound") {
     import spark.implicits._
     val bounded = Seq((1L, 1.0)).toDF("doc_id", "s")
