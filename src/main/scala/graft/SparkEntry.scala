@@ -124,7 +124,8 @@ object SparkEntry {
     "q100_pq_codebooks"  -> (D.q100PqCodebooks(_, _)),
     "q101_pq_codes"      -> (D.q101PqCodes(_, _)),
     "q102_pq_adc_topk"   -> (D.q102PqAdcTopK(_, _)),
-    "q103_pq_rerank"     -> (D.q103PqRerank(_, _))
+    "q103_pq_rerank"     -> (D.q103PqRerank(_, _)),
+    "q104_seq_pack"      -> (D.q104SeqPack(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -63,4 +63,39 @@ object Sharding {
         sum(when(col(textCol).isNotNull,
           size(split(trim(col(textCol)), "\\s+")).cast("long")).otherwise(0L))
           .as("n_tokens"))
+
+  /** GPT-style sequence-packing PLAN: conceptually, each shard's documents
+    * are concatenated in their [[assignShards]] shuffle order and the
+    * token stream is cut into fixed `seqLen`-token training sequences;
+    * this emits every document's ADDRESS in that packing — the shard, its
+    * token offset in the shard stream, and the first/last sequence index
+    * it lands in — without materializing a single token. The export job
+    * that actually writes packed sequences groups by (shard, seq) and
+    * slices each doc's token_ids ([[graft.operators.TextAnalysis
+    * .encodeTokens]]) against this plan; the plan IS the shuffle- and
+    * boundary-defining step, and it is bit-reproducible on any engine
+    * (md5 keys) so re-exports and resumed runs cut identical sequences.
+    *
+    * Plan shape: composes [[assignShards]] — ONE shard-keyed exchange —
+    * and adds a running-sum window over the SAME partitioning (no second
+    * exchange; Catalyst reuses the shard hash partitioning and only
+    * re-sorts). Per-shard window state is a single running sum. Rows with
+    * `tokensCol` <= 0 or null contribute nothing and are excluded.
+    *
+    * Output: input columns + (shard, pos, start_offset, start_seq,
+    * end_seq, n_seqs) with offsets 0-based within the shard and sequence
+    * indices = floor(offset / seqLen) of the doc's first/last token.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    numShards: Int, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    assignShards(df.where(col(tokensCol) > 0), idCol, numShards)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("start_offset", (col("__cum") - col(tokensCol)).cast("long"))
+      .withColumn("start_seq", floor(col("start_offset") / seqLen).cast("long"))
+      .withColumn("end_seq", floor((col("__cum") - 1) / seqLen).cast("long"))
+      .withColumn("n_seqs", (col("end_seq") - col("start_seq") + 1).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -669,6 +669,20 @@ object DocQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Sequence-packing plan (Sharding.packSequences): every document's
+    * address — shard, token offset, spanned sequence indices — when each
+    * of 8 reproducibly-shuffled shards is concatenated and cut into
+    * 128-token training sequences. Whitespace token counts (q21's
+    * arithmetic); no token is materialized.
+    */
+  def q104SeqPack(spark: SparkSession, dir: String): DataFrame =
+    Sharding.packSequences(
+        Tables(spark, dir).documents
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", numShards = 8, seqLen = 128)
+      .select("doc_id", "shard", "pos", "start_offset", "start_seq", "end_seq", "n_seqs")
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -731,6 +731,30 @@ object OracleSql {
     // PQ family: generated SQL (the zOrder/SimHash precedent) replaying
     // training, assignment, and ADC scoring with Quantize.l2Sq's exact
     // unrolled association order
+    // packing plan replays q79's md5 shard/pos addressing plus a per-shard
+    // running token sum and the floor-division sequence boundaries
+    "q104_seq_pack" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, key, key % 8 AS shard
+        |  FROM k WHERE n_tokens > 0),
+        |p AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |         CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS cum
+        |  FROM s)
+        |SELECT doc_id, shard, pos,
+        |       cum - n_tokens AS start_offset,
+        |       CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS start_seq,
+        |       CAST(floor((cum - 1) / 128.0) AS BIGINT) AS end_seq,
+        |       CAST(floor((cum - 1) / 128.0) AS BIGINT)
+        |         - CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) + 1 AS n_seqs
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q100_pq_codebooks" -> pqCodebooksSql,
     "q101_pq_codes" -> pqCodesSql,
     "q102_pq_adc_topk" -> pqAdcTopKSql,

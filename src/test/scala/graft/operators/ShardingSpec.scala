@@ -42,6 +42,45 @@ class ShardingSpec extends SparkTestBase {
     assert(frac > 0.35 && frac < 0.65, s"adjacent-pair ordered fraction $frac")
   }
 
+  test("packSequences: contiguous offsets per shard, correct seq spans, zero-token exclusion") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, (i % 7) * 10)).toDF("doc_id", "n_tokens")
+    val packed = Sharding.packSequences(d, "doc_id", "n_tokens", numShards = 4, seqLen = 64)
+      .collect()
+    // zero-token docs (i % 7 == 0) are excluded
+    assert(packed.length === 200 - 200 / 7)
+    packed.groupBy(_.getAs[Long]("shard")).values.foreach { rows =>
+      val byPos = rows.sortBy(_.getAs[Long]("pos"))
+      // offsets are the exact running sum: each doc starts where the
+      // previous one ended — the concatenated-stream invariant
+      var expected = 0L
+      byPos.foreach { r =>
+        assert(r.getAs[Long]("start_offset") === expected, s"gap at pos ${r.getAs[Long]("pos")}")
+        expected += r.getAs[Long]("n_tokens")
+      }
+      rows.foreach { r =>
+        val (so, nt) = (r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens"))
+        assert(r.getAs[Long]("start_seq") === so / 64)
+        assert(r.getAs[Long]("end_seq") === (so + nt - 1) / 64)
+        assert(r.getAs[Long]("n_seqs") === r.getAs[Long]("end_seq") - r.getAs[Long]("start_seq") + 1)
+      }
+    }
+    // bit-reproducible on any partitioning (re-export invariant)
+    val again = Sharding.packSequences(d.repartition(13), "doc_id", "n_tokens", 4, 64)
+    assert(Sharding.packSequences(d, "doc_id", "n_tokens", 4, 64)
+      .exceptAll(again).isEmpty && again.exceptAll(
+        Sharding.packSequences(d, "doc_id", "n_tokens", 4, 64)).isEmpty)
+  }
+
+  test("packSequences plans ONE exchange: the running sum reuses the shard partitioning") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    val plan = Sharding.packSequences(d, "doc_id", "n_tokens", 4, 64)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"pos window and cumsum window must share one shard exchange:\n$plan")
+  }
+
   test("shardStats balance: no shard deviates wildly from the mean") {
     val stats = Sharding.shardStats(docs, "doc_id", "text", 8).collect()
     val counts = stats.map(_.getAs[Long]("n_docs"))
