@@ -125,7 +125,8 @@ object SparkEntry {
     "q101_pq_codes"      -> (D.q101PqCodes(_, _)),
     "q102_pq_adc_topk"   -> (D.q102PqAdcTopK(_, _)),
     "q103_pq_rerank"     -> (D.q103PqRerank(_, _)),
-    "q104_seq_pack"      -> (D.q104SeqPack(_, _))
+    "q104_seq_pack"      -> (D.q104SeqPack(_, _)),
+    "q105_packed_sequences" -> (D.q105PackedSequences(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

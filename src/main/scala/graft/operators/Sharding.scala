@@ -98,4 +98,40 @@ object Sharding {
       .withColumn("n_seqs", (col("end_seq") - col("start_seq") + 1).cast("long"))
       .drop("__cum")
   }
+
+  /** The packed-sequence EXPORT itself — the end deliverable of the whole
+    * training-data pipeline: documents → vocabulary token ids
+    * ([[graft.operators.TextAnalysis.encodeTokens]]) → the
+    * [[packSequences]] address plan → materialized fixed-`seqLen`
+    * training sequences per shard, each serialized as a comma-joined id
+    * list (the engine-portable q41/q95 convention). Each shard's trailing
+    * partial sequence is DROPPED (the standard drop-last policy; the
+    * count of full sequences per shard is exactly
+    * ⌊shard_tokens / seqLen⌋).
+    *
+    * Plan shape: the plan's window carries token_ids through unchanged
+    * (no extra exchange), then the ONE unavoidable export shuffle
+    * co-locates tokens by (shard, seq_idx) — group state bounded by
+    * seqLen ids; array_sort on the carried in-sequence offset neutralizes
+    * collect_list order. Everything upstream (vocab head, encode join,
+    * address plan) keeps its pinned shape.
+    */
+  def packedTokenSequences(df: DataFrame, textCol: String, idCol: String,
+                           vocabSize: Int, numShards: Int, seqLen: Int): DataFrame = {
+    val enc = graft.operators.TextAnalysis.encodeTokens(df, textCol, idCol, vocabSize)
+    val plan = packSequences(enc, idCol, "n_tokens", numShards, seqLen)
+    plan
+      .select(col("shard"), col("start_offset"),
+        posexplode(col("token_ids")).as(Seq("__i", "__tid")))
+      .select(col("shard"), (col("start_offset") + col("__i")).as("__gpos"), col("__tid"))
+      .withColumn("seq_idx", floor(col("__gpos") / seqLen).cast("long"))
+      .withColumn("__off", pmod(col("__gpos"), lit(seqLen.toLong)))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("__n"),
+        array_sort(collect_list(struct(col("__off"), col("__tid")))).as("__ps"))
+      .where(col("__n") === seqLen)
+      .select(col("shard"), col("seq_idx"),
+        array_join(transform(col("__ps"), p => p.getField("__tid").cast("string")), ",")
+          .as("token_ids"))
+  }
 }

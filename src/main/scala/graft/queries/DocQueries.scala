@@ -683,6 +683,15 @@ object DocQueries {
       .select("doc_id", "shard", "pos", "start_offset", "start_seq", "end_seq", "n_seqs")
       .orderBy("doc_id")
 
+  /** Materialized packed training sequences (Sharding.packedTokenSequences):
+    * the pipeline's end deliverable — q95's vocab encoding cut into
+    * 128-token sequences per q104's addressing, trailing partials dropped.
+    */
+  def q105PackedSequences(spark: SparkSession, dir: String): DataFrame =
+    Sharding.packedTokenSequences(Tables(spark, dir).documents, "text", "doc_id",
+        vocabSize = 256, numShards = 8, seqLen = 128)
+      .orderBy("shard", "seq_idx")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

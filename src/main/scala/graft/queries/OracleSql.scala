@@ -755,6 +755,37 @@ object OracleSql {
         |         - CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) + 1 AS n_seqs
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // the export composes q95's encoding, q104's addressing, and the
+    // (shard, seq) regrouping; token order inside a sequence is pinned by
+    // the carried global offset in both engines
+    "q105_packed_sequences" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM w),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS tid
+        |          FROM (SELECT * FROM freq ORDER BY cnt DESC, tok LIMIT 256)),
+        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               list(coalesce(tid, 0) ORDER BY pos) AS ids
+        |        FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id),
+        |k AS (SELECT doc_id, n_tokens, ids,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+        |      FROM enc WHERE n_tokens > 0),
+        |p AS (SELECT doc_id, ids, key % 8 AS shard,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT)
+        |               - n_tokens AS start_offset
+        |      FROM k),
+        |t AS (SELECT shard, start_offset + generate_subscripts(ids, 1) - 1 AS gpos,
+        |             unnest(ids) AS tid
+        |      FROM p),
+        |s AS (SELECT CAST(shard AS BIGINT) AS shard,
+        |             CAST(floor(gpos / 128.0) AS BIGINT) AS seq_idx,
+        |             gpos % 128 AS off, tid
+        |      FROM t)
+        |SELECT shard, seq_idx, array_to_string(list(tid ORDER BY off), ',') AS token_ids
+        |FROM s GROUP BY 1, 2 HAVING count(*) = 128
+        |ORDER BY shard, seq_idx""".stripMargin,
+
     "q100_pq_codebooks" -> pqCodebooksSql,
     "q101_pq_codes" -> pqCodesSql,
     "q102_pq_adc_topk" -> pqAdcTopKSql,

@@ -81,6 +81,37 @@ class ShardingSpec extends SparkTestBase {
       s"pos window and cumsum window must share one shard exchange:\n$plan")
   }
 
+  test("packedTokenSequences: full sequences only, token conservation, reproducible") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = Sharding.packedTokenSequences(docs, "text", "doc_id",
+      vocabSize = 64, numShards = 4, seqLen = 50)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // every sequence is exactly seqLen ids, all within [0, vocabSize]
+    rows.foreach { r =>
+      val ids = r.getAs[String]("token_ids").split(",").map(_.toLong)
+      assert(ids.length === 50)
+      assert(ids.forall(id => id >= 0L && id <= 64L))
+    }
+    // per shard: exactly floor(shard_tokens / seqLen) full sequences,
+    // indexed densely from 0 — the drop-last-partial contract
+    val shardTokens = Sharding.assignShards(
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n")), "doc_id", 4)
+      .where(col("n") > 0)
+      .groupBy("shard").agg(sum("n").as("tot"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("tot")).toMap
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val seqIdxs = rs.map(_.getAs[Long]("seq_idx")).sorted.toSeq
+      assert(seqIdxs === (0L until shardTokens(shard) / 50),
+        s"shard $shard: expected ${shardTokens(shard) / 50} dense sequences")
+    }
+    // bit-reproducible on any input partitioning (the re-export invariant)
+    val again = Sharding.packedTokenSequences(docs.repartition(13), "text", "doc_id",
+      vocabSize = 64, numShards = 4, seqLen = 50)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
   test("shardStats balance: no shard deviates wildly from the mean") {
     val stats = Sharding.shardStats(docs, "doc_id", "text", 8).collect()
     val counts = stats.map(_.getAs[Long]("n_docs"))
