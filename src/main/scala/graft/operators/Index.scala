@@ -177,7 +177,11 @@ object Index {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val tf = index.select(col(idCol).as("__id"), col("term"), col("tf").as("__tf"))
+    // the doc-length table feeds TWO consumers (the 1-row constants and the
+    // scoring join) — persist so its doc-keyed aggregation over the index
+    // runs once, not once per consumer (the tf/q95 rule one level down)
     val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val consts = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val qterms = queries.select(col("query_id"), col("term"))
     val dfT = tf
