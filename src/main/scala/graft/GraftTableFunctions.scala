@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{Dedup, Diff, Sampling}
+import graft.operators.{Dedup, Diff, Index, Sampling}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -22,7 +22,10 @@ import graft.operators.{Dedup, Diff, Sampling}
   *     [[graft.operators.Sampling.quotaPerGroup]] with preference
   *     (orderCol DESC, idCol) — the q87 per-source cap;
   *   - `graft_snapshot_diff(oldTable, newTable, keyCol, compareCols)` —
-  *     [[graft.operators.Diff.snapshotDiff]], `compareCols` comma-joined.
+  *     [[graft.operators.Diff.snapshotDiff]], `compareCols` comma-joined;
+  *   - `graft_bm25(table, textCol, idCol, terms, topK)` —
+  *     [[graft.operators.Index.bm25TopK]] with a space-separated query
+  *     term string (the q89 retrieval operator from pure SQL).
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -97,9 +100,22 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val bm25Fn: TableFn = (
+    FunctionIdentifier("graft_bm25"),
+    new ExpressionInfo(Index.getClass.getName, "graft_bm25"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_bm25 takes (table, textCol, idCol, termsSpaceSeparated, topK)")
+      val terms = str(args(3), "terms").trim.split("\\s+").toSeq
+      Index.bm25TopK(table(str(args(0), "table")),
+          str(args(1), "textCol"), str(args(2), "idCol"),
+          terms, int(args(4), "topK"))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
   val all: Seq[TableFn] =
-    Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn)
+    Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn)
 }

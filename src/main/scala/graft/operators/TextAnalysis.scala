@@ -436,8 +436,54 @@ object TextAnalysis {
       .limit(vocabSize)
       .withColumn("__tid",
         row_number().over(Window.orderBy(col("__cnt").desc, col("__tok"))).cast("long"))
-      .select(col("__tok"), col("__tid"))
-    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .select(col("__tok").as("token"), col("__tid").as("token_id"))
+    encodeStream(toks, idCol, vocab)
+  }
+
+  /** The `vocabSize` most frequent whitespace tokens of the corpus as a
+    * STORABLE (token, token_id) table — ids dense 1..V by (count desc,
+    * token asc), the exact table [[encodeTokens]] derives internally.
+    * Persist it to the warehouse to FREEZE the tokenizer; see
+    * [[encodeTokensWithVocab]].
+    */
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok"))
+      .limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("__cnt").desc, col("__tok"))).cast("long"))
+      .select(col("__tok").as("token"), col("token_id"))
+  }
+
+  /** [[encodeTokens]] against a STORED (token, token_id) vocabulary — the
+    * frozen-tokenizer serving form (the [[graft.operators.Index
+    * .bm25TopKFromIndex]] symmetry): a model trained on ids from one
+    * corpus snapshot must encode every future increment with the SAME
+    * mapping, so production builds the vocab once ([[buildVocab]] → the
+    * warehouse) and every increment runs only this — one tokenize pass,
+    * one broadcast join, one doc-keyed reassembly, NO vocab aggregation
+    * and no persist (the token stream has a single consumer here).
+    * Fed its own corpus's vocab it equals [[encodeTokens]] row for row
+    * (spec-asserted).
+    */
+  def encodeTokensWithVocab(df: DataFrame, textCol: String, idCol: String,
+                            vocab: DataFrame): DataFrame =
+    encodeStream(
+      df.select(col(idCol).as("__id"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__tok"))),
+      idCol, vocab)
+
+  /** Shared encode tail: broadcast the ≤V-row (token, token_id) table onto
+    * the exploded stream, reassemble per-doc id sequences in carried
+    * token order (array_sort neutralizes collect_list nondeterminism),
+    * OOV → 0.
+    */
+  private def encodeStream(toks: DataFrame, idCol: String, vocab: DataFrame): DataFrame =
+    toks.join(broadcast(vocab.select(col("token").as("__tok"),
+        col("token_id").as("__tid"))), Seq("__tok"), "left")
       .groupBy(col("__id"))
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -445,7 +491,6 @@ object TextAnalysis {
           coalesce(col("__tid"), lit(0L)).as("__t")))).as("__ps"))
       .select(col("__id").as(idCol), col("n_tokens"),
         transform(col("__ps"), _.getField("__t")).as("token_ids"))
-  }
 
   /** Character-distribution entropy of the letters [a-z] in the lowercased
     * text — a language-agnostic quality signal: natural prose sits near

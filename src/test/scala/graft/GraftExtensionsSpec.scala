@@ -99,6 +99,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(quotaPlan.contains("WindowGroupLimit"),
       s"SQL quota lost the WindowGroupLimit pre-prune:\n$quotaPlan")
 
+    val sqlBm = spark.sql(
+      "SELECT * FROM graft_bm25('docs_tf_v', 'text', 'doc_id', 'spark shuffle join', 15)")
+      .collect().map(_.toString).toSeq
+    val apiBm = graft.operators.Index.bm25TopK(docs, "text", "doc_id",
+      Seq("spark", "shuffle", "join"), topK = 15).collect().map(_.toString).toSeq
+    assert(sqlBm.nonEmpty && sqlBm === apiBm)
+
     docs.where(col("doc_id") % 2 === 0).createOrReplaceTempView("docs_tf_old")
     docs.where(col("doc_id") % 3 === 0).createOrReplaceTempView("docs_tf_new")
     val diff = spark.sql(

@@ -251,6 +251,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(cachedReads >= 2, s"expected both consumers on the cached token stream:\n$plan")
   }
 
+  test("frozen-vocab encoding: stored vocab reproduces encodeTokens, and keeps increment ids stable") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = TextAnalysis.buildVocab(d, "text", vocabSize = 64)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // fed its own corpus's vocab, the frozen path == the one-shot path
+    val frozen = asMap(TextAnalysis.encodeTokensWithVocab(d, "text", "doc_id", vocab))
+    val oneShot = asMap(TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64))
+    assert(frozen === oneShot)
+    // the tokenizer-freeze property: an INCREMENT encoded against the
+    // stored vocab gets exactly the full-corpus ids — whereas re-deriving
+    // the vocab from the increment alone would shift the id space
+    val increment = d.where(col("doc_id") % 5 === 0)
+    val incFrozen = asMap(TextAnalysis.encodeTokensWithVocab(increment, "text", "doc_id", vocab))
+    incFrozen.foreach { case (id, enc) => assert(enc === oneShot(id), s"doc $id drifted") }
+    val incDerived = asMap(TextAnalysis.encodeTokens(increment, "text", "doc_id", vocabSize = 64))
+    assert(incDerived.exists { case (id, enc) => enc != oneShot(id) },
+      "increment-derived vocab should shift ids (else the freeze property is vacuous here)")
+  }
+
   test("encodeTokens ids stay in [0, vocabSize] and are partitioning-invariant") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextAnalysis.encodeTokens(d, "text", "doc_id", vocabSize = 64)
