@@ -23,13 +23,16 @@ import graft.operators.{Dedup, TextAnalysis}
   * (spec-asserted, 3 batches) — the stream and the batch job are the same
   * program at different cadences.
   *
-  * Per-batch cost is O(batch), never O(corpus): the batch is signed ONCE
-  * (localCheckpoint reused by the pair join, the digest probe, and the
-  * state append); the corpus participates through one (band, band_key)
-  * equi-join against its stored index and one digest equi-join — the
-  * [[DedupStream]] shape, which INCPROOF_r3 measured at 87s vs 405s
-  * naive for exactly this reason. Jaccard verification is
-  * content-memoized ([[graft.operators.Dedup.jaccardOnPairsByContent]]).
+  * Per-batch cost is O(batch + candidates), never O(corpus): the batch is
+  * signed ONCE (localCheckpoint reused by the pair join, the digest
+  * probe, and the state append); the corpus participates through one
+  * (band, band_key) equi-join against its stored index, one digest
+  * equi-join, and scan-only semi-joins — the [[DedupStream]] shape, which
+  * INCPROOF_r3 measured at 87s vs 405s naive for exactly this reason.
+  * Jaccard verification is content-memoized
+  * ([[graft.operators.Dedup.jaccardOnPairsByContent]]) and fed ONLY the
+  * candidate pairs' member documents, so its digest/representative
+  * machinery is candidate-bounded too.
   *
   * Replay safety follows [[DedupStream]]: foreachBatch is at-least-once,
   * so every write lands in its own `batch_<id>` subdirectory with
@@ -91,10 +94,21 @@ object CurationStream {
           .select("__id", "band", "band_key")
           .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
         val cand = Dedup.incrementalCandidatesFromBands(newBands, readState("bands"))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
         val storedDocs = readState("docs")
-        val allDocs = storedDocs.select("doc_id", "text")
+        // Jaccard verification must stay O(candidates), not O(corpus):
+        // jaccardOnPairsByContent builds its digest/representative tables
+        // over whatever docs it is given, so feed it ONLY the candidate
+        // pairs' members (semi-join prune). Restricting the doc set can
+        // change WHICH id represents a digest but never the jaccard value
+        // (representatives share identical content), so verdicts are
+        // unchanged — the spec's byte-identity to batch q84 pins that.
+        val pairIds = cand.select(col("id_a").as("doc_id"))
+          .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+        val pairDocs = storedDocs.select("doc_id", "text")
           .unionByName(b.select("doc_id", "text"))
-        val nearDups = Dedup.jaccardOnPairsByContent(cand, allDocs, "text", "doc_id", k = 5)
+          .join(pairIds, Seq("doc_id"), "left_semi")
+        val nearDups = Dedup.jaccardOnPairsByContent(cand, pairDocs, "text", "doc_id", k = 5)
           .where(col("jaccard") >= 0.8)
           .select(col("id_a"), col("id_b"))
         // a batch doc drops when the partner is already in the state, or
