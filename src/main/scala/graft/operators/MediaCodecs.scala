@@ -58,22 +58,25 @@ object MediaCodecs {
     */
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
-    var off = 12
+    var off = 12L
     var sampleRate = 0; var channels = 0; var bits = 0; var fmtOk = false
     var dataOff = -1; var dataLen = 0L
     while (off + 8 <= bytes.length) {
-      val id = tag(bytes, off); val size = le32(bytes, off + 4)
+      val o = off.toInt
+      val id = tag(bytes, o); val size = le32(bytes, o + 4)
       if (id == "fmt " && off + 8 + 16 <= bytes.length) {
-        val audioFormat = le16(bytes, off + 8)
-        channels = le16(bytes, off + 10)
-        sampleRate = le32(bytes, off + 12).toInt
-        bits = le16(bytes, off + 22)
+        val audioFormat = le16(bytes, o + 8)
+        channels = le16(bytes, o + 10)
+        sampleRate = le32(bytes, o + 12).toInt
+        bits = le16(bytes, o + 22)
         fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && sampleRate > 0
       } else if (id == "data") {
-        dataOff = off + 8
+        dataOff = o + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong)
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // long arithmetic: a corrupt 32-bit size must only END the walk —
+      // never wrap the offset negative (quarantine, not a task failure)
+      off += 8L + size + (size & 1L)
     }
     if (!fmtOk || dataOff < 0 || dataLen < 2) return None
     val nFrames = dataLen / 2 / channels
@@ -120,7 +123,9 @@ object MediaCodecs {
       }
       val start = off
       while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') off += 1
-      if (off == start) None
+      // >9 digits cannot be a sane dimension/maxval and would overflow
+      // toInt — malformed headers must quarantine, never throw
+      if (off == start || off - start > 9) None
       else Some(new String(bytes, start, off - start, "US-ASCII").toInt)
     }
     for {

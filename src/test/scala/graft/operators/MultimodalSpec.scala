@@ -83,6 +83,17 @@ class MultimodalSpec extends SparkTestBase {
     // malformed payloads quarantine as None, never throw
     assert(MediaCodecs.decodeWav("not a wav at all".getBytes).isEmpty)
     assert(MediaCodecs.decodeWav(wav.take(30)).isEmpty)
+    // adversarial data-chunk sizes: with 32-bit offset arithmetic
+    // 0x80000000 wrapped the walk offset NEGATIVE (task-killing
+    // ArrayIndexOutOfBounds); the long walk clamps to the bytes actually
+    // present instead, decoding exactly the pristine payload's samples
+    val evil = wav.clone()
+    evil(40) = 0; evil(41) = 0; evil(42) = 0; evil(43) = 0x80.toByte
+    assert(MediaCodecs.decodeWav(evil) === Some(info))
+    val evil2 = wav.clone()
+    evil2(40) = 0xff.toByte; evil2(41) = 0xff.toByte
+    evil2(42) = 0xff.toByte; evil2(43) = 0xff.toByte
+    assert(MediaCodecs.decodeWav(evil2) === Some(info))
   }
 
   test("PPM codec: decode means are exact; nearest resize picks real source pixels") {
@@ -106,6 +117,9 @@ class MultimodalSpec extends SparkTestBase {
     val commented = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb)
     assert(MediaCodecs.decodePpm(commented).get.width === 2)
     assert(MediaCodecs.decodePpm(ppm.dropRight(3)).isEmpty)
+    // an absurd dimension field must quarantine, not overflow toInt
+    assert(MediaCodecs.decodePpm(
+      ("P6\n99999999999 2\n255\n".getBytes("US-ASCII") ++ rgb)).isEmpty)
   }
 
   test("real-asset corpus: WAV and PPM rows get REAL decoded features, video stays stub") {
