@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Index, Quantize, Similarity, TextAnalysis}
+import graft.operators.{Index, Quantize, Sharding, Similarity, TextAnalysis}
 
 /** Round-6 scale proof: the round-5/6 text-retrieval operators and the PQ
   * family, forced onto 50-1000× the bench corpus with EXACT structural
@@ -34,6 +34,16 @@ import graft.operators.{Index, Quantize, Similarity, TextAnalysis}
   *      centroid values bit-equal), and every replica's 4 codes equal its
   *      base vector's codes — asserted over all 8M (vector, subspace)
   *      rows.
+  *   6. **IVF-PQ prune at 2M vectors** — probing 2 of 16 coarse lists vs
+  *      the full ADC scan, both end-to-end including training; rankings
+  *      must stay dense and valid.
+  *   7. **Packed export ×50** (q105) — ~12.5M tokens through
+  *      encode → address → regroup; per-shard sequence counts must be
+  *      EXACTLY ⌊shard_tokens/seqLen⌋, densely indexed from 0.
+  *
+  * Section 4 also measures BOTH sides of the batch-BM25 amortization
+  * crossover (Q=3 and Q=12, same workload as separate runs) — recorded
+  * honestly even where the batch form loses.
   *
   * Run: `sbt "runMain graft.ScaleProofR6 /root/testdata/sf0.1 SCALEPROOF_r6.json"`
   */
@@ -215,6 +225,27 @@ object ScaleProofR6 {
       ivfRows.groupBy(_.getAs[Long]("query_id")).values
         .forall(rs => rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
 
+    // ---- 7. packed-sequence export ×50: ~12.5M tokens through the full
+    // encode → address → regroup chain; per-shard sequence counts must be
+    // EXACTLY ⌊shard_tokens / seqLen⌋, densely indexed from 0 ----
+    val tExp = System.nanoTime()
+    val packed = Sharding.packedTokenSequences(corpus, "text", "doc_id",
+      vocabSize = 256, numShards = 8, seqLen = 128)
+    val expByShard = packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("seq_idx")).as("mn"), max(col("seq_idx")).as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expSec = secs(tExp)
+    val shardTok = Sharding.assignShards(
+        corpus.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("__n")),
+        "doc_id", 8)
+      .where(col("__n") > 0)
+      .groupBy(col("shard")).agg(sum(col("__n")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totalSeqs = expByShard.values.map(_._1).sum
+    val expOk = expByShard.size == 8 && expByShard.forall { case (s, (n, mn, mx)) =>
+      n == shardTok(s) / 128 && mn == 0L && mx == n - 1
+    }
+
     val json =
       s"""{"metric":"scaleproof_r6","sf_dir":"$sfDir",
          |"vocab_encode":{"docs_base":$nDocs,"replication":$rep,
@@ -237,7 +268,10 @@ object ScaleProofR6 {
          |"codes_invariant":${codeMismatch == 0}},
          |"ivf_pq":{"vecs_scaled":${nVecs * repPq},"queries":3,
          |"full_adc_sec":${f"$fullSec%.1f"},"probe2_of_16_sec":${f"$ivfSec%.1f"},
-         |"valid":$ivfOk}}"""
+         |"valid":$ivfOk},
+         |"packed_export":{"docs_scaled":${nDocs * rep},
+         |"tokens":${shardTok.values.sum},"sequences":$totalSeqs,
+         |"wall_sec":${f"$expSec%.1f"},"per_shard_exact":$expOk}}"""
         .stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
@@ -249,6 +283,7 @@ object ScaleProofR6 {
     require(pqEqual, "PQ codebook/codes not invariant under replication")
     require(ivfOk, "IVF-PQ pruned retrieval malformed at scale")
     require(amortOk, "batch and separate BM25 disagree on row counts")
+    require(expOk, "packed export lost or misindexed sequences at scale")
     spark.stop()
   }
 }

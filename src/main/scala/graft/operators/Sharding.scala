@@ -117,8 +117,30 @@ object Sharding {
     * address plan) keeps its pinned shape.
     */
   def packedTokenSequences(df: DataFrame, textCol: String, idCol: String,
-                           vocabSize: Int, numShards: Int, seqLen: Int): DataFrame = {
-    val enc = graft.operators.TextAnalysis.encodeTokens(df, textCol, idCol, vocabSize)
+                           vocabSize: Int, numShards: Int, seqLen: Int): DataFrame =
+    packEncoded(
+      graft.operators.TextAnalysis.encodeTokens(df, textCol, idCol, vocabSize),
+      idCol, numShards, seqLen)
+
+  /** [[packedTokenSequences]] against a STORED (token, token_id)
+    * vocabulary ([[graft.operators.TextAnalysis.encodeTokensWithVocab]]) —
+    * the production export: curation verdicts pick the kept documents,
+    * the frozen vocab keeps the id space stable across corpus versions,
+    * and this cuts the sequences. Same plan as the one-shot form minus
+    * the vocab aggregation.
+    */
+  def packedTokenSequencesWithVocab(df: DataFrame, textCol: String, idCol: String,
+                                    vocab: DataFrame, numShards: Int,
+                                    seqLen: Int): DataFrame =
+    packEncoded(
+      graft.operators.TextAnalysis.encodeTokensWithVocab(df, textCol, idCol, vocab),
+      idCol, numShards, seqLen)
+
+  /** Shared export tail: address-plan the encoded docs, explode ids to
+    * global shard positions, regroup into full sequences.
+    */
+  private def packEncoded(enc: DataFrame, idCol: String,
+                          numShards: Int, seqLen: Int): DataFrame = {
     val plan = packSequences(enc, idCol, "n_tokens", numShards, seqLen)
     plan
       .select(col("shard"), col("start_offset"),

@@ -112,6 +112,28 @@ class ShardingSpec extends SparkTestBase {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
 
+  test("the pipeline composes: curation keeps -> frozen vocab -> packed sequences") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the q83 curation verdict picks the kept documents...
+    val kept = docs.join(
+      graft.queries.DocQueries.q83Curation(spark, dir)
+        .where(col("keep") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // ...the vocabulary stays frozen on the FULL corpus snapshot...
+    val vocab = graft.operators.TextAnalysis.buildVocab(docs, "text", vocabSize = 64)
+    // ...and the export cuts the kept docs into training sequences
+    val packed = Sharding.packedTokenSequencesWithVocab(kept, "text", "doc_id",
+      vocab, numShards = 4, seqLen = 50)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("token_ids").split(",").length === 50))
+    // the whole chain is deterministic end to end
+    val again = Sharding.packedTokenSequencesWithVocab(kept.repartition(7), "text",
+      "doc_id", vocab, numShards = 4, seqLen = 50)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
   test("shardStats balance: no shard deviates wildly from the mean") {
     val stats = Sharding.shardStats(docs, "doc_id", "text", 8).collect()
     val counts = stats.map(_.getAs[Long]("n_docs"))
