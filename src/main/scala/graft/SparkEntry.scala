@@ -126,7 +126,9 @@ object SparkEntry {
     "q102_pq_adc_topk"   -> (D.q102PqAdcTopK(_, _)),
     "q103_pq_rerank"     -> (D.q103PqRerank(_, _)),
     "q104_seq_pack"      -> (D.q104SeqPack(_, _)),
-    "q105_packed_sequences" -> (D.q105PackedSequences(_, _))
+    "q105_packed_sequences" -> (D.q105PackedSequences(_, _)),
+    "q106_decontaminate" -> (D.q106Decontaminate(_, _)),
+    "q107_incremental_index" -> (D.q107IncrementalIndex(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

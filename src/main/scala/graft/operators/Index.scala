@@ -53,6 +53,52 @@ object Index {
       .where(col("doc_freq") >= minDf)
   }
 
+  /** Incremental index maintenance: merge a STORED full-fidelity index
+    * (the [[invertedIndex]] output with `minDf=1`, untruncated postings —
+    * a truncated index cannot be merged exactly) with a batch of NEW
+    * documents, producing exactly `invertedIndex(base docs ∪ increment)`
+    * under the given output `minDf`/`maxPostings`. This is how a 100-TB
+    * index stays current: the corpus is never re-tokenized — only the
+    * increment is, O(increment tokens), and the merge touches each base
+    * POSTING ROW once, never a base document.
+    *
+    * Plan shape: the increment aggregates to term-keyed rows (ONE shuffle,
+    * map-side combinable — the q85 shape), then a full-outer join on term
+    * combines it with the base. Counters add; posting arrays merge as a
+    * sorted union (increment doc ids are NEW by the incremental-load
+    * contract, so the union is disjoint); doc_freq derives from the merged
+    * set, as in [[invertedIndex]]. When the base index is stored BUCKETED
+    * by term ([[graft.etl.Warehouse.writeBucketed]], the q90 snapshot-diff
+    * pattern), the join plans with ZERO exchange on the base side — the
+    * increment shuffles to the bucket layout and the only base-side cost
+    * is the bucketed scan itself (IndexSpec pins this plan).
+    */
+  def mergeIndex(base: DataFrame, increment: DataFrame, textCol: String,
+                 idCol: String, minDf: Int = 1,
+                 maxPostings: Int = Int.MaxValue): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    def parse(c: Column) = transform(split(c, ","), _.cast("long"))
+    val empty = lit(Array.empty[Long])
+    val inc = invertedIndex(increment, textCol, idCol)
+    base
+      .select(col("term"), parse(col("postings")).as("__pb"),
+        col("term_freq").as("__tfb"))
+      .join(inc.select(col("term"), parse(col("postings")).as("__pi"),
+        col("term_freq").as("__tfi")), Seq("term"), "full_outer")
+      .select(col("term"),
+        sort_array(array_union(coalesce(col("__pb"), empty),
+          coalesce(col("__pi"), empty))).as("__ids"),
+        (coalesce(col("__tfb"), lit(0L)) + coalesce(col("__tfi"), lit(0L)))
+          .as("term_freq"))
+      .select(col("term"),
+        size(col("__ids")).cast("long").as("doc_freq"),
+        col("term_freq"),
+        array_join(transform(slice(col("__ids"), 1, maxPostings), _.cast("string")), ",")
+          .as("postings"))
+      .where(col("doc_freq") >= minDf)
+  }
+
   /** BM25 retrieval scoring for a FIXED query-term set (the serving-side
     * consumer of the inverted index, run as one batch program):
     *

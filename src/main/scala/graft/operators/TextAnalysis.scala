@@ -189,6 +189,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Row-local word k-shingle array — the shuffle-free shingling kernel.
+    * [[explodedShingles]] forms shingles with a doc-keyed lead window,
+    * which costs a corpus-cardinality exchange before a single shingle
+    * exists; this form builds the same shingle set with array HOFs
+    * entirely inside the row (split → sequence → slice → join), so
+    * shingling happens AT THE SCAN with no exchange at all. Same edge
+    * semantics as the window kernel: trailing sub-shingles are dropped
+    * except the position-0 truncated shingle of a document shorter than
+    * k words (`greatest(n-k+1, 1)` keeps exactly that row).
+    */
+  def shingleArray(text: Column, k: Int): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    transform(sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      i => array_join(slice(words, i, lit(k)), " "))
+  }
+
+  /** Benchmark decontamination, 100-TB form — output-identical to
+    * [[contamination]] but the CLEAN corpus never shuffles:
+    *
+    *   1. bench shingles (tiny) reduce to a distinct xxhash64 set — a
+    *      fixed-width 8-byte-per-shingle broadcast, ~4-5× smaller than
+    *      the shingle strings themselves.
+    *   2. corpus shingles come from [[shingleArray]] (row-local, zero
+    *      exchange) and are prefiltered by a broadcast LEFT SEMI join on
+    *      the hash BEFORE any distinct — so the exchange that
+    *      [[contamination]] pays over every corpus shingle (its
+    *      `.distinct()`) here runs over contaminated shingle occurrences
+    *      only, a vanishing fraction of a real corpus.
+    *   3. survivors dedup to (doc, shingle) and confirm against the exact
+    *      bench shingle STRINGS (broadcast) — any xxhash64 collision from
+    *      step 2 is eliminated here, which is why the output is exactly
+    *      [[contamination]]'s, not "probably".
+    *
+    * The bench shingle table feeds both the hash set and the confirm
+    * join, so it is persisted across the two consumers.
+    */
+  def contaminationAtScale(docs: DataFrame, bench: DataFrame, textCol: String,
+                           idCol: String, k: Int = 5): DataFrame = {
+    val b = shingleRows(bench, textCol, idCol, k)
+      .withColumnRenamed(idCol, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchHashes = b.select(xxhash64(col("shingle")).as("__h")).distinct()
+    val survivors = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingleArray(col(textCol), k)).as("shingle"))
+      .join(broadcast(benchHashes), xxhash64(col("shingle")) === col("__h"), "left_semi")
+      .distinct()
+    survivors.join(broadcast(b), Seq("shingle"))
+      .where(col(idCol) =!= col("bench_id"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Cross-group content overlap: for every ORDERED pair of groups
     * (e.g. crawl sources), directional shingle containment
     * |shingles(a) ∩ shingles(b)| / |shingles(a)| — the corpus-level twin

@@ -181,6 +181,20 @@ object DocQueries {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Decontamination at 100-TB shape (TextAnalysis.contaminationAtScale):
+    * same semantics as q49 but 7-gram shingles, a doc_id % 89 bench split,
+    * and the scale plan — row-local HOF shingling (no window exchange) +
+    * broadcast hash prefilter BEFORE the distinct, so only contaminated
+    * shingle occurrences ever shuffle; the exact confirm join makes the
+    * result identical to the exact-join form despite the hashed filter.
+    */
+  def q106Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bench = docs.where(pmod(col("doc_id"), lit(89)) === 0)
+    TextAnalysis.contaminationAtScale(docs, bench, "text", "doc_id", k = 7)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Greedy sequence packing: documents packed in doc_id order into
     * 2048-token bins, independently per language (the partition key keeps
     * the running sum distributed — no global single-partition window).
@@ -488,6 +502,22 @@ object DocQueries {
     Index.invertedIndex(Tables(spark, dir).documents, "text", "doc_id",
         minDf = 2, maxPostings = 20)
       .orderBy("term")
+
+  /** Incremental index maintenance (Index.mergeIndex): the corpus splits
+    * into a base (doc_id % 10 != 0, indexed at full fidelity — the
+    * "stored index") and an increment (doc_id % 10 == 0, the new batch);
+    * the merge re-tokenizes ONLY the increment and must equal a full
+    * rebuild over the whole corpus — which is exactly what the DuckDB
+    * oracle replays (minDf=3, maxPostings=12 at output).
+    */
+  def q107IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val base = Index.invertedIndex(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id")
+    Index.mergeIndex(base, docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", minDf = 3, maxPostings = 12)
+      .orderBy("term")
+  }
 
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension

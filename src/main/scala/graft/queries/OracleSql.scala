@@ -786,6 +786,37 @@ object OracleSql {
         |FROM s GROUP BY 1, 2 HAVING count(*) = 128
         |ORDER BY shard, seq_idx""".stripMargin,
 
+    // q106 replays the EXACT-join semantics (the hashed prefilter is a
+    // plan optimization that cannot change the result — collisions are
+    // eliminated by the confirm join on the shingle string, so the oracle
+    // needs no hashing at all); 7-gram shingles, % 89 bench split
+    "q106_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w) - 6, 1)),
+        |         i -> array_to_string(w[i:i+6], ' ')))) AS shingle
+        |       FROM w),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 89 = 0)
+        |SELECT s.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM sh s JOIN b ON s.shingle = b.shingle AND s.doc_id <> b.bench_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the incremental merge must equal a FULL REBUILD over the whole
+    // corpus — so the oracle IS the full rebuild (q85's shape, minDf=3,
+    // postings truncated to 12); the split/merge is a Spark-side plan
+    // detail that cannot change the result
+    "q107_incremental_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |              FROM documents)
+        |SELECT term,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |       count(*) AS term_freq,
+        |       array_to_string(list_sort(list(DISTINCT doc_id))[1:12], ',') AS postings
+        |FROM toks GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY term""".stripMargin,
+
     "q100_pq_codebooks" -> pqCodebooksSql,
     "q101_pq_codes" -> pqCodesSql,
     "q102_pq_adc_topk" -> pqAdcTopKSql,

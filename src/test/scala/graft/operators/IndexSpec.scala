@@ -36,6 +36,69 @@ class IndexSpec extends SparkTestBase {
     assert(r.getAs[String]("postings") === "1,2,3,4,5") // sorted THEN truncated
   }
 
+  test("mergeIndex covers all three term dispositions on a known corpus") {
+    import spark.implicits._
+    val baseDocs = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("doc_id", "text")
+    val incDocs = Seq((3L, "the cat runs fast")).toDF("doc_id", "text")
+    val base = Index.invertedIndex(baseDocs, "text", "doc_id")
+    val out = Index.mergeIndex(base, incDocs, "text", "doc_id").collect()
+      .map(r => (r.getAs[String]("term"),
+        (r.getAs[Long]("doc_freq"), r.getAs[Long]("term_freq"), r.getAs[String]("postings"))))
+      .toMap
+    assert(out("the") === ((3L, 3L, "1,2,3"))) // in both
+    assert(out("cat") === ((2L, 2L, "1,3")))   // in both
+    assert(out("dog") === ((1L, 1L, "2")))     // base only — passes through
+    assert(out("runs") === ((1L, 1L, "3")))    // increment only
+    assert(out.keySet === Set("the", "cat", "sat", "dog", "runs", "fast"))
+  }
+
+  test("mergeIndex equals a full rebuild on the real corpus, incl. minDf/maxPostings") {
+    val base = Index.invertedIndex(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id")
+    val merged = Index.mergeIndex(base,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", "doc_id",
+        minDf = 3, maxPostings = 12)
+      .orderBy("term").collect().map(_.toString).toSeq
+    val rebuilt = Index.invertedIndex(docs, "text", "doc_id",
+        minDf = 3, maxPostings = 12)
+      .orderBy("term").collect().map(_.toString).toSeq
+    assert(rebuilt.nonEmpty && merged === rebuilt)
+  }
+
+  test("mergeIndex over a term-bucketed stored index: zero exchange on the base side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_bucket").toString
+    val wh = graft.etl.ParquetWarehouse(spark, dir)
+    val base = Index.invertedIndex(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id")
+    wh.writeBucketed("b_index", base, 4, Seq("term"), Seq("term"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = Index.mergeIndex(wh.readTable("b_index"),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", "doc_id")
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      merged.count() // finalize AQE
+      val root = merged.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smj = root.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge full-outer merge:\n$root")
+      // base is the LEFT side of the full-outer join in mergeIndex
+      val baseShuffles = smj.head.left.collect { case e: ShuffleExchangeLike => e }
+      assert(baseShuffles.isEmpty,
+        s"stored bucketed index must not re-shuffle on merge:\n$root")
+      // only the increment's term aggregation shuffles
+      val all = root.collect { case e: ShuffleExchangeLike => e }
+      assert(all.size === 1, s"expected exactly one exchange (increment agg):\n$root")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_index")
+    }
+  }
+
   test("invariants on the real corpus: df <= tf, postings sorted ascending") {
     val out = Index.invertedIndex(docs, "text", "doc_id", minDf = 2, maxPostings = 20)
     val rows = out.collect()

@@ -155,6 +155,62 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, 10L, 2L)), s"got ${out.toSeq}")
   }
 
+  test("shingleArray matches the window kernel on every edge case") {
+    // full shingles, a doc shorter than k (one truncated position-0 row),
+    // a doc of exactly k words, multi-space runs, null text excluded
+    val d = Seq(
+      (1L, "one two three four five six"),
+      (2L, "short doc"),
+      (3L, "exactly five words here now"),
+      (4L, "spaced    out     words a b c"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 5, 7)) {
+      val hof = d.where(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextAnalysis.shingleArray(col("text"), k)).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val win = TextAnalysis.explodedShingles(d, "text", "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(hof === win, s"k=$k")
+    }
+  }
+
+  test("contaminationAtScale equals the exact-join form on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(5, 7)) {
+      val bench = docs.where(pmod(col("doc_id"), lit(89)) === 0)
+      val exact = TextAnalysis.contamination(docs, bench, "text", "doc_id", k)
+        .orderBy("doc_id", "bench_id").collect().map(_.toString).toSeq
+      val scale = TextAnalysis.contaminationAtScale(docs, bench, "text", "doc_id", k)
+        .orderBy("doc_id", "bench_id").collect().map(_.toString).toSeq
+      assert(exact.nonEmpty, s"k=$k: vacuous fixture")
+      assert(scale === exact, s"k=$k")
+    }
+  }
+
+  test("contaminationAtScale plan: clean corpus never shuffles before the prefilter") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.where(pmod(col("doc_id"), lit(89)) === 0)
+    val plan = TextAnalysis.contaminationAtScale(docs, bench, "text", "doc_id", 7)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val semis = root.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"expected a broadcast LEFT SEMI prefilter:\n$root")
+    val streamedSideShuffles = semis.head.left.collect { case e: ShuffleExchangeLike => e } ++
+      semis.head.left.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(streamedSideShuffles.isEmpty,
+      s"corpus side of the prefilter must be exchange- and window-free:\n$root")
+  }
+
   test("digit-run redaction scrubs and counts") {
     val d = Seq((1L, "Customer#000000042 called 5551234 twice, ext 12")).toDF("id", "s")
     val r = d.select(
