@@ -128,7 +128,8 @@ object SparkEntry {
     "q104_seq_pack"      -> (D.q104SeqPack(_, _)),
     "q105_packed_sequences" -> (D.q105PackedSequences(_, _)),
     "q106_decontaminate" -> (D.q106Decontaminate(_, _)),
-    "q107_incremental_index" -> (D.q107IncrementalIndex(_, _))
+    "q107_incremental_index" -> (D.q107IncrementalIndex(_, _)),
+    "q108_bpe_pairs"     -> (D.q108BpePairs(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

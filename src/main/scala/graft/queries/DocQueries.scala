@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -518,6 +518,16 @@ object DocQueries {
         "text", "doc_id", minDf = 3, maxPostings = 12)
       .orderBy("term")
   }
+
+  /** BPE training's pair-statistics kernel (Bpe.pairCounts over
+    * Bpe.wordTable): corpus-weighted adjacent character-pair counts on the
+    * distinct-word table — the aggregation every BPE merge iteration
+    * re-runs. Top 50 by (count, pair), fully deterministic.
+    */
+  def q108BpePairs(spark: SparkSession, dir: String): DataFrame =
+    Bpe.pairCounts(Bpe.wordTable(Tables(spark, dir).documents, "text"))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(50)
 
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension

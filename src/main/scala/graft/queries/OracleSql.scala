@@ -817,6 +817,21 @@ object OracleSql {
         |HAVING count(DISTINCT doc_id) >= 3
         |ORDER BY term""".stripMargin,
 
+    // BPE pair statistics replay: distinct words with corpus counts, then
+    // character-adjacent pairs weighted by the word count — substr is
+    // character-based in both engines, so multibyte text agrees
+    "q108_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |           FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+        |                    i -> {'lhs': substr(word, i, 1), 'rhs': substr(word, i + 1, 1)})) AS pr,
+        |             cnt
+        |      FROM wc WHERE len(word) >= 2)
+        |SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, lhs, rhs LIMIT 50""".stripMargin,
+
     "q100_pq_codebooks" -> pqCodebooksSql,
     "q101_pq_codes" -> pqCodesSql,
     "q102_pq_adc_topk" -> pqAdcTopKSql,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the classic BPE teaching corpus (word-frequency form):
+  // low×5, lower×2, newest×6, widest×3
+  private def classic = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("wordTable counts words and splits to characters") {
+    val out = Bpe.wordTable(classic, "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2))))
+      .toMap
+    assert(out("low") === ((5L, Seq("l", "o", "w"))))
+    assert(out("newest") === ((6L, Seq("n", "e", "w", "e", "s", "t"))))
+    assert(out.keySet === Set("low", "lower", "newest", "widest"))
+  }
+
+  test("pairCounts weights pairs by word frequency") {
+    val out = Bpe.pairCounts(Bpe.wordTable(classic, "text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // es: newest(6) + widest(3) = 9; st: same 9; lo: low(5) + lower(2) = 7
+    assert(out(("e", "s")) === 9L)
+    assert(out(("s", "t")) === 9L)
+    assert(out(("l", "o")) === 7L)
+    assert(out(("e", "r")) === 2L)
+    // single-character adjacency only — no cross-word pairs
+    assert(!out.contains(("w", "l")) && !out.contains(("t", "n")))
+  }
+
+  test("train reproduces the textbook merge sequence") {
+    val merges = Bpe.train(classic, "text", nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // rank 1: (e,s)=9 ties (s,t)=9 → lexicographic picks (e,s)
+    assert(merges(0) === ((1, "e", "s", "es", 9L)))
+    // after es: (es,t)=9 beats everything
+    assert(merges(1) === ((2, "es", "t", "est", 9L)))
+    // then (l,o)=7
+    assert(merges(2) === ((3, "l", "o", "lo", 7L)))
+    // then (lo,w)=7
+    assert(merges(3) === ((4, "lo", "w", "low", 7L)))
+  }
+
+  test("mergePair fold is leftmost-first greedy on overlapping runs") {
+    val d = Seq(
+      (1L, Seq("a", "a", "a")),        // (a,a): leftmost pair merges → [aa, a]
+      (2L, Seq("a", "a", "a", "a")),   // → [aa, aa]
+      (3L, Seq("b", "a", "a"))         // → [b, aa]
+    ).toDF("id", "symbols")
+    val out = d.select(col("id"), Bpe.mergePair(col("symbols"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("aa", "a"))
+    assert(out(2L) === Seq("aa", "aa"))
+    assert(out(3L) === Seq("b", "aa"))
+  }
+
+  test("encode replays merges in rank order and stitches words per document") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val out = Bpe.encode(classic, "text", "doc_id", merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq.fill(5)(Seq("low")).flatten)
+    assert(out(2L) === Seq("low", "e", "r", "low", "e", "r"))
+    assert(out(3L) === Seq.fill(6)(Seq("n", "e", "w", "est")).flatten)
+    assert(out(4L) === Seq.fill(3)(Seq("w", "i", "d", "est")).flatten)
+    // lossless: concatenating tokens reconstructs each document's words
+    val joined = out(2L).mkString
+    assert(joined === "lowerlower")
+  }
+
+  test("train is invariant to input partitioning on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Bpe.train(d, "text", nMerges = 3).collect().map(_.toString).toSeq
+    val b = Bpe.train(d.repartition(13), "text", nMerges = 3).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("pair counting plans row-local pair explosion — no window, no extra exchange") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Bpe.pairCounts(Bpe.wordTable(d, "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"pair adjacency must be a row-local zip, not a window:\n$plan")
+    // exactly two exchanges: word count, then pair count — both preceded
+    // by map-side partial aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+  }
+}
