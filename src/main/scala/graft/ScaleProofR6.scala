@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Index, Quantize, Sharding, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Index, Quantize, Sharding, Similarity, TextAnalysis}
 
 /** Round-6 scale proof: the round-5/6 text-retrieval operators and the PQ
   * family, forced onto 50-1000× the bench corpus with EXACT structural
@@ -40,6 +40,18 @@ import graft.operators.{Index, Quantize, Sharding, Similarity, TextAnalysis}
   *   7. **Packed export ×50** (q105) — ~12.5M tokens through
   *      encode → address → regroup; per-shard sequence counts must be
   *      EXACTLY ⌊shard_tokens/seqLen⌋, densely indexed from 0.
+  *
+  *   8. **Decontamination ×50** (q106) — the prefiltered scale form vs
+  *      the exact-join form on 250k docs; every base contamination pair
+  *      must appear for EXACTLY all 50 replicas with the same n_shared,
+  *      and both forms' wall times are recorded (the plain form pays the
+  *      corpus-wide shingle distinct the prefilter deletes).
+  *   9. **Incremental index ×50** (q107) — 245k docs indexed and STORED,
+  *      5k-doc increment merged in; must equal the 250k-doc full rebuild
+  *      exactly, at a fraction of its wall time.
+  *   10. **BPE ×50** (q108) — the 8-merge trained sequence must be
+  *      identical to the base corpus's with every pair_count ×50 — an
+  *      exact rank-by-rank invariant of the whole iterative program.
   *
   * Section 4 also measures BOTH sides of the batch-BM25 amortization
   * crossover (Q=3 and Q=12, same workload as separate runs) — recorded
@@ -246,6 +258,71 @@ object ScaleProofR6 {
       n == shardTok(s) / 128 && mn == 0L && mx == n - 1
     }
 
+    // ---- 8. decontamination ×50 (q106) — the prefiltered scale form vs
+    // the exact-join form on 250k docs. Invariant: every base
+    // contamination pair must appear for EXACTLY all 50 replicas of its
+    // document with the same n_shared (replicas are textually identical),
+    // and no other cross-replica pair may exist. Timing records both
+    // forms honestly — the plain form pays the corpus-wide shingle
+    // distinct that the prefilter deletes. ----
+    val bench6 = docs.where(pmod(col("doc_id"), lit(89)) === 0)
+    val tDec = System.nanoTime()
+    val scaledCont = TextAnalysis.contaminationAtScale(corpus, bench6, "text", "doc_id", k = 7)
+      .where(pmod(col("doc_id"), lit(stride)) =!= col("bench_id"))
+      .groupBy(pmod(col("doc_id"), lit(stride)).as("__b"), col("bench_id"), col("n_shared"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    val decSec = secs(tDec)
+    val tDecPlain = System.nanoTime()
+    val plainRows = TextAnalysis.contamination(corpus, bench6, "text", "doc_id", k = 7).count()
+    val decPlainSec = secs(tDecPlain)
+    val baseContSet = TextAnalysis.contamination(docs, bench6, "text", "doc_id", k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val decOk = baseContSet.nonEmpty &&
+      scaledCont.forall(_.getAs[Long]("__n") == rep) &&
+      scaledCont.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == baseContSet
+
+    // ---- 9. incremental index maintenance at ×50 (q107) — base = the
+    // first 49 replicas (245k docs) indexed at full fidelity and STORED to
+    // parquet; increment = the last replica (5k docs). The merge must
+    // equal a full 250k-doc rebuild EXACTLY, and its wall time shows the
+    // O(increment + index) path never re-tokenizing the corpus. ----
+    val idxTmp = java.nio.file.Files.createTempDirectory("graft_scale_idx").toString
+    Index.invertedIndex(corpus.where(col("doc_id") < lit(stride * (rep - 1))),
+        "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$idxTmp/base")
+    val storedIdx = spark.read.parquet(s"$idxTmp/base")
+    val increment = corpus.where(col("doc_id") >= lit(stride * (rep - 1)))
+    val tMerge = System.nanoTime()
+    val mergedIdx = Index.mergeIndex(storedIdx, increment, "text", "doc_id",
+      minDf = 3, maxPostings = 12).localCheckpoint(true)
+    val mergeSec = secs(tMerge)
+    val tRebuild = System.nanoTime()
+    val rebuiltIdx = Index.invertedIndex(corpus, "text", "doc_id",
+      minDf = 3, maxPostings = 12).localCheckpoint(true)
+    val rebuildSec = secs(tRebuild)
+    val idxTerms = rebuiltIdx.count()
+    val idxDiff = mergedIdx.exceptAll(rebuiltIdx).count() +
+      rebuiltIdx.exceptAll(mergedIdx).count()
+
+    // ---- 10. BPE training ×50 (q108) — replication multiplies every
+    // word count (hence every pair count) by exactly 50, so the trained
+    // merge SEQUENCE must be identical to the base corpus's with
+    // pair_count ×50 — an exact, rank-by-rank invariant of the whole
+    // iterative program. ----
+    val tBpe = System.nanoTime()
+    val scaledMerges = Bpe.train(corpus, "text", nMerges = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val bpeSec = secs(tBpe)
+    val baseMerges = Bpe.train(docs, "text", nMerges = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val bpeOk = scaledMerges.length == 8 &&
+      scaledMerges.zip(baseMerges).forall { case ((ri, ai, bi, ci), (rb, ab, bb, cb)) =>
+        ri == rb && ai == ab && bi == bb && ci == cb * rep
+      }
+
     val json =
       s"""{"metric":"scaleproof_r6","sf_dir":"$sfDir",
          |"vocab_encode":{"docs_base":$nDocs,"replication":$rep,
@@ -271,7 +348,15 @@ object ScaleProofR6 {
          |"valid":$ivfOk},
          |"packed_export":{"docs_scaled":${nDocs * rep},
          |"tokens":${shardTok.values.sum},"sequences":$totalSeqs,
-         |"wall_sec":${f"$expSec%.1f"},"per_shard_exact":$expOk}}"""
+         |"wall_sec":${f"$expSec%.1f"},"per_shard_exact":$expOk},
+         |"decontaminate":{"docs_scaled":${nDocs * rep},"base_pairs":${baseContSet.size},
+         |"prefiltered_sec":${f"$decSec%.1f"},"exact_join_sec":${f"$decPlainSec%.1f"},
+         |"plain_rows":$plainRows,"families_exact":$decOk},
+         |"incremental_index":{"docs_scaled":${nDocs * rep},"terms":$idxTerms,
+         |"merge_sec":${f"$mergeSec%.1f"},"rebuild_sec":${f"$rebuildSec%.1f"},
+         |"merged_equals_rebuild":${idxDiff == 0}},
+         |"bpe":{"docs_scaled":${nDocs * rep},"merges":8,
+         |"wall_sec":${f"$bpeSec%.1f"},"merge_sequence_invariant":$bpeOk}}"""
         .stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
@@ -284,6 +369,9 @@ object ScaleProofR6 {
     require(ivfOk, "IVF-PQ pruned retrieval malformed at scale")
     require(amortOk, "batch and separate BM25 disagree on row counts")
     require(expOk, "packed export lost or misindexed sequences at scale")
+    require(decOk, "decontamination families not exact under replication")
+    require(idxDiff == 0, "incremental index merge diverged from full rebuild")
+    require(bpeOk, "BPE merge sequence not invariant under replication")
     spark.stop()
   }
 }

@@ -138,25 +138,25 @@ object TextAnalysis {
     * shared shingling kernel for minhash signatures, fingerprints, and
     * contamination (one definition so the subtle edge cases — short-doc
     * truncated shingle at position 0, k=1 — cannot drift between
-    * operators). Shape: posexplode + lead window + concat_ws, all
-    * codegen'd; trailing sub-shingles are dropped except the position-0
-    * row of a document shorter than k words. Documents with NULL text are
-    * EXCLUDED (a null document has no shingles); the DuckDB oracles filter
-    * `text IS NOT NULL` to pin the same contract.
+    * operators). Shape: the word array stays IN the row and a position
+    * sequence explodes beside it, so each shingle is a codegen'd
+    * `slice` + `array_join` projection — ZERO exchange (an earlier form
+    * used a doc-keyed lead window, which shuffled the whole corpus
+    * before a single shingle existed; a nested-HOF form kept the rows
+    * local but ran interpreted lambdas, 60× slower — micro-benchmarked
+    * at 2.6 s vs 9.4 s windowed vs 163 s HOF over 12M shingles).
+    * Trailing sub-shingles are dropped except the position-1 row of a
+    * document shorter than k words (`greatest(n-k+1, 1)`). Documents
+    * with NULL text are EXCLUDED (a null document has no shingles); the
+    * DuckDB oracles filter `text IS NOT NULL` to pin the same contract.
     */
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = df.where(col(textCol).isNotNull).select(col(idCol),
-      posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val leads = (1 until k).map(i => lead(col("__w"), i).over(w))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    words
-      .select(col(idCol), col("__p"),
-        concat_ws(" ", (col("__w") +: leads): _*).as("__sh"),
-        full.as("__full"))
-      .where(col("__full") || col("__p") === 0)
-      .select(col(idCol), col("__sh"))
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), words.as("__ws"),
+        explode(sequence(lit(1), greatest(size(words) - (k - 1), lit(1)))).as("__p"))
+      .select(col(idCol),
+        array_join(slice(col("__ws"), col("__p"), lit(k)), " ").as("__sh"))
   }
 
   /** Distinct word k-shingles as rows (id, shingle) — the join-ready form
@@ -189,34 +189,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Row-local word k-shingle array — the shuffle-free shingling kernel.
-    * [[explodedShingles]] forms shingles with a doc-keyed lead window,
-    * which costs a corpus-cardinality exchange before a single shingle
-    * exists; this form builds the same shingle set with array HOFs
-    * entirely inside the row (split → sequence → slice → join), so
-    * shingling happens AT THE SCAN with no exchange at all. Same edge
-    * semantics as the window kernel: trailing sub-shingles are dropped
-    * except the position-0 truncated shingle of a document shorter than
-    * k words (`greatest(n-k+1, 1)` keeps exactly that row).
-    */
-  def shingleArray(text: Column, k: Int): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    transform(sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
-      i => array_join(slice(words, i, lit(k)), " "))
-  }
-
   /** Benchmark decontamination, 100-TB form — output-identical to
     * [[contamination]] but the CLEAN corpus never shuffles:
     *
     *   1. bench shingles (tiny) reduce to a distinct xxhash64 set — a
     *      fixed-width 8-byte-per-shingle broadcast, ~4-5× smaller than
     *      the shingle strings themselves.
-    *   2. corpus shingles come from [[shingleArray]] (row-local, zero
-    *      exchange) and are prefiltered by a broadcast LEFT SEMI join on
-    *      the hash BEFORE any distinct — so the exchange that
-    *      [[contamination]] pays over every corpus shingle (its
-    *      `.distinct()`) here runs over contaminated shingle occurrences
-    *      only, a vanishing fraction of a real corpus.
+    *   2. corpus shingle occurrences come straight off the (exchange-
+    *      free) [[explodedShingles]] kernel and are prefiltered by a
+    *      broadcast LEFT SEMI join on the hash BEFORE any distinct — so
+    *      the exchange that [[contamination]] pays over every corpus
+    *      shingle (its `.distinct()`) here runs over contaminated
+    *      occurrences only, a vanishing fraction of a real corpus.
     *   3. survivors dedup to (doc, shingle) and confirm against the exact
     *      bench shingle STRINGS (broadcast) — any xxhash64 collision from
     *      step 2 is eliminated here, which is why the output is exactly
@@ -231,9 +215,8 @@ object TextAnalysis {
       .withColumnRenamed(idCol, "bench_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchHashes = b.select(xxhash64(col("shingle")).as("__h")).distinct()
-    val survivors = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol), explode(shingleArray(col(textCol), k)).as("shingle"))
+    val survivors = explodedShingles(docs, textCol, idCol, k)
+      .withColumnRenamed("__sh", "shingle")
       .join(broadcast(benchHashes), xxhash64(col("shingle")) === col("__h"), "left_semi")
       .distinct()
     survivors.join(broadcast(b), Seq("shingle"))

@@ -155,8 +155,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, 10L, 2L)), s"got ${out.toSeq}")
   }
 
-  test("shingleArray matches the window kernel on every edge case") {
-    // full shingles, a doc shorter than k (one truncated position-0 row),
+  test("explodedShingles matches a lead-window reference on every edge case") {
+    import org.apache.spark.sql.expressions.Window
+    // the kernel's original windowed definition, kept here as the
+    // independent cross-check of the exchange-free generate+slice form
+    def windowed(d: org.apache.spark.sql.DataFrame, k: Int) = {
+      val words = d.where(col("text").isNotNull).select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("__p", "__w")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+      val leads = (1 until k).map(i => lead(col("__w"), i).over(w))
+      val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
+      words.select(col("doc_id"), col("__p"),
+          concat_ws(" ", (col("__w") +: leads): _*).as("__sh"), full.as("__full"))
+        .where(col("__full") || col("__p") === 0)
+        .select(col("doc_id"), col("__sh"))
+    }
+    // full shingles, a doc shorter than k (one truncated position-1 row),
     // a doc of exactly k words, multi-space runs, null text excluded
     val d = Seq(
       (1L, "one two three four five six"),
@@ -166,13 +180,20 @@ class TextAnalysisSpec extends SparkTestBase {
       (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     for (k <- Seq(1, 2, 5, 7)) {
-      val hof = d.where(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextAnalysis.shingleArray(col("text"), k)).as("sh"))
+      val fast = TextAnalysis.explodedShingles(d, "text", "doc_id", k)
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-      val win = TextAnalysis.explodedShingles(d, "text", "doc_id", k)
+      val ref = windowed(d, k)
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-      assert(hof === win, s"k=$k")
+      assert(fast === ref, s"k=$k")
     }
+  }
+
+  test("explodedShingles plans with zero exchange and zero window") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.explodedShingles(d, "text", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"shingling must be scan-local:\n$plan")
   }
 
   test("contaminationAtScale equals the exact-join form on real data") {
