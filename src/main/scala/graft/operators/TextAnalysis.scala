@@ -137,27 +137,23 @@ object TextAnalysis {
   /** Exploded word k-shingles, one row per (id, shingle occurrence) — THE
     * shared shingling kernel for minhash signatures, fingerprints, and
     * contamination (one definition so the subtle edge cases — short-doc
-    * truncated shingle at position 0, k=1 — cannot drift between
-    * operators). Shape: the word array stays IN the row and a position
-    * sequence explodes beside it, so each shingle is a codegen'd
-    * `slice` + `array_join` projection — ZERO exchange (an earlier form
-    * used a doc-keyed lead window, which shuffled the whole corpus
-    * before a single shingle existed; a nested-HOF form kept the rows
-    * local but ran interpreted lambdas, 60× slower — micro-benchmarked
-    * at 2.6 s vs 9.4 s windowed vs 163 s HOF over 12M shingles).
-    * Trailing sub-shingles are dropped except the position-1 row of a
-    * document shorter than k words (`greatest(n-k+1, 1)`). Documents
-    * with NULL text are EXCLUDED (a null document has no shingles); the
-    * DuckDB oracles filter `text IS NOT NULL` to pin the same contract.
+    * truncated shingle, k=1 — cannot drift between operators). The
+    * engine is the native [[graft.functions.WordShingles]] generator:
+    * one compiled pass per document emitting narrow shingle rows — ZERO
+    * exchange, and none of the structural taxes the relational
+    * formulations pay (the lead-window form shuffles the corpus before
+    * a single shingle exists, 13.1 s; explode-beside-the-array
+    * serializes the whole word array into every generated row, O(words²)
+    * per doc, 141.8 s; the transform-HOF form runs interpreted lambdas,
+    * 148.3 s; this generator: 7.5 s — ShingleBench, 12M shingles,
+    * identical sink hashes). Documents with NULL
+    * text are EXCLUDED (a null document has no shingles); the DuckDB
+    * oracles filter `text IS NOT NULL` to pin the same contract.
     */
-  def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val words = split(trim(lower(col(textCol))), "\\s+")
+  def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.where(col(textCol).isNotNull)
-      .select(col(idCol), words.as("__ws"),
-        explode(sequence(lit(1), greatest(size(words) - (k - 1), lit(1)))).as("__p"))
       .select(col(idCol),
-        array_join(slice(col("__ws"), col("__p"), lit(k)), " ").as("__sh"))
-  }
+        graft.functions.WordShingles.wordShingles(col(textCol), k))
 
   /** Distinct word k-shingles as rows (id, shingle) — the join-ready form
     * for contamination checks.
