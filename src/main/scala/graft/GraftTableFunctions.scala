@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{Dedup, Diff, Index, Sampling}
+import graft.operators.{Bpe, Dedup, Diff, Index, Sampling, TextAnalysis}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -25,7 +25,13 @@ import graft.operators.{Dedup, Diff, Index, Sampling}
   *     [[graft.operators.Diff.snapshotDiff]], `compareCols` comma-joined;
   *   - `graft_bm25(table, textCol, idCol, terms, topK)` —
   *     [[graft.operators.Index.bm25TopK]] with a space-separated query
-  *     term string (the q89 retrieval operator from pure SQL).
+  *     term string (the q89 retrieval operator from pure SQL);
+  *   - `graft_contaminate(docsTable, benchTable, textCol, idCol, k)` —
+  *     [[graft.operators.TextAnalysis.contaminationAtScale]], the q106
+  *     shuffle-free decontamination sweep;
+  *   - `graft_bpe_pairs(table, textCol)` —
+  *     [[graft.operators.Bpe.pairCounts]] over [[graft.operators.Bpe.wordTable]],
+  *     the q108 BPE pair-statistics kernel.
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -113,9 +119,32 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val contaminateFn: TableFn = (
+    FunctionIdentifier("graft_contaminate"),
+    new ExpressionInfo(TextAnalysis.getClass.getName, "graft_contaminate"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_contaminate takes (docsTable, benchTable, textCol, idCol, k)")
+      TextAnalysis.contaminationAtScale(table(str(args(0), "docsTable")),
+          table(str(args(1), "benchTable")),
+          str(args(2), "textCol"), str(args(3), "idCol"), int(args(4), "k"))
+        .queryExecution.analyzed
+    })
+
+  val bpePairsFn: TableFn = (
+    FunctionIdentifier("graft_bpe_pairs"),
+    new ExpressionInfo(Bpe.getClass.getName, "graft_bpe_pairs"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_bpe_pairs takes (table, textCol)")
+      Bpe.pairCounts(Bpe.wordTable(table(str(args(0), "table")),
+          str(args(1), "textCol")))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
   val all: Seq[TableFn] =
-    Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn)
+    Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn,
+      contaminateFn, bpePairsFn)
 }

@@ -115,6 +115,26 @@ class GraftExtensionsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(diff.keySet === Set("added", "removed", "unchanged"))
     assert(diff("unchanged") > 0 && diff("added") > 0 && diff("removed") > 0)
+
+    docs.where(col("doc_id") % 89 === 0).createOrReplaceTempView("docs_tf_bench")
+    val sqlCont = spark.sql(
+      """SELECT * FROM graft_contaminate('docs_tf_v', 'docs_tf_bench', 'text', 'doc_id', 5)
+        |ORDER BY doc_id, bench_id""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiCont = graft.operators.TextAnalysis.contamination(docs,
+        docs.where(col("doc_id") % 89 === 0), "text", "doc_id", 5)
+      .orderBy("doc_id", "bench_id").collect().map(_.toString).toSeq
+    assert(sqlCont.nonEmpty && sqlCont === apiCont)
+
+    val sqlBpe = spark.sql(
+      """SELECT * FROM graft_bpe_pairs('docs_tf_v', 'text')
+        |ORDER BY pair_count DESC, lhs, rhs LIMIT 20""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiBpe = graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.wordTable(docs, "text"))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(20)
+      .collect().map(_.toString).toSeq
+    assert(sqlBpe.nonEmpty && sqlBpe === apiBpe)
   }
 
   test("SQL shuffle_key equals the Column API and the md5 derivation") {
