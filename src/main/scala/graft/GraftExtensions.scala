@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, ShiftRight, Substring}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
-import graft.functions.{CharDistEntropy, CosineSimilarity, Int8Stats}
+import graft.functions.{CharDistEntropy, CosineSimilarity, Int8Stats, WordShingles}
 import graft.operators.{Layout, Sharding}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -21,7 +21,10 @@ import graft.operators.{Layout, Sharding}
   *   - `z_value(a, b[, bits])` — [[Layout.zValue]]'s Morton interleave
   *     (bits must be an integer literal: the chain unrolls at plan time);
   *   - `shuffle_key(id)` — [[Sharding.shuffleKey]]'s md5-derived 60-bit
-  *     reproducible shuffle key.
+  *     reproducible shuffle key;
+  *   - `word_shingles(text, k)` — the native shingle GENERATOR
+  *     ([[graft.functions.WordShingles]]), usable in LATERAL VIEW or
+  *     directly in SELECT like explode.
   *
   * The latter two expand to the same built-in-expression trees the Column
   * API builds (via the graftbridge converters), so they stay fully inside
@@ -61,6 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction(GraftExtensions.zValueFn)
     e.injectFunction(GraftExtensions.shuffleKeyFn)
+    e.injectFunction(GraftExtensions.wordShinglesFn)
     GraftTableFunctions.all.foreach(e.injectTableFunction)
   }
 }
@@ -115,5 +119,23 @@ object GraftExtensions {
             Literal(1), Literal(15)),
           Literal(16), Literal(10)),
         LongType)
+    })
+
+  /** [[graft.functions.WordShingles]] as a SQL generator function —
+    * `SELECT doc_id, sh.__sh FROM docs LATERAL VIEW word_shingles(text, 5) sh`
+    * (or directly in SELECT, like explode). k must be an integer literal:
+    * the generator's output schema is fixed at plan time.
+    */
+  val wordShinglesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "word_shingles takes (text, k)")
+      val k = children(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"word_shingles k must be an integer literal, got $other")
+      }
+      WordShingles(children.head, k)
     })
 }

@@ -137,6 +137,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlBpe.nonEmpty && sqlBpe === apiBpe)
   }
 
+  test("SQL word_shingles generator equals the kernel through LATERAL VIEW") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", GraftExtensions.wordShinglesFn._3, "built-in")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_ws_v")
+    val sqlOut = spark.sql(
+      """SELECT doc_id, s.__sh FROM docs_ws_v
+        |LATERAL VIEW word_shingles(text, 5) s
+        |WHERE text IS NOT NULL""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val apiOut = graft.operators.TextAnalysis.explodedShingles(docs, "text", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(sqlOut.nonEmpty && sqlOut === apiOut)
+  }
+
   test("SQL shuffle_key equals the Column API and the md5 derivation") {
     register()
     val sqlOut = spark.sql("SELECT shuffle_key(42) AS k").collect().head.getLong(0)
