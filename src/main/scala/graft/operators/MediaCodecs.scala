@@ -1,20 +1,28 @@
 package graft.operators
 
-/** REAL pure-JVM media codecs for the uncompressed formats that need no
-  * external codec library — the honest upgrade of [[Multimodal]]'s decode
-  * stubs: PCM WAV (RIFF) audio and binary PPM (P6) images are fully
-  * decodable with byte arithmetic alone, so their kernels compute REAL
-  * features (sample rate, duration, RMS, zero-crossings; dimensions, mean
-  * channels, luminance) and a REAL nearest-neighbour image resize.
-  * Compressed formats (JPEG/PNG/MP4) still require codecs absent from this
-  * container and remain clearly-marked stubs in [[Multimodal]].
+/** REAL pure-JVM media codecs — no external codec library:
+  *   - PCM WAV (RIFF) audio and binary PPM (P6) images decode with byte
+  *     arithmetic alone (sample rate, duration, RMS, zero-crossings;
+  *     dimensions, channel means, luminance; nearest-neighbour resize).
+  *   - PNG and JPEG decode/encode/resize through the JDK's own
+  *     `javax.imageio` (headless-safe, ships in the standard library) —
+  *     real pixel rasters, real interpolation, not fakes.
+  * Only MP4 demux still needs a codec absent from the JDK and remains a
+  * clearly-marked stub in [[Multimodal]].
   *
   * All functions are pure byte→value: safe inside `mapPartitions`,
-  * deterministic on any partitioning, no codec state. Malformed payloads
-  * return None — a corrupt-asset row becomes a quarantine row, never a
-  * task failure (the petabyte-media-corpus requirement).
+  * deterministic on any partitioning, no shared codec state (ImageIO's
+  * disk-backed stream cache is disabled — a decode must never do
+  * temp-file I/O inside a task). Malformed payloads return None — a
+  * corrupt-asset row becomes a quarantine row, never a task failure (the
+  * petabyte-media-corpus requirement).
   */
 object MediaCodecs {
+
+  // ImageIO defaults to spilling image streams through temp FILES; in a
+  // mapPartitions decode loop that is a hidden disk write per record.
+  // Memory-cached streams keep decode pure CPU.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Decoded PCM WAV summary — real signal statistics, not fakes. */
   case class WavInfo(
@@ -200,5 +208,116 @@ object MediaCodecs {
       i += 1
     }
     encodePpm(width, height, rgb)
+  }
+
+  // ---- PNG / JPEG via the JDK's javax.imageio (REAL compressed codecs) ----
+
+  /** Container sniff by magic bytes: Some("png") / Some("jpeg") / None.
+    * Dispatch must come from the BYTES, not the claimed mime type — a
+    * mislabeled asset decodes by what it is.
+    */
+  def sniffImageFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
+    else None
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None } // corrupt stream → quarantine
+
+  private def writeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Decode a PNG or JPEG payload into the same raster summary as
+    * [[decodePpm]]: real dimensions, per-channel means, Rec.601 luminance,
+    * computed from the decoded pixels. One bulk `getRGB` fetch, one pass.
+    * None for non-PNG/JPEG magic or a corrupt stream.
+    */
+  def decodeCompressedImage(bytes: Array[Byte]): Option[PpmInfo] =
+    sniffImageFormat(bytes).flatMap(_ => readImage(bytes)).flatMap { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) None
+      else {
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          i += 1
+        }
+        val n = px.length.toDouble
+        val (mr, mg, mb) = (r / n, g / n, b / n)
+        Some(PpmInfo(w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb))
+      }
+    }
+
+  /** REAL resize of a PNG/JPEG payload: decode, nearest-neighbour resample
+    * (deterministic — no antialias filter kernels), re-encode in the SAME
+    * sniffed container. Java2D nearest samples at destination pixel
+    * CENTERS (2x2→1x1 picks source (1,1)), a different-but-standard
+    * convention from [[resizePpmNearest]]'s floor map. None for
+    * undecodable payloads.
+    */
+  def resizeCompressedImage(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    require(newW > 0 && newH > 0, "target dimensions must be positive")
+    for {
+      fmt <- sniffImageFormat(bytes)
+      img <- readImage(bytes)
+    } yield {
+      val out = new java.awt.image.BufferedImage(newW, newH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g2.drawImage(img, 0, 0, newW, newH, null)
+      g2.dispose()
+      writeImage(out, fmt)
+    }
+  }
+
+  /** Encode interleaved RGB bytes as PNG ("png", lossless) or JPEG
+    * ("jpeg"). The PNG roundtrip through [[decodeCompressedImage]] is
+    * bit-exact on pixel values; JPEG is lossy by design.
+    */
+  def encodeImage(width: Int, height: Int, rgb: Array[Byte], format: String): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"rgb length ${rgb.length} != $width x $height x 3")
+    require(format == "png" || format == "jpeg", s"unsupported format $format")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = 3 * (y * width + x)
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    writeImage(img, format)
+  }
+
+  /** Deterministic REAL PNG synthesis — the [[syntheticPpm]] pattern
+    * through the PNG codec, so every scale factor gets genuinely
+    * ImageIO-decodable compressed assets.
+    */
+  def syntheticPng(seedBytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val n = width * height * 3
+    val rgb = new Array[Byte](n)
+    val m = math.max(seedBytes.length, 1)
+    var i = 0
+    while (i < n) {
+      rgb(i) = if (seedBytes.isEmpty) 0 else seedBytes(i % m)
+      i += 1
+    }
+    encodeImage(width, height, rgb, "png")
   }
 }

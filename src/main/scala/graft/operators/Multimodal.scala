@@ -14,14 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Decode kernels come in two honesty classes:
   *   - REAL, pure-JVM ([[MediaCodecs]]): PCM WAV audio (RIFF chunk walk →
-  *     sample rate, duration, RMS, peak, zero-cross rate) and binary PPM
-  *     (P6) images (header + raster → dimensions, channel means,
-  *     luminance; genuine nearest-neighbour resize). These run real
-  *     signal/pixel arithmetic — no fakes.
-  *   - STUBS for compressed codecs (JPEG/PNG decode, MP4 demux), which
-  *     need libraries absent from this container; the stubs produce
-  *     fake-but-stable features so the surrounding plumbing (schema,
-  *     batching, partitioning, joins) stays testable and is real.
+  *     sample rate, duration, RMS, peak, zero-cross rate), binary PPM
+  *     (P6) images (header + raster), and PNG/JPEG through the JDK's own
+  *     `javax.imageio` — all producing real dimensions, channel means,
+  *     luminance, and genuine nearest-neighbour resizes. No fakes.
+  *   - STUB for MP4 demux only, the one format whose codec the JDK lacks;
+  *     the stub produces fake-but-stable features so the surrounding
+  *     plumbing (schema, batching, partitioning, joins) stays testable
+  *     and is real.
   * [[extractFeatures]] dispatches by mime type: decodable payloads get the
   * real kernel, everything else falls back to the stub; a malformed
   * payload of a decodable type yields the stub features too (quarantine
@@ -122,6 +122,9 @@ object Multimodal {
           case "image/x-portable-pixmap" =>
             MediaCodecs.decodePpm(m.content).map(ppmFeatures)
               .getOrElse(stubDecodeFeatures(m.content))
+          case "image/png" | "image/jpeg" =>
+            MediaCodecs.decodeCompressedImage(m.content).map(ppmFeatures)
+              .getOrElse(stubDecodeFeatures(m.content))
           case _ => stubDecodeFeatures(m.content)
         }
         MediaFeatures(
@@ -135,23 +138,29 @@ object Multimodal {
     }
   }
 
-  /** REAL image resize for P6 payloads ([[MediaCodecs.resizePpmNearest]]):
-    * nearest-neighbour resample re-encoded as a valid P6, width/height
-    * metadata updated. Non-P6 and malformed payloads pass through
-    * unchanged (compressed formats would need their codecs). Same
+  /** REAL image resize: P6 payloads through [[MediaCodecs.resizePpmNearest]],
+    * PNG/JPEG through [[MediaCodecs.resizeCompressedImage]] (javax.imageio
+    * decode → nearest-neighbour resample → re-encode in the same
+    * container). Width/height metadata updated; non-image and malformed
+    * payloads pass through unchanged (quarantine semantics). Same
     * mapPartitions shape as [[extractFeatures]].
     */
   def resizeImages(media: Dataset[MediaRecord], newW: Int, newH: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        if (m.mime_type == "image/x-portable-pixmap") {
-          MediaCodecs.resizePpmNearest(m.content, newW, newH) match {
-            case Some(resized) =>
-              m.copy(content = resized, width = Some(newW), height = Some(newH))
-            case None => m
-          }
-        } else m
+        val resized = m.mime_type match {
+          case "image/x-portable-pixmap" =>
+            MediaCodecs.resizePpmNearest(m.content, newW, newH)
+          case "image/png" | "image/jpeg" =>
+            MediaCodecs.resizeCompressedImage(m.content, newW, newH)
+          case _ => None
+        }
+        resized match {
+          case Some(bytes) =>
+            m.copy(content = bytes, width = Some(newW), height = Some(newH))
+          case None => m
+        }
       }
     }
   }
@@ -210,10 +219,11 @@ object Multimodal {
   }
 
   /** Build a media table of GENUINELY DECODABLE assets from the documents
-    * table: every "image" row carries a real P6 PPM raster seeded from the
-    * text bytes, every "audio" row a real PCM WAV sine tone seeded from
-    * the doc id — so [[extractFeatures]] exercises the REAL kernels on
-    * well-formed files at every scale factor. "video" rows keep an opaque
+    * table: every "image" row carries a real raster seeded from the text
+    * bytes — alternating uncompressed P6 PPM and compressed PNG, so both
+    * the byte-arithmetic and the javax.imageio kernels decode well-formed
+    * files at every scale factor — and every "audio" row a real PCM WAV
+    * sine tone seeded from the doc id. "video" rows keep an opaque
     * payload (MP4 demux is a stub). Runs the synthesis in mapPartitions
     * (same shape as decode).
     */
@@ -226,9 +236,14 @@ object Multimodal {
           (id % 3) match {
             case 0 =>
               val (w, h) = (32, 24)
-              MediaRecord(id, "image",
-                MediaCodecs.syntheticPpm(text.getBytes("UTF-8"), w, h),
-                "image/x-portable-pixmap", Some(w), Some(h), None, None)
+              if ((id / 3) % 2 == 0)
+                MediaRecord(id, "image",
+                  MediaCodecs.syntheticPpm(text.getBytes("UTF-8"), w, h),
+                  "image/x-portable-pixmap", Some(w), Some(h), None, None)
+              else
+                MediaRecord(id, "image",
+                  MediaCodecs.syntheticPng(text.getBytes("UTF-8"), w, h),
+                  "image/png", Some(w), Some(h), None, None)
             case 1 =>
               val rate = 16000
               val n = math.max(1600, math.min(16000, nChars.toInt * 8))

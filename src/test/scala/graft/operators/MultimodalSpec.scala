@@ -122,6 +122,56 @@ class MultimodalSpec extends SparkTestBase {
       ("P6\n99999999999 2\n255\n".getBytes("US-ASCII") ++ rgb)).isEmpty)
   }
 
+  test("PNG codec: lossless roundtrip recovers exact means; resize; quarantine") {
+    // same 2x2 raster as the PPM test: red, green / blue, white
+    val rgb: Array[Byte] = Array(
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val png = MediaCodecs.encodeImage(2, 2, rgb, "png")
+    assert(MediaCodecs.sniffImageFormat(png) === Some("png"))
+    val info = MediaCodecs.decodeCompressedImage(png).get
+    assert(info.width === 2 && info.height === 2)
+    // PNG is lossless: decoded means are EXACT, same as the P6 payload
+    assert(info.meanR === 127.5 && info.meanG === 127.5 && info.meanB === 127.5)
+    // upscale 2x2 -> 4x4 nearest keeps the means; downscale 1x1 picks (0,0)=red
+    val up = MediaCodecs.decodeCompressedImage(
+      MediaCodecs.resizeCompressedImage(png, 4, 4).get).get
+    assert(up.width === 4 && up.height === 4)
+    assert(up.meanR === 127.5 && up.meanG === 127.5 && up.meanB === 127.5)
+    // Java2D nearest samples destination pixel CENTERS: 2x2 -> 1x1 maps
+    // (0.5,0.5) back to source (1,1) = white (the floor-map PPM kernel
+    // would pick (0,0) = red — both are standard conventions)
+    val down = MediaCodecs.decodeCompressedImage(
+      MediaCodecs.resizeCompressedImage(png, 1, 1).get).get
+    assert(down.meanR === 255.0 && down.meanG === 255.0 && down.meanB === 255.0)
+    // resize preserves the container format
+    assert(MediaCodecs.sniffImageFormat(
+      MediaCodecs.resizeCompressedImage(png, 4, 4).get) === Some("png"))
+    // truncated stream and non-image bytes quarantine as None, never throw
+    assert(MediaCodecs.decodeCompressedImage(png.take(20)).isEmpty)
+    assert(MediaCodecs.decodeCompressedImage("not an image".getBytes).isEmpty)
+    assert(MediaCodecs.resizeCompressedImage(png.take(20), 4, 4).isEmpty)
+  }
+
+  test("JPEG codec: real lossy decode — dimensions exact, means approximate") {
+    // a flat gray image survives JPEG with near-identical means
+    val (w, h) = (16, 16)
+    val rgb = Array.fill[Byte](w * h * 3)(100.toByte)
+    val jpg = MediaCodecs.encodeImage(w, h, rgb, "jpeg")
+    assert(MediaCodecs.sniffImageFormat(jpg) === Some("jpeg"))
+    val info = MediaCodecs.decodeCompressedImage(jpg).get
+    assert(info.width === w && info.height === h)
+    assert(math.abs(info.meanR - 100.0) < 3.0, s"meanR=${info.meanR}")
+    assert(math.abs(info.meanG - 100.0) < 3.0)
+    assert(math.abs(info.meanB - 100.0) < 3.0)
+    val resized = MediaCodecs.resizeCompressedImage(jpg, 8, 8).get
+    assert(MediaCodecs.sniffImageFormat(resized) === Some("jpeg"))
+    assert(MediaCodecs.decodeCompressedImage(resized).get.width === 8)
+    // a PNG mislabeled as JPEG still decodes: dispatch sniffs bytes
+    val png = MediaCodecs.encodeImage(2, 2, Array.fill[Byte](12)(7), "png")
+    assert(MediaCodecs.decodeCompressedImage(png).get.width === 2)
+  }
+
   test("real-asset corpus: WAV and PPM rows get REAL decoded features, video stays stub") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val assets = Multimodal.mediaRealAssets(spark, docs)
@@ -134,21 +184,27 @@ class MultimodalSpec extends SparkTestBase {
       assert(math.abs(f.feature(1) - 16000 / 48000.0f) < 1e-6)
       assert(math.abs(f.feature(3) - 0.3535f) < 0.01f, s"rms=${f.feature(3)}")
     }
-    // image: marker plane 2, real 32x24 dimensions from the raster header
+    // image: marker plane 2, real 32x24 dimensions from the decoded raster
+    // — both the P6 (byte-arithmetic) and PNG (javax.imageio) rows
     byModality("image").foreach { f =>
-      assert(f.feature(0) === 2.0f, "real PPM decode marker")
+      assert(f.feature(0) === 2.0f, "real image decode marker")
       assert(math.abs(f.feature(1) - 32 / 4096.0f) < 1e-6)
       assert(math.abs(f.feature(2) - 24 / 4096.0f) < 1e-6)
     }
+    // the corpus genuinely carries BOTH image containers
+    val mimes = assets.filter(_.modality == "image").collect().map(_.mime_type).toSet
+    assert(mimes === Set("image/x-portable-pixmap", "image/png"))
     // video: compressed container stays a stub (marker plane never 1/2)
     byModality("video").foreach(f =>
       assert(f.feature(0) != 1.0f && f.feature(0) != 2.0f))
-    // real resize end-to-end: every image payload becomes a valid 8x6 P6
+    // real resize end-to-end: every image payload becomes a valid 8x6
+    // raster in its own container
     val resized = Multimodal.resizeImages(assets, 8, 6)
       .filter(_.modality == "image").collect()
     assert(resized.nonEmpty)
     resized.foreach { m =>
-      val info = MediaCodecs.decodePpm(m.content).get
+      val info = (if (m.mime_type == "image/png") MediaCodecs.decodeCompressedImage(m.content)
+                  else MediaCodecs.decodePpm(m.content)).get
       assert(info.width === 8 && info.height === 6)
       assert(m.width === Some(8) && m.height === Some(6))
     }
