@@ -129,7 +129,10 @@ object SparkEntry {
     "q105_packed_sequences" -> (D.q105PackedSequences(_, _)),
     "q106_decontaminate" -> (D.q106Decontaminate(_, _)),
     "q107_incremental_index" -> (D.q107IncrementalIndex(_, _)),
-    "q108_bpe_pairs"     -> (D.q108BpePairs(_, _))
+    "q108_bpe_pairs"     -> (D.q108BpePairs(_, _)),
+    "q109_hard_negatives" -> (D.q109HardNegatives(_, _)),
+    "q110_prototype_eval" -> (D.q110PrototypeEval(_, _)),
+    "q111_split_manifest" -> (D.q111SplitManifest(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

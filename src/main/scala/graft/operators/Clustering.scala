@@ -56,6 +56,65 @@ object Clustering {
         col("n_members"), col("centroid"))
   }
 
+  /** Per-label prototype centroids — the supervised twin of [[lloydStep]]'s
+    * update: every label's per-dimension member mean, decimal-quantized
+    * before the sum (partition-order invariant, engine-replayable) and
+    * rounded to `roundTo` decimals. Output (proto_label, dim, c), one row
+    * per (label, dimension).
+    *
+    * Scale shape: ONE map-side-combinable aggregation; the only shuffle
+    * carries (label, dim) partial sums — bounded by labels · dim ·
+    * partitions, independent of corpus size.
+    */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String,
+                     roundTo: Int = 6): DataFrame =
+    df.select(col(labelCol).as("proto_label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__val")))
+      .groupBy(col("proto_label"), col("dim"))
+      .agg(round(
+        (sum(col("__val").cast("double").cast("decimal(28,9)")).cast("double") /
+          count(lit(1))),
+        roundTo).as("c"))
+
+  /** [[labelCentroids]] reassembled to array form: (proto_label, proto_vec)
+    * with proto_vec ordered by dimension — the broadcastable prototype
+    * table assignment joins against.
+    */
+  def labelPrototypes(df: DataFrame, vecCol: String, labelCol: String,
+                      roundTo: Int = 6): DataFrame =
+    labelCentroids(df, vecCol, labelCol, roundTo)
+      .groupBy(col("proto_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("proto_vec"))
+
+  /** Nearest-prototype evaluation — the standard embedding-quality probe
+    * (a "prototype classifier"): build per-label centroids, assign every
+    * vector to its most cosine-similar prototype, and return the confusion
+    * counts (true_label, pred_label, n). The diagonal mass over the total
+    * is prototype accuracy; off-diagonal cells show which label pairs the
+    * embedding space confuses.
+    *
+    * Plan shape: prototypes BROADCAST (one row per label), so assignment
+    * is a broadcast join + per-vector argmax window — the corpus is
+    * scanned once and never shuffles vectors; the confusion aggregation
+    * shuffles at most labels² count rows after map-side partials. Cosine
+    * ties break on the lower label, making the argmax deterministic on
+    * any engine.
+    */
+  def nearestPrototypeConfusion(df: DataFrame, vecCol: String, idCol: String,
+                                labelCol: String, roundTo: Int = 6): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val protos = labelPrototypes(df, vecCol, labelCol, roundTo)
+    val byVec = Window.partitionBy(col("__vid")).orderBy(col("__psim").desc, col("proto_label"))
+    df.select(col(idCol).as("__vid"), col(labelCol).as("true_label"), col(vecCol).as("__v"))
+      .join(broadcast(protos))
+      .withColumn("__psim", cosineSim(col("__v"), col("proto_vec")))
+      .withColumn("__rn", row_number().over(byVec))
+      .where(col("__rn") === 1)
+      .groupBy(col("true_label"), col("proto_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Nearest-seed-centroid assignment: (__vid, __v, __cid), one row per
     * input vector. Broadcast join + argmax window — the same shape q76's
     * SemDeDup assignment and the IVF probe stage use (cosine ties break on

@@ -44,6 +44,36 @@ object Sampling {
     (df.where(bucket(col(idCol)) >= cut), df.where(bucket(col(idCol)) < cut))
   }
 
+  /** Deterministic NAMED multi-way split: every row gets a split label
+    * (train/validation/test/...) from the same pure md5-bucket function as
+    * [[deterministicSample]] — membership is a row function, so the split
+    * is identical on any partitioning, any cluster, any engine, and a row
+    * can never land in two splits. Cutoffs come from CUMULATIVE weights
+    * (round(cumWeight · buckets)), not per-split rounds, so the pieces
+    * tile [0, Buckets) exactly and weights that don't divide the bucket
+    * count cleanly never orphan or double-count a bucket.
+    *
+    * Scale: a projection — no shuffle, no per-split pass, one scan
+    * regardless of split count.
+    */
+  def assignSplits(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                   splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    splits.foreach { case (n, w) => require(w > 0, s"split '$n' must have weight > 0, got $w") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => math.round(c * Buckets))
+    val b = bucket(col(idCol))
+    // nest from the LAST split outward so the outermost `when` tests the
+    // smallest cutoff — CASE order is the split order
+    val expr = splits.init.map(_._1).zip(cuts.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, (name, cut)) => when(b < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Stratified deterministic sampling: each stratum keeps its own rate
     * (corpus rebalancing — downsample the dominant language, keep the long
     * tail). Membership stays a pure per-row function: the cutoff is a CASE

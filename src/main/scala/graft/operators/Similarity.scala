@@ -366,6 +366,75 @@ object Similarity {
     * neighbor_id, long rank, output columns) cannot drift between hash
     * families.
     */
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * k most cosine-similar corpus vectors carrying a DIFFERENT label — the
+    * negatives a contrastive loss learns most from (the FaceNet/DPR mining
+    * step). Exact form: the anchor set is small by construction (a
+    * per-step sample of the training batch), so it broadcasts and the
+    * corpus is scanned exactly once; the rank window shuffles only
+    * (anchor, negative, sim) triples, never vectors. An optional
+    * similarity band [simLo, simHi] restricts to SEMI-hard negatives
+    * (informative but unlikely to be label noise); the default band is
+    * the whole range and adds no filter, keeping the oracle float-free.
+    * Returns (anchor_id, anchor_label, rnk, negative_id, negative_label).
+    *
+    * Scale path at 100 TB: [[hardNegativesLsh]] — identical contract
+    * through the deterministic sign-plane bucket join, corpus work per
+    * anchor ∝ bucket size instead of n.
+    */
+  def hardNegativesTopK(anchors: DataFrame, corpus: DataFrame, vecCol: String,
+                        idCol: String, labelCol: String, k: Int,
+                        simLo: Double = -1.0, simHi: Double = 1.0): DataFrame = {
+    val q = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("negative_id"),
+      col(labelCol).as("negative_label"), col(vecCol).as("__nv"))
+    val scored = c
+      .join(broadcast(q), col("anchor_id") =!= col("negative_id") &&
+        col("anchor_label") =!= col("negative_label"))
+      .withColumn("__sim", cosineSim(col("__qv"), col("__nv")))
+    val banded =
+      if (simLo == -1.0 && simHi == 1.0) scored
+      else scored.where(col("__sim") >= simLo && col("__sim") <= simHi)
+    rankNegatives(banded, k)
+  }
+
+  /** [[hardNegativesTopK]]'s bucketed scale form: both sides carry the
+    * deterministic sign-plane bucket, the candidate join is an equi-join
+    * on bucket id (shuffle ∝ colliding pairs, never n·q), and the label
+    * filter prunes same-label candidates BEFORE the similarity compute.
+    * Approximate exactly like [[lshTopKDet]]: a negative outside every
+    * shared bucket is unseen — recall tunes via `planes`.
+    */
+  def hardNegativesLsh(anchors: DataFrame, corpus: DataFrame, vecCol: String,
+                       idCol: String, labelCol: String, k: Int,
+                       planes: Int, dim: Int): DataFrame = {
+    val bucket = signPlaneBucket(col(vecCol), planes, dim)
+    val q = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col(vecCol).as("__qv"), bucket.as("__bucket"))
+    val c = corpus.select(col(idCol).as("negative_id"),
+      col(labelCol).as("negative_label"), col(vecCol).as("__nv"), bucket.as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .where(col("anchor_id") =!= col("negative_id") &&
+        col("anchor_label") =!= col("negative_label"))
+      .withColumn("__sim", cosineSim(col("__qv"), col("__nv")))
+    rankNegatives(scored, k)
+  }
+
+  /** Shared top-k tail of the hard-negative paths — one definition so the
+    * contract (sim-desc order, negative_id tiebreak, long rank, output
+    * columns without the float sim) cannot drift between the exact and
+    * bucketed forms.
+    */
+  private def rankNegatives(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__sim").desc, col("negative_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("anchor_id", "anchor_label", "rnk", "negative_id", "negative_label")
+  }
+
   private def bucketedTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
                            idCol: String, k: Int, bucketExpr: Column): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),

@@ -529,6 +529,41 @@ object DocQueries {
       .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
       .limit(50)
 
+  /** Hard-negative mining (Similarity.hardNegativesTopK): for each
+    * sampled anchor, the 5 most cosine-similar vectors with a DIFFERENT
+    * label — the contrastive-training negatives. Exact broadcast form
+    * here (oracle-replayable); the sign-plane bucketed scale form is
+    * spec-pinned equal on shared buckets.
+    */
+  def q109HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val anchors = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.hardNegativesTopK(anchors, emb, "embedding", "vec_id", "label", k = 5)
+      .orderBy("anchor_id", "rnk")
+  }
+
+  /** Nearest-prototype confusion matrix (Clustering
+    * .nearestPrototypeConfusion): per-label decimal-exact centroids,
+    * every vector assigned to its most cosine-similar prototype, counts
+    * per (true, predicted) cell — the standard embedding-quality probe.
+    */
+  def q110PrototypeEval(spark: SparkSession, dir: String): DataFrame =
+    Clustering.nearestPrototypeConfusion(Tables(spark, dir).embeddings,
+        "embedding", "vec_id", "label")
+      .orderBy("true_label", "pred_label")
+
+  /** Deterministic stratified split manifest (Sampling.assignSplits):
+    * 80/10/10 train/validation/test by md5 bucket of doc_id, reported per
+    * (split, source) with document and character totals — the dataset
+    * card a training run records before touching the data.
+    */
+  def q111SplitManifest(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplits(Tables(spark, dir).documents, "doc_id",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("split", "source")
+
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension
     * member means.

@@ -832,6 +832,56 @@ object OracleSql {
         |FROM p GROUP BY 1, 2
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 50""".stripMargin,
 
+    "q109_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS negative_id, label AS negative_label,
+        |             CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT anchor_id, anchor_label, negative_id, negative_label,
+        |             list_dot_product(qv, nv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+        |      FROM q CROSS JOIN c
+        |      WHERE anchor_id <> negative_id AND anchor_label <> negative_label),
+        |r AS (SELECT anchor_id, anchor_label, negative_id, negative_label,
+        |             CAST(row_number() OVER (PARTITION BY anchor_id
+        |                                     ORDER BY sim DESC, negative_id) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT anchor_id, anchor_label, rnk, negative_id, negative_label
+        |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin,
+
+    "q110_prototype_eval" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, t.d AS dim, v[t.d + 1] AS val
+        |      FROM e CROSS JOIN range(64) t(d)),
+        |m AS (SELECT label AS proto_label, dim,
+        |             round(CAST(sum(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS c
+        |      FROM x GROUP BY 1, 2),
+        |p AS (SELECT proto_label, list(c ORDER BY dim) AS pv FROM m GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label AS true_label, p.proto_label,
+        |             list_dot_product(e.v, p.pv) /
+        |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS sim
+        |      FROM e CROSS JOIN p),
+        |a AS (SELECT vec_id, true_label, proto_label,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY sim DESC, proto_label) AS rn
+        |      FROM s)
+        |SELECT true_label, proto_label AS pred_label, CAST(count(*) AS BIGINT) AS n
+        |FROM a WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
+
+    "q111_split_manifest" ->
+      """WITH d AS (SELECT source, n_chars,
+        |                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |                    % 10000 AS b
+        |           FROM documents)
+        |SELECT CASE WHEN b < 8000 THEN 'train'
+        |            WHEN b < 9000 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |       source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
     "q100_pq_codebooks" -> pqCodebooksSql,
     "q101_pq_codes" -> pqCodesSql,
     "q102_pq_adc_topk" -> pqAdcTopKSql,

@@ -60,4 +60,44 @@ class ClusteringSpec extends SparkTestBase {
     val b = Clustering.lloydStep(embeddings.repartition(17), "embedding", "vec_id", 8)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("label prototypes: one per label, dim-ordered, partition-invariant") {
+    val protos = Clustering.labelPrototypes(embeddings, "embedding", "label").collect()
+    val labels = embeddings.select("label").distinct().count()
+    assert(protos.length === labels, "exactly one prototype per label")
+    protos.foreach(r => assert(r.getSeq[Double](1).length === 64))
+    // a prototype dimension is the decimal-exact member mean of that dim
+    val l0 = protos.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val members0 = embeddings.where(col("label") === 0)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val dim0Mean = members0.map(v => BigDecimal(v(0).toDouble.toString).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / members0.length
+    assert(l0(0)(0) === BigDecimal(dim0Mean.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = Clustering.labelPrototypes(embeddings.repartition(17), "embedding", "label")
+    assert(Clustering.labelPrototypes(embeddings, "embedding", "label")
+      .exceptAll(b).isEmpty)
+  }
+
+  test("nearest-prototype confusion: cells partition the corpus, diagonal beats chance") {
+    val conf = Clustering.nearestPrototypeConfusion(embeddings,
+      "embedding", "vec_id", "label").collect()
+    val total = conf.map(_.getAs[Long]("n")).sum
+    assert(total === embeddings.count(), "every vector lands in exactly one cell")
+    val labels = embeddings.select("label").distinct().collect().map(_.getInt(0)).toSet
+    conf.foreach { r =>
+      assert(labels.contains(r.getAs[Int]("true_label")))
+      assert(labels.contains(r.getAs[Int]("pred_label")))
+    }
+    // embeddings correlate with labels: prototype accuracy must clearly
+    // beat the 1/|labels| chance floor (measured 0.374 vs 0.1 at sf0.001)
+    val diag = conf.filter(r => r.getAs[Int]("true_label") == r.getAs[Int]("pred_label"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag.toDouble / total > 0.2, s"accuracy ${diag.toDouble / total}")
+  }
+
+  test("prototype assignment broadcasts — the corpus never shuffles vectors") {
+    val plan = Clustering.nearestPrototypeConfusion(embeddings,
+      "embedding", "vec_id", "label").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "prototype table must broadcast")
+  }
 }

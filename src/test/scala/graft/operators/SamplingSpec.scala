@@ -35,6 +35,33 @@ class SamplingSpec extends SparkTestBase {
     assert(t.size + h.size === docs.count())
   }
 
+  test("assignSplits: exhaustive, disjoint, cumulative cutoffs tile exactly") {
+    val split = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+    // every row gets exactly one split label; no rows appear or vanish
+    assert(split.count() === docs.count())
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "validation", "test"))
+    val n = docs.count().toDouble
+    assert(byName("train") / n > 0.7 && byName("train") / n < 0.9)
+    // deterministic: same assignment on any partitioning
+    val a = split.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.assignSplits(docs.repartition(13), "doc_id",
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // thirds don't divide 10000: cumulative cutoffs (3333, 6667, 10000)
+    // must still cover every bucket — no orphaned rows
+    val thirds = Sampling.assignSplits(docs, "doc_id",
+      Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+    assert(thirds.where(col("split").isNull).count() === 0)
+    assert(thirds.count() === docs.count())
+    // the split column is a projection: no exchange in the plan
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "assignSplits must not shuffle")
+  }
+
   test("stratified sample applies per-stratum rates and stays a subset of the flat sample") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
       rates = Map("en" -> 0.10), defaultRate = 0.30)

@@ -213,4 +213,74 @@ class SimilaritySpec extends SparkTestBase {
     val b2 = emb.select(col("vec_id"), Similarity.hyperplaneBucket(col("embedding"), 8).as("b")).collect()
     assert(b1.map(r => (r.getLong(0), r.getLong(1))).toSet === b2.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("hard negatives: top-k by similarity strictly among OTHER labels") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") === 0)
+    val anchorLabel = anchors.select("label").head.getInt(0)
+    val negs = Similarity.hardNegativesTopK(anchors, emb, "embedding", "vec_id", "label", k = 5)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(negs.length === 5)
+    assert(negs.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
+    negs.foreach { r =>
+      assert(r.getAs[Int]("negative_label") !== anchorLabel, "same-label row leaked in")
+      assert(r.getAs[Int]("anchor_label") === anchorLabel)
+    }
+    // cross-check against the unfiltered brute-force ranking: the rank-1
+    // hard negative must be the FIRST different-label row of the full
+    // nearest-neighbor list
+    val brute = Similarity.bruteForceTopK(anchors, emb, "embedding", "vec_id", k = 200)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val firstOtherLabel = brute
+      .find(r => labelOf(r.getAs[Long]("neighbor_id")) != anchorLabel).get
+      .getAs[Long]("neighbor_id")
+    assert(negs.head.getAs[Long]("negative_id") === firstOtherLabel)
+  }
+
+  test("semi-hard band keeps only negatives inside [simLo, simHi]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val anchors = emb.where(pmod(col("vec_id"), lit(40)) === 0)
+    val banded = Similarity.hardNegativesTopK(anchors, emb, "embedding", "vec_id", "label",
+      k = 5, simLo = 0.0, simHi = 0.5)
+    // recompute each surviving pair's cosine and assert it sits in band
+    val vecOf = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = banded.collect()
+    assert(rows.nonEmpty, "band [0, 0.5] must keep some negatives on this corpus")
+    rows.foreach { r =>
+      val s = cos(vecOf(r.getAs[Long]("anchor_id")), vecOf(r.getAs[Long]("negative_id")))
+      assert(s >= 0.0 - 1e-12 && s <= 0.5 + 1e-12, s"sim $s outside the semi-hard band")
+    }
+  }
+
+  test("bucketed hard negatives agree with exact on shared buckets; identical twin ranks 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val anchors = emb.where(pmod(col("vec_id"), lit(40)) === 0)
+    val lsh = Similarity.hardNegativesLsh(anchors, emb, "embedding", "vec_id", "label",
+      k = 3, planes = 4, dim = 64)
+    val rows = lsh.collect()
+    assert(rows.nonEmpty, "planes=4 → 16 buckets over 200 vecs must collide")
+    assert(rows.forall(_.getAs[Long]("rnk") <= 3L))
+    assert(rows.forall(r => r.getAs[Int]("negative_label") != r.getAs[Int]("anchor_label")))
+    // an identical vector under a new id and a DIFFERENT label shares every
+    // bucket (bucket is a pure function of the vector) and has cosine 1 →
+    // must surface at rank 1
+    val a0 = emb.where(col("vec_id") === 0)
+    val a0Label = a0.select("label").head.getInt(0)
+    val twin = a0.withColumn("vec_id", lit(99999L))
+      .withColumn("label", lit(a0Label + 1))
+    val withTwin = emb.union(twin)
+    val top = Similarity.hardNegativesLsh(a0, withTwin, "embedding", "vec_id", "label",
+      k = 3, planes = 4, dim = 64)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(top.head.getAs[Long]("negative_id") === 99999L, "identical twin must rank first")
+  }
 }
