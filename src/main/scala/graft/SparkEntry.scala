@@ -132,7 +132,9 @@ object SparkEntry {
     "q108_bpe_pairs"     -> (D.q108BpePairs(_, _)),
     "q109_hard_negatives" -> (D.q109HardNegatives(_, _)),
     "q110_prototype_eval" -> (D.q110PrototypeEval(_, _)),
-    "q111_split_manifest" -> (D.q111SplitManifest(_, _))
+    "q111_split_manifest" -> (D.q111SplitManifest(_, _)),
+    "q112_mmr_rerank"    -> (D.q112MmrRerank(_, _)),
+    "q113_rank_eval"     -> (D.q113RankEval(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

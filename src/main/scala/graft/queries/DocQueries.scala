@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -563,6 +563,33 @@ object DocQueries {
       .groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
       .orderBy("split", "source")
+
+  /** MMR diversified re-ranking (Rerank.mmrDiversifyTopK): exact cosine
+    * top-10 per anchor diversified to an MMR top-3 at λ=0.5 — greedy is
+    * row-local per query over the bounded candidate list, one shuffle on
+    * query_id, no per-step joins.
+    */
+  def q112MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Rerank.mmrDiversifyTopK(queries, emb, "embedding", "vec_id",
+        m = 10, k = 3, lambda = 0.5)
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  /** Retrieval-quality eval (RankEval.vsExact): recall@5 and reciprocal
+    * rank of the deterministic sign-plane LSH path (q29's family) against
+    * the exact ranking (q25's) — the measurement gate before an ANN
+    * rollout. All joins are over pre-truncated top-k lists.
+    */
+  def q113RankEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
+    val approx = Similarity.lshTopKDet(queries, emb, "embedding", "vec_id",
+      k = 5, planes = 6, dim = 64)
+    RankEval.vsExact(approx, exact, "query_id", "rank", "neighbor_id")
+  }
 
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension

@@ -319,8 +319,97 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
+    * chains, shared by the generated MMR and rank-eval oracles.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** q112: the MMR greedy unrolled for k=3 over the exact top-10
+    * candidates (λ=0.5) — stage 1 is the relevance argmax, stages 2 and 3
+    * re-score the remaining candidates against the selected set with
+    * `0.5·rel − 0.5·max cos`, ties to the lower id, exactly the row-local
+    * greedy in Rerank.greedyMmr.
+    */
+  private val mmrRerankSql: String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |s AS (SELECT qid, e.vec_id AS nid, e.v AS nv,
+       |             ${cosSql("qv", "e.v")} AS rel
+       |      FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+       |cand AS (SELECT qid, nid, nv, rel,
+       |                row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+       |         FROM s QUALIFY rn <= 10),
+       |p1 AS (SELECT qid, nid, nv FROM cand WHERE rn = 1),
+       |s2 AS (SELECT c.qid, c.nid, c.nv,
+       |              0.5 * c.rel - 0.5 * (${cosSql("c.nv", "p1.nv")}) AS score
+       |       FROM cand c JOIN p1 ON c.qid = p1.qid AND c.nid <> p1.nid),
+       |p2 AS (SELECT qid, nid, nv FROM s2
+       |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) = 1),
+       |s3 AS (SELECT c.qid, c.nid,
+       |              0.5 * c.rel - 0.5 * greatest(${cosSql("c.nv", "p1.nv")},
+       |                                           ${cosSql("c.nv", "p2.nv")}) AS score
+       |       FROM cand c
+       |       JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+       |       WHERE c.nid <> p1.nid AND c.nid <> p2.nid),
+       |p3 AS (SELECT qid, nid FROM s3
+       |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) = 1)
+       |SELECT qid AS query_id, CAST(1 AS BIGINT) AS mmr_rank, nid AS neighbor_id FROM p1
+       |UNION ALL
+       |SELECT qid, CAST(2 AS BIGINT), nid FROM p2
+       |UNION ALL
+       |SELECT qid, CAST(3 AS BIGINT), nid FROM p3
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  /** q113: the q29 sign-plane chain (approx) joined against the q25 exact
+    * chain — per-query overlap, recall@5, and the reciprocal rank of the
+    * exact rank-1 item in the approximate list.
+    */
+  private val rankEvalSql: String = {
+    val planes = 6
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v,
+       |         $buckets AS bucket
+       |       FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bk WHERE vec_id % 50 = 0),
+       |exs AS (SELECT qid, e.vec_id AS nid, ${cosSql("qv", "e.v")} AS sim
+       |        FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+       |ex AS (SELECT qid, nid,
+       |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+       |       FROM exs QUALIFY rnk <= 5),
+       |aps AS (SELECT q.qid, bk.vec_id AS nid, ${cosSql("q.qv", "bk.v")} AS sim
+       |        FROM q JOIN bk ON q.bucket = bk.bucket AND q.qid <> bk.vec_id),
+       |ap AS (SELECT qid, nid,
+       |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+       |       FROM aps QUALIFY rnk <= 5),
+       |pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1),
+       |ov AS (SELECT ex.qid, count(*) AS n_overlap
+       |       FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid GROUP BY 1),
+       |t1 AS (SELECT ex.qid, coalesce(round(1.0 / ap.rnk, 4), 0.0) AS rr
+       |       FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+       |       WHERE ex.rnk = 1)
+       |SELECT pq.qid AS query_id,
+       |       CAST(pq.n_exact AS BIGINT) AS n_exact,
+       |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / pq.n_exact, 4) AS recall_at_k,
+       |       coalesce(t1.rr, 0.0) AS rr
+       |FROM pq LEFT JOIN ov ON pq.qid = ov.qid LEFT JOIN t1 ON pq.qid = t1.qid
+       |ORDER BY query_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q68_embedding_neardup_lsh" -> embeddingNearDupLshSql,
+    "q112_mmr_rerank" -> mmrRerankSql,
+    "q113_rank_eval" -> rankEvalSql,
 
     // replays both incremental rounds: round-1 ids are a dense rank over
     // the even-custkey names, round-2 newcomers continue from count(s1)
