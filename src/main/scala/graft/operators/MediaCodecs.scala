@@ -7,8 +7,12 @@ package graft.operators
   *   - PNG and JPEG decode/encode/resize through the JDK's own
   *     `javax.imageio` (headless-safe, ships in the standard library) —
   *     real pixel rasters, real interpolation, not fakes.
-  * Only MP4 demux still needs a codec absent from the JDK and remains a
-  * clearly-marked stub in [[Multimodal]].
+  *   - MP4 CONTAINER demux is a byte-walk over the ISO BMFF box tree
+  *     (ISO/IEC 14496-12): mvhd timescale/duration, tkhd dimensions,
+  *     track count — real metadata from real parsing. FRAME decode (the
+  *     codec payload inside mdat) genuinely needs H.264/H.265 codecs the
+  *     JDK lacks and stays honestly out of scope: [[Multimodal]]'s frame
+  *     sampler remains a stub.
   *
   * All functions are pure byte→value: safe inside `mapPartitions`,
   * deterministic on any partitioning, no shared codec state (ImageIO's
@@ -319,5 +323,133 @@ object MediaCodecs {
       i += 1
     }
     encodeImage(width, height, rgb, "png")
+  }
+
+  // ---- MP4 / ISO BMFF container demux (metadata; frame decode needs codecs) ----
+
+  /** Parsed MP4 container metadata — real box-tree facts, not fakes. */
+  case class Mp4Info(durationMs: Long, timescale: Long, width: Int, height: Int,
+                     nTracks: Int)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, "US-ASCII")
+
+  /** Walk the sibling boxes of [start, end), invoking `visit(type, payloadStart,
+    * payloadEnd)` per box. Bounds-checked and iteration-capped: a hostile
+    * size field (0, negative-looking, beyond the buffer, or a loop) makes
+    * the walk STOP, never spin or read out of bounds — a corrupt asset is
+    * a quarantine row, not a hung task (the adversarial-header rule).
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)
+                       (visit: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    var steps = 0
+    while (off + 8 <= end && steps < 10000) {
+      val size32 = be32(b, off)
+      val (payload, next) =
+        if (size32 == 1L && off + 16 <= end) {
+          val size64 = be64(b, off + 8)
+          if (size64 < 16 || size64 > (end - off).toLong) (-1, end)
+          else (off + 16, off + size64.toInt)
+        } else if (size32 == 0L) (off + 8, end) // box extends to the end
+        else if (size32 < 8 || size32 > (end - off).toLong) (-1, end)
+        else (off + 8, off + size32.toInt)
+      if (payload >= 0) visit(boxType(b, off), payload, next)
+      off = next
+      steps += 1
+    }
+  }
+
+  /** Demux an MP4/ISO-BMFF payload's container metadata: duration via
+    * mvhd's timescale (version 0 and 1 layouts), presentation dimensions
+    * from the largest tkhd (16.16 fixed point), and the track count. None
+    * for non-BMFF bytes (no top-level ftyp/moov) or a malformed tree.
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes.length < 16) return None
+    var sawBmff = false
+    var timescale = 0L; var duration = -1L
+    var width = 0; var height = 0; var nTracks = 0
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      if (t == "ftyp") sawBmff = true
+      else if (t == "moov") {
+        sawBmff = true
+        walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+          if (t2 == "mvhd" && e2 - s2 >= 4) {
+            val v = bytes(s2) & 0xff
+            if (v == 1 && e2 - s2 >= 32) {
+              timescale = be32(bytes, s2 + 20); duration = be64(bytes, s2 + 24)
+            } else if (v == 0 && e2 - s2 >= 20) {
+              timescale = be32(bytes, s2 + 12); duration = be32(bytes, s2 + 16)
+            }
+          } else if (t2 == "trak") {
+            nTracks += 1
+            walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "tkhd" && e3 - s3 >= 4) {
+                val v = bytes(s3) & 0xff
+                // width/height are the LAST 8 payload bytes in both versions
+                if (e3 - s3 >= (if (v == 1) 92 else 80)) {
+                  val w = (be32(bytes, e3 - 8) >> 16).toInt
+                  val h = (be32(bytes, e3 - 4) >> 16).toInt
+                  if (w * h > width * height) { width = w; height = h }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!sawBmff || timescale <= 0 || duration < 0) None
+    else Some(Mp4Info(duration * 1000L / timescale, timescale, width, height, nTracks))
+  }
+
+  private def putBe32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+    b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+
+  private def putType(b: Array[Byte], off: Int, t: String): Unit = {
+    val a = t.getBytes("US-ASCII")
+    System.arraycopy(a, 0, b, off + 4, 4)
+  }
+
+  /** Minimal REAL MP4 synthesis: ftyp + moov{mvhd(v0, timescale 1000,
+    * duration ms), trak{tkhd(v0, width, height)}} — a genuinely
+    * demuxable ISO BMFF tree so every scale factor exercises the real
+    * box walk (frame payloads would need an encoder; none are written).
+    */
+  def syntheticMp4(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+    require(durationMs >= 0 && width >= 0 && height >= 0, "non-negative args required")
+    val mvhdSize = 8 + 4 + 96          // header + version/flags + v0 body
+    val tkhdSize = 8 + 4 + 80          // header + version/flags + v0 body
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val out = new Array[Byte](16 + moovSize)
+    // ftyp: brand isom, minor 0
+    putBe32(out, 0, 16); putType(out, 0, "ftyp")
+    System.arraycopy("isom".getBytes("US-ASCII"), 0, out, 8, 4)
+    // moov
+    val moov = 16
+    putBe32(out, moov, moovSize); putType(out, moov, "moov")
+    // mvhd v0: creation(4) modification(4) timescale(4) duration(4) ...
+    val mvhd = moov + 8
+    putBe32(out, mvhd, mvhdSize); putType(out, mvhd, "mvhd")
+    putBe32(out, mvhd + 8 + 12, 1000L)        // timescale = 1000 -> duration in ms
+    putBe32(out, mvhd + 8 + 16, durationMs)
+    // trak > tkhd v0: ... width/height as 16.16 in the last 8 bytes
+    val trak = mvhd + mvhdSize
+    putBe32(out, trak, trakSize); putType(out, trak, "trak")
+    val tkhd = trak + 8
+    putBe32(out, tkhd, tkhdSize); putType(out, tkhd, "tkhd")
+    putBe32(out, tkhd + tkhdSize - 8, width.toLong << 16)
+    putBe32(out, tkhd + tkhdSize - 4, height.toLong << 16)
+    out
   }
 }

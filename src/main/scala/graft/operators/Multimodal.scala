@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * Decode kernels come in two honesty classes:
   *   - REAL, pure-JVM ([[MediaCodecs]]): PCM WAV audio (RIFF chunk walk →
   *     sample rate, duration, RMS, peak, zero-cross rate), binary PPM
-  *     (P6) images (header + raster), and PNG/JPEG through the JDK's own
-  *     `javax.imageio` — all producing real dimensions, channel means,
-  *     luminance, and genuine nearest-neighbour resizes. No fakes.
-  *   - STUB for MP4 demux only, the one format whose codec the JDK lacks;
-  *     the stub produces fake-but-stable features so the surrounding
-  *     plumbing (schema, batching, partitioning, joins) stays testable
-  *     and is real.
+  *     (P6) images (header + raster), PNG/JPEG through the JDK's own
+  *     `javax.imageio` — real dimensions, channel means, luminance,
+  *     genuine nearest-neighbour resizes — and MP4 CONTAINER demux via
+  *     the ISO BMFF box walk (duration, dimensions, track count). No
+  *     fakes.
+  *   - STUB for video FRAME decode only (the codec payload inside mdat
+  *     needs H.264/H.265 decoders the JDK lacks): frame sampling emits
+  *     fake-but-stable features so the surrounding plumbing (schema,
+  *     batching, partitioning, joins) stays testable and is real; the
+  *     stub marks its feature rows with an explicit -1 marker plane.
   * [[extractFeatures]] dispatches by mime type: decodable payloads get the
   * real kernel, everything else falls back to the stub; a malformed
   * payload of a decodable type yields the stub features too (quarantine
@@ -52,15 +55,23 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decode kernel: a real implementation would JPEG/PNG-decode and run
-    * a vision encoder here. This deterministic fake hashes byte windows into
+  /** STUB decode kernel: a real implementation would MP4-demux and run a
+    * vision encoder here. This deterministic fake hashes byte windows into
     * a fixed-size float vector so tests can assert exact values.
+    *
+    * Slot 0 is the marker plane and the stub claims it EXPLICITLY
+    * (-1.0f): real kernels write 1.0 (audio) / 2.0 (image) there, and an
+    * accumulated byte sum could land on exactly those values by
+    * coincidence (it did, 6 times in 16,666 at the ×10 scale proof) —
+    * a consumer must never have to guess whether a feature row was
+    * really decoded. Byte content accumulates into slots 1..15 only.
     */
   private[operators] def stubDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
+    out(0) = -1.0f // stub marker plane: honestly not-decoded
     var i = 0
     while (i < bytes.length) {
-      val slot = i % FeatureDim
+      val slot = 1 + i % (FeatureDim - 1)
       out(slot) = out(slot) + (bytes(i) & 0xff) / 255.0f
       i += 1
     }
@@ -103,6 +114,21 @@ object Multimodal {
     out
   }
 
+  /** REAL feature vector for a demuxed MP4 container: duration,
+    * presentation dimensions, track count — container metadata from the
+    * actual box walk. Frame-content planes stay zero (frame decode needs
+    * codecs the JVM lacks).
+    */
+  private[operators] def mp4Features(info: MediaCodecs.Mp4Info): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = 3.0f // decoded-for-real marker plane: video container
+    out(1) = info.durationMs / 1000.0f
+    out(2) = info.width / 4096.0f
+    out(3) = info.height / 4096.0f
+    out(4) = info.nTracks.toFloat
+    out
+  }
+
   /** Decode + feature-extract over a partitioned media Dataset. Runs in
     * `mapPartitions` so codec state is initialized once per task; output
     * is a columnar-friendly fixed-width feature table. Dispatch: WAV and
@@ -124,6 +150,9 @@ object Multimodal {
               .getOrElse(stubDecodeFeatures(m.content))
           case "image/png" | "image/jpeg" =>
             MediaCodecs.decodeCompressedImage(m.content).map(ppmFeatures)
+              .getOrElse(stubDecodeFeatures(m.content))
+          case "video/mp4" =>
+            MediaCodecs.decodeMp4Meta(m.content).map(mp4Features)
               .getOrElse(stubDecodeFeatures(m.content))
           case _ => stubDecodeFeatures(m.content)
         }
@@ -222,10 +251,12 @@ object Multimodal {
     * table: every "image" row carries a real raster seeded from the text
     * bytes — alternating uncompressed P6 PPM and compressed PNG, so both
     * the byte-arithmetic and the javax.imageio kernels decode well-formed
-    * files at every scale factor — and every "audio" row a real PCM WAV
-    * sine tone seeded from the doc id. "video" rows keep an opaque
-    * payload (MP4 demux is a stub). Runs the synthesis in mapPartitions
-    * (same shape as decode).
+    * files at every scale factor — every "audio" row a real PCM WAV sine
+    * tone seeded from the doc id, and every "video" row a real minimal
+    * ISO BMFF tree (ftyp + moov) whose mvhd/tkhd the container demux
+    * genuinely parses (frame payloads would need an encoder; none are
+    * written, and frame sampling stays a stub). Runs the synthesis in
+    * mapPartitions (same shape as decode).
     */
   def mediaRealAssets(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -250,8 +281,10 @@ object Multimodal {
               MediaRecord(id, "audio", MediaCodecs.syntheticWav(id, n, rate),
                 "audio/wav", None, None, Some(rate), Some(n * 1000L / rate))
             case _ =>
-              MediaRecord(id, "video", text.getBytes("UTF-8"), "video/mp4",
-                None, None, None, Some(nChars * 10))
+              val (w, h) = (64, 48)
+              MediaRecord(id, "video",
+                MediaCodecs.syntheticMp4(nChars * 10, w, h), "video/mp4",
+                Some(w), Some(h), None, Some(nChars * 10))
           }
         }
       }

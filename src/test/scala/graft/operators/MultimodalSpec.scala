@@ -172,7 +172,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodecs.decodeCompressedImage(png).get.width === 2)
   }
 
-  test("real-asset corpus: WAV and PPM rows get REAL decoded features, video stays stub") {
+  test("MP4 demux: box walk recovers duration/dims/tracks; hostile headers quarantine") {
+    val mp4 = MediaCodecs.syntheticMp4(durationMs = 12345L, width = 640, height = 360)
+    val info = MediaCodecs.decodeMp4Meta(mp4).get
+    assert(info.durationMs === 12345L)
+    assert(info.timescale === 1000L)
+    assert(info.width === 640 && info.height === 360)
+    assert(info.nTracks === 1)
+    // truncation mid-tree loses moov -> quarantine, never a crash
+    assert(MediaCodecs.decodeMp4Meta(mp4.take(20)).isEmpty)
+    assert(MediaCodecs.decodeMp4Meta("plain text, not a container".getBytes).isEmpty)
+    assert(MediaCodecs.decodeMp4Meta(Array.empty[Byte]).isEmpty)
+    // adversarial size fields: zero-size box (extends-to-end), a size
+    // pointing past the buffer, and a sub-8 size must all terminate the
+    // walk without reading out of bounds
+    val zeroSize = mp4.clone(); zeroSize(0) = 0; zeroSize(1) = 0; zeroSize(2) = 0; zeroSize(3) = 0
+    MediaCodecs.decodeMp4Meta(zeroSize) // must not throw
+    val hugeSize = mp4.clone(); hugeSize(0) = 0x7f.toByte
+    assert(MediaCodecs.decodeMp4Meta(hugeSize).isEmpty)
+    val tinySize = mp4.clone(); tinySize(0) = 0; tinySize(1) = 0; tinySize(2) = 0; tinySize(3) = 3
+    MediaCodecs.decodeMp4Meta(tinySize) // must not throw or spin
+  }
+
+  test("real-asset corpus: every modality decodes for real (WAV, PPM/PNG, MP4 demux)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val assets = Multimodal.mediaRealAssets(spark, docs)
     val feats = Multimodal.extractFeatures(assets).collect()
@@ -194,9 +216,14 @@ class MultimodalSpec extends SparkTestBase {
     // the corpus genuinely carries BOTH image containers
     val mimes = assets.filter(_.modality == "image").collect().map(_.mime_type).toSet
     assert(mimes === Set("image/x-portable-pixmap", "image/png"))
-    // video: compressed container stays a stub (marker plane never 1/2)
-    byModality("video").foreach(f =>
-      assert(f.feature(0) != 1.0f && f.feature(0) != 2.0f))
+    // video: the container demux is REAL (marker 3, mvhd duration,
+    // tkhd 64x48); only frame decode remains codec-less
+    byModality("video").foreach { f =>
+      assert(f.feature(0) === 3.0f, "real MP4 container demux marker")
+      assert(math.abs(f.feature(2) - 64 / 4096.0f) < 1e-6)
+      assert(math.abs(f.feature(3) - 48 / 4096.0f) < 1e-6)
+      assert(f.feature(4) === 1.0f, "one track written, one parsed")
+    }
     // real resize end-to-end: every image payload becomes a valid 8x6
     // raster in its own container
     val resized = Multimodal.resizeImages(assets, 8, 6)
