@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{Bpe, Dedup, Diff, Index, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Diff, Index, RankEval, Rerank, Sampling, Similarity, TextAnalysis}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -31,7 +31,17 @@ import graft.operators.{Bpe, Dedup, Diff, Index, Sampling, TextAnalysis}
   *     shuffle-free decontamination sweep;
   *   - `graft_bpe_pairs(table, textCol)` —
   *     [[graft.operators.Bpe.pairCounts]] over [[graft.operators.Bpe.wordTable]],
-  *     the q108 BPE pair-statistics kernel.
+  *     the q108 BPE pair-statistics kernel;
+  *   - `graft_hard_negatives(anchorsTable, corpusTable, vecCol, idCol, labelCol, k)` —
+  *     [[graft.operators.Similarity.hardNegativesTopK]], the q109
+  *     contrastive-mining step;
+  *   - `graft_mmr(queriesTable, corpusTable, vecCol, idCol, m, k, lambda)` —
+  *     [[graft.operators.Rerank.mmrDiversifyTopK]], the q112 diversified
+  *     re-rank;
+  *   - `graft_rank_eval(approxTable, exactTable, queryCol, rankCol, idCol)` —
+  *     [[graft.operators.RankEval.vsExact]], the q113 recall@k / MRR gate;
+  *   - `graft_assign_splits(table, idCol, 'train:0.8,validation:0.1,test:0.1')` —
+  *     [[graft.operators.Sampling.assignSplits]], the q111 named split.
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -141,10 +151,72 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  private def dbl(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, _) => d
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  val hardNegativesFn: TableFn = (
+    FunctionIdentifier("graft_hard_negatives"),
+    new ExpressionInfo(Similarity.getClass.getName, "graft_hard_negatives"),
+    (args: Seq[Expression]) => {
+      require(args.length == 6,
+        "graft_hard_negatives takes (anchorsTable, corpusTable, vecCol, idCol, labelCol, k)")
+      Similarity.hardNegativesTopK(table(str(args(0), "anchorsTable")),
+          table(str(args(1), "corpusTable")), str(args(2), "vecCol"),
+          str(args(3), "idCol"), str(args(4), "labelCol"), int(args(5), "k"))
+        .queryExecution.analyzed
+    })
+
+  val mmrFn: TableFn = (
+    FunctionIdentifier("graft_mmr"),
+    new ExpressionInfo(Rerank.getClass.getName, "graft_mmr"),
+    (args: Seq[Expression]) => {
+      require(args.length == 7,
+        "graft_mmr takes (queriesTable, corpusTable, vecCol, idCol, m, k, lambda)")
+      Rerank.mmrDiversifyTopK(table(str(args(0), "queriesTable")),
+          table(str(args(1), "corpusTable")), str(args(2), "vecCol"),
+          str(args(3), "idCol"), int(args(4), "m"), int(args(5), "k"),
+          dbl(args(6), "lambda"))
+        .queryExecution.analyzed
+    })
+
+  val rankEvalFn: TableFn = (
+    FunctionIdentifier("graft_rank_eval"),
+    new ExpressionInfo(RankEval.getClass.getName, "graft_rank_eval"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_rank_eval takes (approxTable, exactTable, queryCol, rankCol, idCol)")
+      RankEval.vsExact(table(str(args(0), "approxTable")),
+          table(str(args(1), "exactTable")), str(args(2), "queryCol"),
+          str(args(3), "rankCol"), str(args(4), "idCol"))
+        .queryExecution.analyzed
+    })
+
+  val assignSplitsFn: TableFn = (
+    FunctionIdentifier("graft_assign_splits"),
+    new ExpressionInfo(Sampling.getClass.getName, "graft_assign_splits"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_assign_splits takes (table, idCol, 'name:weight,name:weight,...')")
+      val splits = str(args(2), "splits").split(",").map(_.trim).map { part =>
+        part.split(":") match {
+          case Array(name, w) => name.trim -> w.trim.toDouble
+          case _ => throw new IllegalArgumentException(
+            s"split spec '$part' must be name:weight")
+        }
+      }.toSeq
+      Sampling.assignSplits(table(str(args(0), "table")), str(args(1), "idCol"), splits)
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
   val all: Seq[TableFn] =
     Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn,
-      contaminateFn, bpePairsFn)
+      contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn)
 }

@@ -134,7 +134,9 @@ object SparkEntry {
     "q110_prototype_eval" -> (D.q110PrototypeEval(_, _)),
     "q111_split_manifest" -> (D.q111SplitManifest(_, _)),
     "q112_mmr_rerank"    -> (D.q112MmrRerank(_, _)),
-    "q113_rank_eval"     -> (D.q113RankEval(_, _))
+    "q113_rank_eval"     -> (D.q113RankEval(_, _)),
+    "q114_curriculum"    -> (D.q114Curriculum(_, _)),
+    "q115_budget_select" -> (D.q115BudgetSelect(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -590,6 +590,26 @@ object DocQueries {
       k = 5, planes = 6, dim = 64)
     RankEval.vsExact(approx, exact, "query_id", "rank", "neighbor_id")
   }
+
+  /** Curriculum ordering manifest (Curriculum.curriculumOrder): 4
+    * difficulty phases from exact n_chars quantile fences + deterministic
+    * within-phase shuffle keys — consumers stream ORDER BY (phase,
+    * shuffle_key, id); no corpus-wide rank window exists in the plan.
+    */
+  def q114Curriculum(spark: SparkSession, dir: String): DataFrame =
+    Curriculum.curriculumOrder(Tables(spark, dir).documents, "doc_id", "n_chars",
+        nPhases = 4)
+      .orderBy("phase", "shuffle_key", "doc_id")
+
+  /** Budgeted selection (Curriculum.budgetSelect): highest-score documents
+    * first until the 50k-char budget is exhausted, running totals from the
+    * two-level prefix sum (bucket windows + offsets — every window in the
+    * plan is partitioned).
+    */
+  def q115BudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    Curriculum.budgetSelect(Tables(spark, dir).documents, "doc_id", "n_chars",
+        "n_chars", budget = 50000L)
+      .orderBy("running_total")
 
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension

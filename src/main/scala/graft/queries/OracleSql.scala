@@ -971,6 +971,26 @@ object OracleSql {
         |       CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
 
+    "q114_curriculum" ->
+      """WITH f AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS fences
+        |           FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id,
+        |       1 + len(list_filter(f.fences, x -> CAST(n_chars AS DOUBLE) > x)) AS phase,
+        |       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         AS shuffle_key
+        |FROM documents, f WHERE n_chars IS NOT NULL
+        |ORDER BY phase, shuffle_key, doc_id""".stripMargin,
+
+    "q115_budget_select" ->
+      """SELECT doc_id, score, cost, running_total FROM (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |         CAST(n_chars AS BIGINT) AS cost,
+        |         CAST(sum(n_chars) OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |WHERE running_total <= 50000
+        |ORDER BY running_total""".stripMargin,
+
     "q100_pq_codebooks" -> pqCodebooksSql,
     "q101_pq_codes" -> pqCodesSql,
     "q102_pq_adc_topk" -> pqAdcTopKSql,

@@ -137,6 +137,62 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlBpe.nonEmpty && sqlBpe === apiBpe)
   }
 
+  test("SQL table functions drive the retrieval/eval/split operators through spark.sql") {
+    import graft.operators.{RankEval, Rerank, Sampling, Similarity}
+    GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_tf_v")
+    emb.where(col("vec_id") % 50 === 0).createOrReplaceTempView("emb_tf_anchors")
+
+    val sqlHn = spark.sql(
+      """SELECT * FROM graft_hard_negatives('emb_tf_anchors', 'emb_tf_v',
+        |  'embedding', 'vec_id', 'label', 5) ORDER BY anchor_id, rnk""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiHn = Similarity.hardNegativesTopK(emb.where(col("vec_id") % 50 === 0),
+        emb, "embedding", "vec_id", "label", k = 5)
+      .orderBy("anchor_id", "rnk").collect().map(_.toString).toSeq
+    assert(sqlHn.nonEmpty && sqlHn === apiHn)
+
+    val sqlMmr = spark.sql(
+      """SELECT * FROM graft_mmr('emb_tf_anchors', 'emb_tf_v',
+        |  'embedding', 'vec_id', 10, 3, 0.5) ORDER BY query_id, mmr_rank""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiMmr = Rerank.mmrDiversifyTopK(emb.where(col("vec_id") % 50 === 0),
+        emb, "embedding", "vec_id", m = 10, k = 3, lambda = 0.5)
+      .orderBy("query_id", "mmr_rank").collect().map(_.toString).toSeq
+    assert(sqlMmr.nonEmpty && sqlMmr === apiMmr)
+
+    val anchors = emb.where(col("vec_id") % 50 === 0)
+    Similarity.bruteForceTopK(anchors, emb, "embedding", "vec_id", 5)
+      .createOrReplaceTempView("emb_tf_exact")
+    Similarity.lshTopKDet(anchors, emb, "embedding", "vec_id", 5, planes = 6, dim = 64)
+      .createOrReplaceTempView("emb_tf_approx")
+    val sqlEval = spark.sql(
+      """SELECT * FROM graft_rank_eval('emb_tf_approx', 'emb_tf_exact',
+        |  'query_id', 'rank', 'neighbor_id')""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiEval = RankEval.vsExact(spark.table("emb_tf_approx"),
+        spark.table("emb_tf_exact"), "query_id", "rank", "neighbor_id")
+      .collect().map(_.toString).toSeq
+    assert(sqlEval.nonEmpty && sqlEval === apiEval)
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_tf_split_v")
+    val sqlSplit = spark.sql(
+      """SELECT split, count(*) AS n
+        |FROM graft_assign_splits('docs_tf_split_v', 'doc_id',
+        |                         'train:0.8,validation:0.1,test:0.1')
+        |GROUP BY split ORDER BY split""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val apiSplit = Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlSplit === apiSplit && sqlSplit.keySet === Set("train", "validation", "test"))
+  }
+
   test("SQL word_shingles generator equals the kernel through LATERAL VIEW") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", GraftExtensions.wordShinglesFn._3, "built-in")
