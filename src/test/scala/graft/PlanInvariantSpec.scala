@@ -25,7 +25,13 @@ class PlanInvariantSpec extends SparkTestBase {
     "q88_histogram",        // 1-row min/max bounds broadcast-crossed, as q58
     "q89_bm25",             // 1-row corpus constants (N, avgdl, dfs) broadcast-crossed
     "q96_hybrid_retrieval", // composes q89's constants cross join + q25's 1-row query-vector broadcast
-    "q99_bm25_batch"        // 1-row corpus constants (N, avgdl) broadcast-crossed, as q89
+    "q99_bm25_batch",       // 1-row corpus constants (N, avgdl) broadcast-crossed, as q89
+    "q109_hard_negatives",  // broadcast anchor side × corpus with a non-equi (label ≠) condition — the exact-mining baseline, as q25; the LSH form is the equi-join scale path
+    "q110_prototype_eval",  // labels-row prototype table broadcast-crossed for assignment, as q86
+    "q112_mmr_rerank",      // first stage IS q25's broadcast baseline; swap the LSH/IVF retriever in at corpus scale
+    "q113_rank_eval",       // composes q25's baseline arm (the exact side being evaluated against)
+    "q114_curriculum",      // 1-row quantile-fence table broadcast-crossed, as q88's bounds
+    "q115_budget_select"    // 1-row fence table + nBuckets-row offsets broadcast-crossed, as q114
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
