@@ -136,7 +136,8 @@ object SparkEntry {
     "q112_mmr_rerank"    -> (D.q112MmrRerank(_, _)),
     "q113_rank_eval"     -> (D.q113RankEval(_, _)),
     "q114_curriculum"    -> (D.q114Curriculum(_, _)),
-    "q115_budget_select" -> (D.q115BudgetSelect(_, _))
+    "q115_budget_select" -> (D.q115BudgetSelect(_, _)),
+    "q116_pagerank"      -> (D.q116PageRank(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank centrality over an undirected candidate-pair graph — the
+  * canonicalization signal of a dedup pipeline: inside a near-duplicate
+  * cluster, the most central document is the one most other variants
+  * derive from, which is a better "keep" choice than lowest-id when
+  * variants differ in quality.
+  *
+  * Classic damped formulation, fixed iteration count:
+  * `r'(v) = (1-d) + d · Σ r(u)/deg(u)` over in-neighbors u. On an
+  * undirected graph every endpoint has degree ≥ 1, so there are no
+  * dangling nodes and the iteration is total.
+  *
+  * Scale shape: one edge-keyed equi-join + one map-side-combinable
+  * aggregation PER ITERATION — shuffle ∝ edges, never vertices²; the rank
+  * table persists MEMORY_AND_DISK each generation and the previous
+  * generation unpersists (the Components handover), so the lineage stays
+  * one iteration deep no matter how many iterations run.
+  *
+  * Determinism / engine parity: each edge contribution `r(u)/deg(u)`
+  * quantizes to DECIMAL(28,9) BEFORE the sum (partition-order-invariant
+  * exact addition — the q71/q75 rule), the damping arithmetic is written
+  * as `(1.0 - d) + d · s` so another engine computing the same expression
+  * gets the same doubles, and each generation rounds to 9 decimals. The
+  * DuckDB oracle replays 3 unrolled iterations hash-exactly.
+  */
+object PageRank {
+
+  /** Run `iterations` damped PageRank steps over the undirected edge list
+    * `(aCol, bCol)` (one row per pair; both directions are derived).
+    * Returns (id, rank) for every vertex that appears in an edge.
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val directed = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degrees = directed.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val withDeg = directed.join(degrees, Seq("__src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = directed.select(col("__src").as("id")).distinct()
+      .withColumn("rank", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iterations) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("id", "__src"), Seq("__src"))
+        .select(col("__dst").as("id"),
+          (col("rank") / col("__deg")).cast("decimal(28,9)").as("__c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__c")).cast("double").as("__s"))
+      val next = ranks.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) + lit(damping) * coalesce(col("__s"), lit(0.0)), 9)
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent generation
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    directed.unpersist()
+    withDeg.unpersist()
+    ranks
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -610,6 +610,19 @@ object DocQueries {
     Curriculum.budgetSelect(Tables(spark, dir).documents, "doc_id", "n_chars",
         "n_chars", budget = 50000L)
       .orderBy("running_total")
+
+  /** PageRank centrality over the minhash near-dup graph (PageRank
+    * .pageRank): 3 damped iterations on q27's candidate pairs — the
+    * canonicalization signal that picks a cluster's most central variant.
+    * One edge join + one decimal-quantized aggregation per iteration.
+    */
+  def q116PageRank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.pageRank(
+        Dedup.minhashCandidatePairsMd5(Tables(spark, dir).documents, "text", "doc_id",
+          numHashes = 64, bands = 16),
+        "id_a", "id_b", iterations = 3)
+      .select(col("id").as("doc_id"), col("rank").as("pr"))
+      .orderBy("doc_id")
 
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension

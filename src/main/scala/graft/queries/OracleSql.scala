@@ -65,6 +65,36 @@ object OracleSql {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** q116: 3 unrolled damped-PageRank iterations over the minhash
+    * candidate-pair graph (the q27 `cand` CTE chain). Literal arithmetic
+    * is forced to DOUBLE everywhere — DuckDB's `1.0 - 0.85` is EXACT
+    * decimal 0.15 while Scala's is the double 0.15000000000000002, so the
+    * damping terms must be computed in double on both engines. Edge
+    * contributions quantize to DECIMAL(28,9) before the sum, exactly as
+    * the Spark operator does.
+    */
+  private val pageRankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT v.id,
+         |  round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |        + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)), 9) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(sum(CAST($prev.pr / deg.d AS DECIMAL(28,9))) AS DOUBLE) AS c
+         |    FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+         |    GROUP BY 1) s ON v.id = s.id)""".stripMargin
+    s"""WITH $minhashCandCtes,
+       |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |      UNION ALL SELECT id_b, id_a FROM cand),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM verts),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   private val minhashPairsMd5Sql: String =
     s"""WITH $minhashCandCtes
        |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
@@ -523,6 +553,7 @@ object OracleSql {
         |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
+    "q116_pagerank" -> pageRankSql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,
