@@ -137,7 +137,8 @@ object SparkEntry {
     "q113_rank_eval"     -> (D.q113RankEval(_, _)),
     "q114_curriculum"    -> (D.q114Curriculum(_, _)),
     "q115_budget_select" -> (D.q115BudgetSelect(_, _)),
-    "q116_pagerank"      -> (D.q116PageRank(_, _))
+    "q116_pagerank"      -> (D.q116PageRank(_, _)),
+    "q117_retain_central" -> (D.q117RetainCentral(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -624,6 +624,32 @@ object DocQueries {
       .select(col("id").as("doc_id"), col("rank").as("pr"))
       .orderBy("doc_id")
 
+  /** Centrality-based canonical retention: q70's keep-one-per-cluster,
+    * but the keeper is the cluster's highest-PageRank member (q116's
+    * centrality over the SAME confirmed near-dup graph) instead of the
+    * longest document — the "most canonical variant" policy. The
+    * confirmed pair table feeds BOTH the centrality iteration and the
+    * component labeling, so it persists across its two consumers.
+    */
+  def q117RetainCentral(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pr = PageRank.pageRank(nearDups, "id_a", "id_b", iterations = 3)
+      .select(col("id").as("doc_id"), col("rank").as("__pr"))
+    val withPr = docs.join(pr, Seq("doc_id"), "left")
+      .withColumn("__pr", coalesce(col("__pr"), lit(0.0)))
+    val kept = Dedup.retainCanonical(withPr, nearDups, "doc_id",
+        preference = Seq(col("__pr").desc, col("doc_id")))
+      .select(col("doc_id"), col("__pr").as("pr"), col("n_chars"))
+      .orderBy("doc_id")
+    kept
+  }
+
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension
     * member means.

@@ -73,16 +73,22 @@ object OracleSql {
     * contributions quantize to DECIMAL(28,9) before the sum, exactly as
     * the Spark operator does.
     */
+  /** One unrolled PageRank iteration CTE (prev → cur) against CTEs named
+    * `e` (directed edges src/dst), `deg` (src, d), `verts` (id) — shared
+    * by q116 and q117 so the replayed arithmetic cannot drift.
+    */
+  private def prIter(prev: String, cur: String): String =
+    s"""$cur AS (SELECT v.id,
+       |  round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |        + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)), 9) AS pr
+       |  FROM verts v LEFT JOIN (
+       |    SELECT e.dst AS id,
+       |           CAST(sum(CAST($prev.pr / deg.d AS DECIMAL(28,9))) AS DOUBLE) AS c
+       |    FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+       |    GROUP BY 1) s ON v.id = s.id)""".stripMargin
+
   private val pageRankSql: String = {
-    def iter(prev: String, cur: String): String =
-      s"""$cur AS (SELECT v.id,
-         |  round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-         |        + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)), 9) AS pr
-         |  FROM verts v LEFT JOIN (
-         |    SELECT e.dst AS id,
-         |           CAST(sum(CAST($prev.pr / deg.d AS DECIMAL(28,9))) AS DOUBLE) AS c
-         |    FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
-         |    GROUP BY 1) s ON v.id = s.id)""".stripMargin
+    def iter(prev: String, cur: String): String = prIter(prev, cur)
     s"""WITH $minhashCandCtes,
        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
        |      UNION ALL SELECT id_b, id_a FROM cand),
@@ -94,6 +100,49 @@ object OracleSql {
        |${iter("r2", "r3")}
        |SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""".stripMargin
   }
+
+  /** q117: q70's component chain + q116's PageRank arithmetic over the
+    * SAME confirmed near-dup graph, keeping each component's highest-
+    * centrality member (pr desc, doc_id tiebreak); singletons keep
+    * themselves with pr 0.
+    */
+  private val retainCentralSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+       |  FROM words),
+       |nd AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN shd da ON da.doc_id = cand.id_a
+       |  JOIN shd db ON db.doc_id = cand.id_b
+       |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(da.shs, db.shs))) >= 0.8),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM nd
+       |      UNION SELECT id_b, id_a FROM nd),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |verts AS (SELECT id FROM nodes),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM verts),
+       |${prIter("r0", "r1")},
+       |${prIter("r1", "r2")},
+       |${prIter("r2", "r3")},
+       |sel AS (
+       |  SELECT d.doc_id, coalesce(r3.pr, CAST(0.0 AS DOUBLE)) AS pr, d.n_chars,
+       |         row_number() OVER (PARTITION BY coalesce(c.lbl, d.doc_id)
+       |                            ORDER BY coalesce(r3.pr, CAST(0.0 AS DOUBLE)) DESC,
+       |                                     d.doc_id) AS rn
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |  LEFT JOIN r3 ON r3.id = d.doc_id)
+       |SELECT doc_id, pr, n_chars FROM sel WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
 
   private val minhashPairsMd5Sql: String =
     s"""WITH $minhashCandCtes
@@ -554,6 +603,7 @@ object OracleSql {
 
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q116_pagerank" -> pageRankSql,
+    "q117_retain_central" -> retainCentralSql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,

@@ -44,6 +44,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q70_retain_canonical",
     // composes q70's chain (Components runs eagerly at construction)
     "q83_curation",
+    // composes q70's components + q116's PageRank, both eager at construction
+    "q117_retain_central",
     // the incremental allocator reads max(existing) at construction; its
     // building blocks (scalable two-phase ids) are covered by q07/q08 plans
     "q69_incremental_dim")
