@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{Bpe, Dedup, Diff, Index, RankEval, Rerank, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curriculum, Dedup, Diff, Index, PageRank, RankEval, Rerank, Sampling, Similarity, TextAnalysis}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -41,7 +41,13 @@ import graft.operators.{Bpe, Dedup, Diff, Index, RankEval, Rerank, Sampling, Sim
   *   - `graft_rank_eval(approxTable, exactTable, queryCol, rankCol, idCol)` —
   *     [[graft.operators.RankEval.vsExact]], the q113 recall@k / MRR gate;
   *   - `graft_assign_splits(table, idCol, 'train:0.8,validation:0.1,test:0.1')` —
-  *     [[graft.operators.Sampling.assignSplits]], the q111 named split.
+  *     [[graft.operators.Sampling.assignSplits]], the q111 named split;
+  *   - `graft_pagerank(edgesTable, aCol, bCol, iterations)` —
+  *     [[graft.operators.PageRank.pageRank]], the q116 centrality;
+  *   - `graft_curriculum(table, idCol, scoreCol, nPhases)` —
+  *     [[graft.operators.Curriculum.curriculumOrder]], the q114 ordering;
+  *   - `graft_budget_select(table, idCol, scoreCol, costCol, budget)` —
+  *     [[graft.operators.Curriculum.budgetSelect]], the q115 selection.
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -213,10 +219,45 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val pageRankFn: TableFn = (
+    FunctionIdentifier("graft_pagerank"),
+    new ExpressionInfo(PageRank.getClass.getName, "graft_pagerank"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_pagerank takes (edgesTable, aCol, bCol, iterations)")
+      PageRank.pageRank(table(str(args(0), "edgesTable")),
+          str(args(1), "aCol"), str(args(2), "bCol"), int(args(3), "iterations"))
+        .queryExecution.analyzed
+    })
+
+  val curriculumFn: TableFn = (
+    FunctionIdentifier("graft_curriculum"),
+    new ExpressionInfo(Curriculum.getClass.getName, "graft_curriculum"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_curriculum takes (table, idCol, scoreCol, nPhases)")
+      Curriculum.curriculumOrder(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "scoreCol"), int(args(3), "nPhases"))
+        .queryExecution.analyzed
+    })
+
+  val budgetSelectFn: TableFn = (
+    FunctionIdentifier("graft_budget_select"),
+    new ExpressionInfo(Curriculum.getClass.getName, "graft_budget_select"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_budget_select takes (table, idCol, scoreCol, costCol, budget)")
+      Curriculum.budgetSelect(table(str(args(0), "table")),
+          str(args(1), "idCol"), str(args(2), "scoreCol"), str(args(3), "costCol"),
+          int(args(4), "budget").toLong)
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
   val all: Seq[TableFn] =
     Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn,
-      contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn)
+      contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn,
+      pageRankFn, curriculumFn, budgetSelectFn)
 }

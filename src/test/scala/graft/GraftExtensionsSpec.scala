@@ -193,6 +193,39 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlSplit === apiSplit && sqlSplit.keySet === Set("train", "validation", "test"))
   }
 
+  test("SQL table functions drive pagerank, curriculum, and budget select through spark.sql") {
+    import graft.operators.Curriculum
+    import spark.implicits._
+    GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+      .createOrReplaceTempView("edges_tf_v")
+    val sqlPr = spark.sql(
+      "SELECT * FROM graft_pagerank('edges_tf_v', 'a', 'b', 3) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlPr === Seq(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0),
+      "4-cycle is an exact fixpoint through the SQL path too")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_tf_cur_v")
+    val sqlCur = spark.sql(
+      """SELECT * FROM graft_curriculum('docs_tf_cur_v', 'doc_id', 'n_chars', 4)
+        |ORDER BY phase, shuffle_key, doc_id""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiCur = Curriculum.curriculumOrder(docs, "doc_id", "n_chars", 4)
+      .orderBy("phase", "shuffle_key", "doc_id").collect().map(_.toString).toSeq
+    assert(sqlCur.nonEmpty && sqlCur === apiCur)
+
+    val sqlBud = spark.sql(
+      """SELECT * FROM graft_budget_select('docs_tf_cur_v', 'doc_id', 'n_chars',
+        |                                  'n_chars', 50000) ORDER BY running_total""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiBud = Curriculum.budgetSelect(docs, "doc_id", "n_chars", "n_chars", 50000L)
+      .orderBy("running_total").collect().map(_.toString).toSeq
+    assert(sqlBud.nonEmpty && sqlBud === apiBud)
+  }
+
   test("SQL word_shingles generator equals the kernel through LATERAL VIEW") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", GraftExtensions.wordShinglesFn._3, "built-in")
