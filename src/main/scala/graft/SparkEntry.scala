@@ -138,7 +138,8 @@ object SparkEntry {
     "q114_curriculum"    -> (D.q114Curriculum(_, _)),
     "q115_budget_select" -> (D.q115BudgetSelect(_, _)),
     "q116_pagerank"      -> (D.q116PageRank(_, _)),
-    "q117_retain_central" -> (D.q117RetainCentral(_, _))
+    "q117_retain_central" -> (D.q117RetainCentral(_, _)),
+    "q118_dedup_eval"    -> (D.q118DedupEval(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -49,4 +49,25 @@ object RankEval {
         coalesce(col("rr"), lit(0.0)).as("rr"))
       .orderBy(queryCol)
   }
+
+  /** Pair-SET eval: precision/recall of a candidate pair table against a
+    * ground-truth pair table — the measurement a dedup rollout runs to
+    * commit LSH parameters (bands × rows): precision says how much
+    * verification work the candidates waste, recall says how many true
+    * duplicates the banding can ever find. Both inputs carry (aCol, bCol)
+    * with a < b; one equi-join + three 1-row aggregates (the q58 shape).
+    */
+  def pairSetEval(candidates: DataFrame, truth: DataFrame,
+                  aCol: String, bCol: String): DataFrame = {
+    val c = candidates.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val t = truth.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    t.agg(count(lit(1)).as("n_true"))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(c.join(t, Seq("__a", "__b")).agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(when(col("n_cand") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_cand")), 4).as("precision"),
+        round(when(col("n_true") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true")), 4).as("recall"))
+  }
 }

@@ -650,6 +650,23 @@ object DocQueries {
     kept
   }
 
+  /** LSH candidate quality eval (RankEval.pairSetEval): precision/recall
+    * of the banded minhash candidates against exact all-pairs Jaccard ≥
+    * 0.8 truth on a bounded subset — the measurement that commits
+    * bands × rows parameters before a dedup rollout.
+    */
+  def q118DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.where(col("doc_id") < 300)
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val allPairs = docs.select(col("doc_id").as("id_a"))
+      .join(docs.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    val truth = Dedup.jaccardOnPairsByContent(allPairs, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    RankEval.pairSetEval(cand, truth, "id_a", "id_b")
+  }
+
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension
     * member means.

@@ -37,7 +37,7 @@ object OracleSql {
     * Dedup.minhashSignaturesMd5), ending in a `cand` CTE of candidate
     * pairs. Used by q27 (pairs as output) and q61 (full retention).
     */
-  private val minhashCandCtes: String = {
+  private def minhashCandCtesFrom(rel: String): String = {
     val P = 2147483647L
     val mins = (0 until 64).map { i =>
       val (a, b) = graft.operators.Dedup.minhashMd5Coeffs(i)
@@ -50,7 +50,7 @@ object OracleSql {
     }.mkString("\n  UNION ALL ")
     s"""words AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM $rel WHERE text IS NOT NULL),
        |sh AS (
        |  SELECT doc_id, unnest(list_transform(
        |      generate_series(1, greatest(len(w) - 4, 1)),
@@ -64,6 +64,38 @@ object OracleSql {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val minhashCandCtes: String = minhashCandCtesFrom("documents")
+
+  /** q118: LSH candidate QUALITY eval — precision/recall of the banded
+    * minhash candidates against exact all-pairs 5-gram Jaccard ≥ 0.8
+    * truth on a bounded subset (the bands×rows tuning measurement a
+    * dedup rollout runs before committing parameters).
+    */
+  private val dedupEvalSql: String =
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id < 300),
+       |${minhashCandCtesFrom("base")},
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, greatest(len(w) - 4, 1)),
+       |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+       |  FROM words),
+       |truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.shs, b.shs))) >= 0.8),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_cand,
+       |  (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hit)
+       |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       round(CASE WHEN n_cand = 0 THEN CAST(0.0 AS DOUBLE)
+       |             ELSE CAST(n_hit AS DOUBLE) / n_cand END, 4) AS precision,
+       |       round(CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+       |             ELSE CAST(n_hit AS DOUBLE) / n_true END, 4) AS recall
+       |FROM m""".stripMargin
 
   /** q116: 3 unrolled damped-PageRank iterations over the minhash
     * candidate-pair graph (the q27 `cand` CTE chain). Literal arithmetic
@@ -604,6 +636,7 @@ object OracleSql {
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q116_pagerank" -> pageRankSql,
     "q117_retain_central" -> retainCentralSql,
+    "q118_dedup_eval" -> dedupEvalSql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,

@@ -31,7 +31,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q112_mmr_rerank",      // first stage IS q25's broadcast baseline; swap the LSH/IVF retriever in at corpus scale
     "q113_rank_eval",       // composes q25's baseline arm (the exact side being evaluated against)
     "q114_curriculum",      // 1-row quantile-fence table broadcast-crossed, as q88's bounds
-    "q115_budget_select"    // 1-row fence table + nBuckets-row offsets broadcast-crossed, as q114
+    "q115_budget_select",   // 1-row fence table + nBuckets-row offsets broadcast-crossed, as q114
+    "q118_dedup_eval"       // bounded all-pairs TRUTH baseline (the q26 shape) + 1-row metric cross joins
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
