@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.{Curriculum, Dedup, Sampling, Sharding, TextAnalysis}
+
+/** End-to-end curation CLI — the product surface of the LLM-data half of
+  * the engine, the way [[graft.etl.SriMain]] is for the star-schema ETL
+  * half. One command takes a raw documents table and produces
+  * training-ready, split-assigned, sharded parquet plus a run manifest:
+  *
+  *   1. exact dedup (content digest, keep lowest id);
+  *   2. near-dup retention (banded minhash → Jaccard ≥ 0.8 confirm →
+  *      keep the longest variant per cluster — the q83 verdict chain);
+  *   3. quality gate (token count ≥ 20, supported language);
+  *   4. train/validation/test assignment (md5-bucket row function);
+  *   5. curriculum phase from length quantiles + deterministic shard
+  *      assignment — output is ready to stream in training order;
+  *   6. a JSON manifest recording every stage's row count (the
+  *      audit-record discipline of SriMain's run ledger): drops are
+  *      accounted, not silent.
+  *
+  * Everything is a composition of the oracle-checked operators; the CLI
+  * adds sequencing, persistence, and the manifest. Deterministic end to
+  * end: rerunning over the same input writes byte-identical splits and
+  * manifest counts (spec-asserted).
+  *
+  * Usage: `runMain graft.CurateMain <docsParquetDir> <outDir> [numShards]`
+  */
+object CurateMain {
+
+  /** The curation verdict chain (q83's rules) + split/phase/shard columns.
+    * Returns the KEPT rows only, with (split, phase, shuffle_key, shard)
+    * appended, plus the per-stage counts for the manifest.
+    */
+  def curate(spark: SparkSession, docs: DataFrame, numShards: Int):
+      (DataFrame, Map[String, Long]) = {
+    val input = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nInput = input.count()
+
+    val cand = Dedup.minhashCandidatePairsMd5(input, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, input, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val canonical = Dedup.retainCanonical(input, nearDups, "doc_id",
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("doc_id"), lit(1L).as("__canon"))
+    val exactKeep = Dedup.exactDedup(input, "text", "doc_id")
+      .select(col("doc_id"), lit(1L).as("__exact"))
+
+    val judged = input
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(canonical, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("__exact").isNull, "exact_dup")
+          .when(col("__canon").isNull, "near_dup")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(!col("lang").isin("en", "es", "de", "fr"), "lang_filtered")
+          .otherwise("keep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byReason = judged.groupBy(col("reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val kept = judged.where(col("reason") === "keep")
+      .drop("__exact", "__canon", "reason")
+    val withSplit = Sampling.assignSplits(kept, "doc_id",
+      Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05))
+    val withPhase = Curriculum.curriculumOrder(withSplit.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", nPhases = 4)
+      .join(withSplit, Seq("doc_id"))
+    val sharded = Sharding.assignShards(withPhase, "doc_id", numShards)
+    val counts = Map("input" -> nInput) ++
+      byReason.map { case (k, v) => s"dropped_$k" -> v } - "dropped_keep" +
+      ("kept" -> byReason.getOrElse("keep", 0L))
+    input.unpersist()
+    (sharded, counts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateMain <docsParquetDir> <outDir> [numShards]")
+    val (docsPath, outDir) = (args(0), args(1))
+    val numShards = args.lift(2).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(docsPath)
+    val (sharded, counts) = curate(spark, docs, numShards)
+
+    // one directory per split, shard-partitioned, training-order sort key
+    // in the data (phase, shuffle_key) — a consumer streams ORDER BY them
+    sharded.write.mode("overwrite")
+      .partitionBy("split", "shard")
+      .parquet(s"$outDir/curated")
+
+    val manifest = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest + "\n")
+    println(manifest)
+    spark.stop()
+  }
+}

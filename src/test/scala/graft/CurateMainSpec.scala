@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurateMainSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("curate: every input row is accounted for; outputs carry split/phase/shard") {
+    val (out, counts) = CurateMain.curate(spark, docs, numShards = 4)
+    val rows = out.collect()
+    assert(counts("input") === docs.count())
+    assert(counts("kept") === rows.length.toLong)
+    val drops = counts.collect { case (k, v) if k.startsWith("dropped_") => v }.sum
+    assert(counts("input") === counts("kept") + drops,
+      s"stage accounting must balance: $counts")
+    // every kept row is routable: valid split, phase 1..4, shard 0..3
+    rows.foreach { r =>
+      assert(Set("train", "validation", "test").contains(r.getAs[String]("split")))
+      val p = r.getAs[Long]("phase")
+      assert(p >= 1L && p <= 4L)
+      val s = r.getAs[Long]("shard")
+      assert(s >= 0L && s <= 3L)
+    }
+    // curation dropped something on this corpus (it has planted dups)
+    assert(drops > 0, "expected the sf0.001 corpus to lose rows to curation")
+  }
+
+  test("curate is deterministic end to end") {
+    val (a, ca) = CurateMain.curate(spark, docs, numShards = 4)
+    val (b, cb) = CurateMain.curate(spark, docs.repartition(13), numShards = 4)
+    assert(ca === cb, "manifest counts must not depend on partitioning")
+    val ka = a.select("doc_id", "split", "phase", "shuffle_key", "shard")
+      .collect().map(_.toString).sorted.toSeq
+    val kb = b.select("doc_id", "split", "phase", "shuffle_key", "shard")
+      .collect().map(_.toString).sorted.toSeq
+    assert(ka === kb, "routing must be a pure function of the rows")
+  }
+
+  test("main writes split/shard-partitioned parquet and a balancing manifest") {
+    val outDir = java.nio.file.Files.createTempDirectory("curate-out").toString
+    val docsDir = "/root/testdata/sf0.001"
+    CurateMain.main(Array(s"$docsDir/documents.parquet", outDir, "4"))
+    // NOTE: main stops the session it builds; the shared test session keeps
+    // its own SparkContext because local-mode sessions share one context —
+    // re-read through a fresh session to be safe
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").getOrCreate()
+    val curated = s2.read.parquet(s"$outDir/curated")
+    val manifest = ujsonish(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/manifest.json")))
+    assert(curated.count() === manifest("kept"))
+    assert(curated.select("split").distinct().count() >= 2)
+    assert(manifest("input") === 500L)
+  }
+
+  /** Minimal flat {"k":123,...} parser — no JSON library on the classpath. */
+  private def ujsonish(s: String): Map[String, Long] =
+    s.trim.stripPrefix("{").stripSuffix("}").split(",")
+      .map(_.split(":")).map(a => a(0).replaceAll("\"", "") -> a(1).trim.toLong)
+      .toMap
+}
