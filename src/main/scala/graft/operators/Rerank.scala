@@ -104,8 +104,11 @@ object Rerank {
   /** End-to-end MMR over a vector corpus: first-stage = exact cosine
     * top-m ([[Similarity.bruteForceTopK]] — swap in the LSH/IVF form at
     * corpus scale), relevance = that cosine, then [[mmrSelect]]. The
-    * candidate vectors ride the first-stage join output, so the corpus is
-    * not re-joined for the rerank.
+    * candidate VECTORS are fetched by one equi-join of the q·m top rows
+    * back against the corpus — a deliberate second scan: riding vectors
+    * through the first stage's rank window would ship every scored
+    * vector through the shuffle, while the join back ships only the
+    * survivors (scan bandwidth is cheap, shuffle bytes are not).
     */
   def mmrDiversifyTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
                        idCol: String, m: Int, k: Int, lambda: Double): DataFrame = {
