@@ -139,7 +139,9 @@ object SparkEntry {
     "q115_budget_select" -> (D.q115BudgetSelect(_, _)),
     "q116_pagerank"      -> (D.q116PageRank(_, _)),
     "q117_retain_central" -> (D.q117RetainCentral(_, _)),
-    "q118_dedup_eval"    -> (D.q118DedupEval(_, _))
+    "q118_dedup_eval"    -> (D.q118DedupEval(_, _)),
+    "q119_vocab_coverage" -> (D.q119VocabCoverage(_, _)),
+    "q120_split_leakage" -> (D.q120SplitLeakage(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -115,6 +115,34 @@ object TextAnalysis {
     df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
 
+  /** Vocabulary coverage curve — the tokenizer-design measurement: what
+    * fraction of all token OCCURRENCES does a top-`k` vocabulary cover,
+    * for each requested k. Everything below the vocabulary never sees a
+    * dedicated token and falls to fallback/byte pieces, so this curve is
+    * what sizes a vocab.
+    *
+    * Plan shape: one corpus token aggregation (map-side combinable), then
+    * PER K a TakeOrderedAndProject over the frequency table + a 1-row
+    * sum — no corpus-wide or vocabulary-wide window anywhere; the total
+    * is a 1-row broadcast cross join (the q43/q58 constant shape).
+    * Output: (vocab_k, covered_occurrences, coverage) one row per k.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    val freq = wordFrequencies(df, textCol).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = freq.agg(sum(col("freq")).as("__total"))
+    val perK = ks.map { k =>
+      freq.orderBy(col("freq").desc, col("term")).limit(k)
+        .agg(sum(col("freq")).as("covered_occurrences"))
+        .select(lit(k.toLong).as("vocab_k"), col("covered_occurrences"))
+    }.reduce(_.unionByName(_))
+    perK.crossJoin(broadcast(total))
+      .select(col("vocab_k"), col("covered_occurrences"),
+        round(col("covered_occurrences").cast("double") / col("__total"), 4)
+          .as("coverage"))
+  }
+
   /** Within-document repetition signals — the boilerplate/spam filter of a
     * pretraining pipeline. Two stacked aggregations, both map-side
     * combinable: (doc, token) counts, then per-doc rollup to total tokens,

@@ -667,6 +667,37 @@ object DocQueries {
     RankEval.pairSetEval(cand, truth, "id_a", "id_b")
   }
 
+  /** Vocabulary coverage curve (TextAnalysis.vocabCoverage): fraction of
+    * token occurrences covered by top-{64, 256, 1024} vocabularies — the
+    * measurement that sizes a tokenizer's vocab.
+    */
+  def q119VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables(spark, dir).documents, "text",
+        ks = Seq(64, 256, 1024))
+      .orderBy("vocab_k")
+
+  /** Cross-split leakage audit (q111's splits × q27's near-dup candidate
+    * pairs): counts of candidate pairs by the UNORDERED split pair they
+    * span — a train/test leak is a (test, train) row with n_pairs > 0,
+    * exactly what a split rollout must inspect before training.
+    */
+  def q120SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val splits = Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("__sa")), Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** One k-means Lloyd iteration over the embeddings table
     * (Clustering.lloydStep): 8 seed centroids, decimal-exact per-dimension
     * member means.

@@ -176,6 +176,46 @@ object OracleSql {
        |SELECT doc_id, pr, n_chars FROM sel WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** q119: per-k coverage as generated UNION branches (the ks are
+    * plan-time literals, exactly as in the Spark operator).
+    */
+  private val vocabCoverageSql: String = {
+    val branches = Seq(64, 256, 1024).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS vocab_k,
+         |       CAST((SELECT sum(freq) FROM
+         |             (SELECT freq FROM freq ORDER BY freq DESC, term LIMIT $k)) AS BIGINT)
+         |         AS covered_occurrences""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH freq AS (SELECT term, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |    FROM documents)
+       |  GROUP BY 1),
+       |total AS (SELECT sum(freq) AS t FROM freq),
+       |perk AS (
+       |$branches)
+       |SELECT vocab_k, covered_occurrences,
+       |       round(CAST(covered_occurrences AS DOUBLE) / total.t, 4) AS coverage
+       |FROM perk, total ORDER BY vocab_k""".stripMargin
+  }
+
+  /** q120: candidate pairs (the q27 chain) classified by the unordered
+    * pair of splits they span — the train/test leakage audit.
+    */
+  private val splitLeakageSql: String =
+    s"""WITH $minhashCandCtes,
+       |sp AS (SELECT doc_id,
+       |              CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+       |                        % 10000 < 8000 THEN 'train'
+       |                   WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+       |                        % 10000 < 9000 THEN 'validation'
+       |                   ELSE 'test' END AS split
+       |       FROM documents)
+       |SELECT least(a.split, b.split) AS split_lo,
+       |       greatest(a.split, b.split) AS split_hi,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM cand JOIN sp a ON cand.id_a = a.doc_id JOIN sp b ON cand.id_b = b.doc_id
+       |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+
   private val minhashPairsMd5Sql: String =
     s"""WITH $minhashCandCtes
        |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
@@ -637,6 +677,8 @@ object OracleSql {
     "q116_pagerank" -> pageRankSql,
     "q117_retain_central" -> retainCentralSql,
     "q118_dedup_eval" -> dedupEvalSql,
+    "q119_vocab_coverage" -> vocabCoverageSql,
+    "q120_split_leakage" -> splitLeakageSql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,
