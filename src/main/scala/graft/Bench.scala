@@ -15,7 +15,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,7 +30,7 @@ object Bench {
       // tweak).
       .config("spark.sql.files.maxPartitionBytes", "2097152")
       .config("spark.sql.files.openCostInBytes", "262144")
-      .getOrCreate()
+      )
     spark.sparkContext.setLogLevel("WARN")
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
@@ -71,6 +71,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"sf":"$sfDir"}""")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

@@ -59,6 +59,11 @@ object CurateMain {
           .when(col("__canon").isNull, "near_dup")
           .when(col("n_tokens") < 20, "too_short")
           .when(!col("lang").isin("en", "es", "de", "fr"), "lang_filtered")
+          // curriculumOrder scores by n_chars and filters null scores: a
+          // null-n_chars row surviving to that inner join would vanish
+          // from the output while still counting as "kept" — account it
+          // as an explicit drop instead (drops are accounted, not silent)
+          .when(col("n_chars").isNull, "no_score")
           .otherwise("keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val byReason = judged.groupBy(col("reason")).count()
@@ -84,14 +89,17 @@ object CurateMain {
     val (docsPath, outDir) = (args(0), args(1))
     val numShards = args.lift(2).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // Sessions.acquire, not bare getOrCreate: in a host JVM with a live
+    // session (tests, embedders) getOrCreate JOINS it, and stopping a
+    // joined session would kill the host's — release() below only stops
+    // a session this main itself created.
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+      .config("spark.sql.adaptive.enabled", "true"))
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(docsPath)
@@ -108,6 +116,6 @@ object CurateMain {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest + "\n")
     println(manifest)
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

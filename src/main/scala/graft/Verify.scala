@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,7 +19,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet has TIMESTAMP(NANOS); read as long, converted in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      )
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q89_bm25,q90_... dumps a subset (local iteration;
@@ -50,6 +50,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

@@ -16,15 +16,16 @@ object SriMain {
     val clock = if (args.length > 2) java.time.LocalDate.parse(args(2)) else java.time.LocalDate.now()
     val started = System.nanoTime()
 
-    val spark = SparkSession.builder()
+    // Only stop a session this main created — getOrCreate joins a host
+    // JVM's live session and stopping that would kill the host's work.
+    val (spark, owned) = graft.Sessions.acquire(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("sri-vehiculos-etl")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
 
     // fact partitioned by Anio — the year grain the reference's own config
@@ -54,7 +55,9 @@ object SriMain {
 
     val secs = (System.nanoTime() - started) / 1e9
     println(f"[sri-etl] status=${if (res.validation.passed) "SUCCESS" else "FAILED"} duration=$secs%.1fs")
-    spark.stop()
-    if (!res.validation.passed) sys.exit(1)
+    graft.Sessions.release(spark, owned)
+    // sys.exit would tear down a host JVM (e.g. a test runner); only a
+    // standalone CLI run — one that owned its session — may exit.
+    if (!res.validation.passed && owned) sys.exit(1)
   }
 }

@@ -17,13 +17,18 @@ import org.apache.spark.storage.StorageLevel
   * Word-internal adjacency never crosses documents, so no iteration
   * touches the corpus again.
   *
-  * Everything is built-in HOFs (zip_with / aggregate / slice — all
-  * codegen'd): the pair explosion is row-local, the per-iteration merge
-  * is a left fold over each symbol array, and the only shuffle per
-  * iteration is the map-side-combinable pair-count aggregation. The
-  * driver collects exactly ONE row per iteration (the winning pair) —
-  * the [[Components]] iterative pattern with persist/unpersist
-  * generation handover.
+  * Training is built-in HOFs (zip_with / aggregate / slice). NOTE on
+  * execution mode: Spark evaluates HOF lambdas INTERPRETED
+  * (CodegenFallback), not codegen'd — ~60× slower than a codegen'd
+  * expression per element (measured in ShingleBench). That is acceptable
+  * here, and ONLY here, because every fold runs over the distinct-WORD
+  * table (vocabulary cardinality, short arrays), never the corpus; do
+  * not copy the aggregate-fold pattern into a corpus-cardinality path.
+  * The pair explosion is row-local, the per-iteration merge is a left
+  * fold over each symbol array, and the only shuffle per iteration is
+  * the map-side-combinable pair-count aggregation. The driver collects
+  * exactly ONE row per iteration (the winning pair) — the [[Components]]
+  * iterative pattern with persist/unpersist generation handover.
   */
 object Bpe {
 
@@ -54,7 +59,8 @@ object Bpe {
       .agg(sum(col("cnt")).as("pair_count"))
 
   /** Leftmost-first greedy merge of adjacent pair (a, b) → a+b, as a pure
-    * fold over the symbol array (no UDF — `aggregate` is codegen'd).
+    * fold over the symbol array (an `aggregate` HOF — interpreted, see
+    * the object doc for why that is bounded-safe on the word table).
     * Greedy-correctness falls out of the fold: once a merge fires, the
     * accumulated last element becomes a+b, which can never equal `a`
     * again (strictly longer), so overlapping occurrences ("a a a" under
@@ -103,24 +109,63 @@ object Bpe {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Replay a merge table over one word's character symbols — the exact
+    * greedy-leftmost semantics of [[mergePair]] (same accumulator scan,
+    * same overlap behavior), as a plain Scala loop. Runs on executors
+    * inside [[encode]]'s typed map over the DISTINCT-word table.
+    */
+  private[operators] def replayMerges(
+      word: String, merges: Array[(String, String)]): Array[String] = {
+    // String.split("") splits at code-point boundaries (regex-based, like
+    // Spark's split expression), so the kernel and mergePair agree on
+    // multibyte text
+    var cur: Array[String] = word.split("").filter(_.nonEmpty)
+    var m = 0
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      val buf = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+      var i = 0
+      while (i < cur.length) {
+        val s = cur(i)
+        if (buf.nonEmpty && buf.last == a && s == b) buf(buf.length - 1) = a + s
+        else buf += s
+        i += 1
+      }
+      cur = buf.toArray
+      m += 1
+    }
+    cur
+  }
+
   /** Encode the corpus with a trained merge table: replay the merges in
-    * rank order over each word's character sequence (the same fold), then
-    * stitch words back per document. Returns (idCol, bpe_tokens:
-    * array<string>). Merge count is small (a tokenizer ships thousands),
-    * so the replay is a fixed expression chain — no iteration at encode
-    * time, one corpus pass.
+    * rank order over each word's character sequence, then stitch words
+    * back per document. Returns (idCol, bpe_tokens: array<string>).
+    *
+    * Scale shape: the replay runs once per DISTINCT word (vocabulary
+    * cardinality), not per occurrence, and as a Scala kernel
+    * ([[replayMerges]]) in a typed map — NOT as a per-merge expression
+    * fold. A real tokenizer ships thousands of merge ranks; nesting one
+    * interpreted `aggregate` HOF per rank builds an expression tree that
+    * blows Catalyst's analyzer/codegen stack limits long before 1k
+    * merges (and would replay per word OCCURRENCE besides). The kernel
+    * has no depth limit, costs O(|vocab| × |merges| × |word|), and the
+    * corpus pays one equi-join on the word (broadcast-sized dict side
+    * for any real vocabulary) — spec-pinned identical to the fold and
+    * exercised at 1,000 merges.
     */
   def encode(df: DataFrame, textCol: String, idCol: String,
              merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val words = df.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__w")))
       .where(col("__w") =!= "")
-      .withColumn("__syms", filter(split(col("__w"), ""), s => s =!= ""))
-    val merged = merges.foldLeft(words) { case (acc, (a, b)) =>
-      acc.withColumn("__syms", mergePair(col("__syms"), a, b))
-    }
-    merged
+    val mergesArr = merges.toArray
+    val encodedWords = words.select(col("__w")).distinct().as[String]
+      .mapPartitions(it => it.map(w => (w, replayMerges(w, mergesArr))))
+      .toDF("__w", "__syms")
+    words.join(encodedWords, Seq("__w"))
       .select(col(idCol), col("__pos"), col("__syms"))
       .groupBy(col(idCol))
       .agg(flatten(transform(

@@ -221,6 +221,13 @@ object Index {
     * `topK` docs per query by (score desc, id); only docs containing at
     * least one query term appear (Lucene idf > 0 always, so every hit
     * scores > 0 — the same semantics as bm25TopK's score > 0 filter).
+    *
+    * Composing with [[rrfFuse]]: fusion is per-query, and the per-query
+    * row_number filter does NOT propagate a static `maxRows` bound, so a
+    * slice of this output needs an explicit bound restored before
+    * fusing — `out.where($"query_id" === q).limit(topK)` satisfies
+    * rrfFuse's bounded-input contract (the limit is a no-op at runtime:
+    * the slice already has ≤ topK rows).
     */
   def bm25TopKBatch(df: DataFrame, textCol: String, idCol: String,
                     queries: DataFrame, topK: Int,
@@ -244,7 +251,9 @@ object Index {
     * passes — doc lengths, per-term dfs, and corpus constants all derive
     * from the index itself. Same arithmetic, same output contract as
     * [[bm25TopKBatch]] (which is exactly this function fed a
-    * freshly-aggregated index; spec-asserted equal).
+    * freshly-aggregated index; spec-asserted equal) — including the
+    * rrfFuse composition note there: re-bound a per-query slice with
+    * `.limit(topK)` before fusing.
     */
   def bm25TopKFromIndex(index: DataFrame, idCol: String, queries: DataFrame,
                         topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -61,7 +61,12 @@ object Rerank {
 
   /** The per-query greedy: pick argmax(λ·rel − (1−λ)·max cos to selected),
     * score ties to the LOWER candidate id. Pure function of the candidate
-    * array — unit-testable without Spark.
+    * array — unit-testable without Spark. NaN safety: mmrSelect is public
+    * and relevance/vectors are caller-supplied, and every comparison
+    * against NaN is false — an unguarded NaN score would leave bestId=-1
+    * and crash the task. NaN scores are therefore treated as −∞ (a NaN
+    * candidate is ranked worst but still selectable via the lowest-id
+    * tie-break, so the function always returns min(k, n) picks).
     */
   private[operators] def greedyMmr(cands: Array[(Long, Double, Array[Double])],
                                    lambda: Double, k: Int): Seq[Long] = {
@@ -77,8 +82,9 @@ object Rerank {
             val s = cos(v, pv)
             if (first || s > maxSim) { maxSim = s; first = false }
           }
-          val score = if (picked.isEmpty) lambda * rel
-                      else lambda * rel - (1.0 - lambda) * maxSim
+          val raw = if (picked.isEmpty) lambda * rel
+                    else lambda * rel - (1.0 - lambda) * maxSim
+          val score = if (raw.isNaN) Double.NegativeInfinity else raw
           if (score > bestScore || (score == bestScore && (bestId == -1L || nid < bestId))) {
             bestScore = score; bestId = nid
           }

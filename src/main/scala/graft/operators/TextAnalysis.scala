@@ -84,12 +84,17 @@ object TextAnalysis {
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = toks.select(col(idCol), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.select(countDistinct(col(idCol))).collect()(0).getLong(0)
+    // corpus size N stays INSIDE the plan (broadcast 1-row cross join, the
+    // unigramLogProb pattern): an eager count at construction would run an
+    // extra full corpus pass per call and freeze a stale N if the source
+    // grows before execution — df and N must come from the same snapshot
+    val total = df.agg(countDistinct(col(idCol)).cast("double").as("__N"))
     tf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(total))
       .select(
         col(idCol), col("term"), col("tf"),
         col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+        round(col("tf") * log(col("__N") / col("df")), 4).as("tfidf"))
   }
 
   /** Document fingerprint: minimum md5 over word 5-shingles (a 1-permutation

@@ -83,10 +83,19 @@ object SampleStream {
             session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             stateSchema(idCol, weightCol))
         }
+        // duplicate ids across state ∪ batch (a re-arrival, possibly with
+        // a CHANGED weight) must resolve deterministically or the stored
+        // sample diverges from the batch operator's: keep the max
+        // (__es_key, weight) struct per id — a total order, unlike
+        // dropDuplicates, which keeps an arbitrary row
         state.unionByName(keyed)
-          .dropDuplicates(idCol)
+          .groupBy(col(idCol))
+          .agg(max(struct(col("__es_key"), col(weightCol))).as("__s"))
+          .select(col(idCol), col(s"__s.$weightCol").as(weightCol),
+            col("__s.__es_key").as("__es_key"))
           .orderBy(col("__es_key").desc, col(idCol))
           .limit(n)
+          .select(keyed.columns.map(col).toIndexedSeq: _*)
           .write.mode("overwrite").parquet(s"$statePath/batch_$batchId")
       }
       .start()

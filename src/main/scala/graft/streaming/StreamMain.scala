@@ -11,21 +11,22 @@ import org.apache.spark.sql.SparkSession
 object StreamMain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    // Only stop a session this main created — getOrCreate joins a host
+    // JVM's live session and stopping that would kill the host's work.
+    val (spark, owned) = graft.Sessions.acquire(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-stream")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
     val out = EventsStream.runAvailableNow(spark,
       EventsStream.hourlyAgg(EventsStream.readEvents(spark, dir)), "hourly_cli")
     val rows = out.orderBy("hour_ts", "event_type").collect()
     println(s"[stream] closed windows: ${rows.length}")
     rows.take(5).foreach(r => println(s"  ${r.mkString(" | ")}"))
-    spark.stop()
+    graft.Sessions.release(spark, owned)
   }
 }

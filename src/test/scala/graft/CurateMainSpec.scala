@@ -37,16 +37,39 @@ class CurateMainSpec extends SparkTestBase {
     assert(ka === kb, "routing must be a pure function of the rows")
   }
 
+  test("curate keep/drop verdicts equal q83's oracle-checked chain") {
+    // the CLI's verdict chain must not drift from the hash-checked q83
+    // query: same keep set, same per-reason drop counts — with ONE
+    // documented divergence: rows whose n_chars is null cannot be
+    // curriculum-scored, so curate accounts them as dropped_no_score
+    // (q83 never scores and keeps them)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (sharded, counts) = CurateMain.curate(spark, docs, numShards = 4)
+    val q83 = graft.queries.DocQueries.q83Curation(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val kept = sharded.select("doc_id").collect().map(_.getLong(0)).toSet
+    val noScore = docs.where(col("n_chars").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === q83.filter(_._2 == "keep").keySet -- noScore)
+    assert(counts("kept") === kept.size.toLong)
+    // manifest equals the actual output — no silent inner-join losses
+    assert(sharded.count() === counts("kept"))
+    val q83Reasons = q83.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (r <- Seq("exact_dup", "near_dup", "too_short", "lang_filtered"))
+      assert(counts.getOrElse(s"dropped_$r", 0L) === q83Reasons.getOrElse(r, 0L),
+        s"reason $r count drifted from q83")
+  }
+
   test("main writes split/shard-partitioned parquet and a balancing manifest") {
     val outDir = java.nio.file.Files.createTempDirectory("curate-out").toString
     val docsDir = "/root/testdata/sf0.001"
     CurateMain.main(Array(s"$docsDir/documents.parquet", outDir, "4"))
-    // NOTE: main stops the session it builds; the shared test session keeps
-    // its own SparkContext because local-mode sessions share one context —
-    // re-read through a fresh session to be safe
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").getOrCreate()
-    val curated = s2.read.parquet(s"$outDir/curated")
+    // main's getOrCreate JOINS this JVM's shared test session; the
+    // Sessions ownership guard means main must NOT have stopped it.
+    assert(!spark.sparkContext.isStopped,
+      "CurateMain.main must never stop a session it joined")
+    val curated = spark.read.parquet(s"$outDir/curated")
     val manifest = ujsonish(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/manifest.json")))
     assert(curated.count() === manifest("kept"))

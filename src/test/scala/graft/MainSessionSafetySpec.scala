@@ -1,0 +1,41 @@
+package graft
+
+/** Round-6 regression pin: `CurateMain.main`'s `getOrCreate` JOINED the
+  * test JVM's shared session and then stopped it, cascading "stopped
+  * SparkContext" failures across 21 suites (and the same hazard applies
+  * to any host application embedding a CLI main). Every graft `main` now
+  * acquires its session through [[Sessions.acquire]] and releases only a
+  * session it created. Pin that: each main, called TWICE inside a JVM
+  * whose session is live, must leave that session running and usable.
+  */
+class MainSessionSafetySpec extends SparkTestBase {
+
+  private def assertSessionUsable(label: String): Unit = {
+    assert(!spark.sparkContext.isStopped, s"$label stopped the host session")
+    assert(spark.range(3).count() === 3L, s"host session unusable after $label")
+  }
+
+  test("CurateMain.main twice leaves the host session usable") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val out1 = java.nio.file.Files.createTempDirectory("curate-safety-a").toString
+    val out2 = java.nio.file.Files.createTempDirectory("curate-safety-b").toString
+    CurateMain.main(Array(docs, out1, "2"))
+    CurateMain.main(Array(docs, out2, "2"))
+    assertSessionUsable("CurateMain.main")
+  }
+
+  test("SriMain.main twice leaves the host session usable") {
+    val csv = "/root/reference/csv_file/VEHICULOS_SRI.csv"
+    val wh1 = java.nio.file.Files.createTempDirectory("sri-safety-a").toString
+    val wh2 = java.nio.file.Files.createTempDirectory("sri-safety-b").toString
+    graft.etl.SriMain.main(Array(csv, wh1, "2026-01-15"))
+    graft.etl.SriMain.main(Array(csv, wh2, "2026-01-15"))
+    assertSessionUsable("SriMain.main")
+  }
+
+  test("StreamMain.main twice leaves the host session usable") {
+    graft.streaming.StreamMain.main(Array("/root/testdata/sf0.001"))
+    graft.streaming.StreamMain.main(Array("/root/testdata/sf0.001"))
+    assertSessionUsable("StreamMain.main")
+  }
+}

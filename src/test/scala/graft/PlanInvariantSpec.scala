@@ -32,7 +32,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q113_rank_eval",       // composes q25's baseline arm (the exact side being evaluated against)
     "q114_curriculum",      // 1-row quantile-fence table broadcast-crossed, as q88's bounds
     "q115_budget_select",   // 1-row fence table + nBuckets-row offsets broadcast-crossed, as q114
-    "q118_dedup_eval"       // bounded all-pairs TRUTH baseline (the q26 shape) + 1-row metric cross joins
+    "q118_dedup_eval",      // bounded all-pairs TRUTH baseline (the q26 shape) + 1-row metric cross joins
+    "q119_vocab_coverage"   // 1-row corpus-total broadcast-crossed into the coverage curve, as q58/q88's bounds
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

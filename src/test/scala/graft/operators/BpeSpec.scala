@@ -75,6 +75,35 @@ class BpeSpec extends SparkTestBase {
     assert(joined === "lowerlower")
   }
 
+  test("replayMerges kernel is element-identical to the mergePair fold") {
+    // encode's Scala kernel must replay EXACTLY the expression fold's
+    // greedy-leftmost semantics — pin them against each other on every
+    // distinct word of real docs, through a 6-merge chain incl. overlaps
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+      ("a", "a"), ("t", "h"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = Bpe.wordTable(d, "text").select("word", "symbols")
+    val viaFold = merges.foldLeft(words) { case (acc, (a, b)) =>
+      acc.withColumn("symbols", Bpe.mergePair(col("symbols"), a, b))
+    }.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val mergesArr = merges.toArray
+    val viaKernel = words.select("word").collect().map(_.getString(0))
+      .map(w => w -> Bpe.replayMerges(w, mergesArr).toSeq).toMap
+    assert(viaFold.nonEmpty && viaFold === viaKernel)
+  }
+
+  test("encode handles a 1,000-merge table (no expression-depth blowup)") {
+    // the round-6 hazard: one nested aggregate() HOF per merge rank blew
+    // Catalyst's analyzer past ~100 merges. The kernel path must take a
+    // real tokenizer's merge-table size in stride.
+    val manyMerges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")) ++
+      (1 to 996).map(i => (s"zz$i", s"qq$i")) // never-matching tail ranks
+    val out = Bpe.encode(classic, "text", "doc_id", manyMerges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq.fill(5)(Seq("low")).flatten)
+    assert(out(3L) === Seq.fill(6)(Seq("n", "e", "w", "est")).flatten)
+  }
+
   test("train is invariant to input partitioning on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.train(d, "text", nMerges = 3).collect().map(_.toString).toSeq

@@ -241,6 +241,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getLong(1) === 2L)
   }
 
+  test("tfidf construction launches zero Spark jobs (N is in-plan, not eager)") {
+    // the round-6 defect: an eager countDistinct().collect() at query
+    // CONSTRUCTION ran a full corpus pass per call and froze a stale N.
+    // Pin the fix: building the tfidf frame must not start any job; a
+    // sentinel job flushes the listener bus so the assertion is ordered.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sentinelSeen = false
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (j.properties != null &&
+            "tfidf-sentinel" == j.properties.getProperty("spark.jobGroup.id"))
+          sentinelSeen = true
+        else jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+      val df = TextAnalysis.tfidf(d, "text", "doc_id")
+      spark.sparkContext.setJobGroup("tfidf-sentinel", "flush")
+      spark.range(1).count()
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!sentinelSeen && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sentinelSeen, "listener bus never delivered the sentinel job")
+      assert(jobs.get() === 0, "tfidf construction must not launch Spark jobs")
+      // and the frame still computes the right scores when executed
+      val out = df.where(col("doc_id") === 1L && col("term") === "b").collect()
+      assert(out.length === 1 && out(0).getAs[Long]("df") === 2L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("word frequencies count the corpus multiset") {
     val d = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     val out = TextAnalysis.wordFrequencies(d, "text").collect()
