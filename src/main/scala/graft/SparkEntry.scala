@@ -141,7 +141,8 @@ object SparkEntry {
     "q117_retain_central" -> (D.q117RetainCentral(_, _)),
     "q118_dedup_eval"    -> (D.q118DedupEval(_, _)),
     "q119_vocab_coverage" -> (D.q119VocabCoverage(_, _)),
-    "q120_split_leakage" -> (D.q120SplitLeakage(_, _))
+    "q120_split_leakage" -> (D.q120SplitLeakage(_, _)),
+    "q121_bpe_packed_sequences" -> (D.q121BpePackedSequences(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -75,3 +75,119 @@ final case class ParquetWarehouse(
     */
   def readTable(name: String): DataFrame = spark.table(name)
 }
+
+/** Object-store-layout warehouse: immutable generation prefixes + a
+  * single-object manifest commit — the closest a filesystem/object store
+  * gets to the reference's BigQuery WRITE_TRUNCATE atomicity
+  * (dags/sri_vehiculos_etl_dag.py:99-114) without a table service.
+  *
+  * Why not SaveMode.Overwrite in place: on GCS/S3 there is no atomic
+  * directory rename — overwrite = delete-then-write, and a reader (or a
+  * crash) mid-write sees a missing or partial table. Here every write
+  * lands in a FRESH `gen-NNNNNN` prefix; only after the data write fully
+  * succeeds does the table "commit" by atomically publishing ONE small
+  * `_MANIFEST.json` pointing at that generation. Readers resolve the
+  * manifest first, so they always observe exactly one complete
+  * generation; a failed or crashed write leaves the previous generation
+  * live (the truncate-reload contract), and published prefixes are never
+  * mutated (object-store read-cache friendly). Locally the publish is an
+  * ATOMIC_MOVE of a temp file; on a real object store it is a
+  * single-object PUT — both all-or-nothing.
+  *
+  * The manifest also carries the written schema (as Spark schema JSON),
+  * so reads apply the DECLARED column types and order across sessions —
+  * partitioned reads otherwise re-infer partition-column types from
+  * directory names and move them to the end (the problem
+  * [[ParquetWarehouse]] solves only within one JVM via its schema map).
+  *
+  * Old generations accumulate until [[vacuum]] — retention is a policy
+  * decision (readers may still be streaming gen N−1), exactly like
+  * open-table-format vacuums.
+  */
+final case class ManifestWarehouse(
+    spark: SparkSession,
+    root: String,
+    partitionCols: Map[String, Seq[String]] = Map.empty) extends Warehouse {
+
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def tableDir(name: String) = s"$root/$name"
+  private def manifestPath(name: String) = Paths.get(tableDir(name), "_MANIFEST.json")
+
+  /** (generation, genDir, schema) of the committed generation, if any. */
+  private def currentManifest(name: String):
+      Option[(Long, String, org.apache.spark.sql.types.StructType)] = {
+    val p = manifestPath(name)
+    if (!Files.exists(p)) None
+    else {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+      val gen = j \ "generation" match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case other => sys.error(s"manifest for $name: bad generation $other")
+      }
+      val dir = j \ "dir" match {
+        case JString(s) => s
+        case other => sys.error(s"manifest for $name: bad dir $other")
+      }
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(j \ "schema")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Some((gen, dir, schema))
+    }
+  }
+
+  override def write(name: String, df: DataFrame): Unit = {
+    // claim the first generation number whose prefix does not exist yet:
+    // a crashed writer's orphaned (uncommitted) prefix is never reused,
+    // so no writer ever mutates a prefix another run created — orphans
+    // stay dead until vacuum collects them
+    var gen = currentManifest(name).map(_._1).getOrElse(0L) + 1L
+    while (Files.exists(Paths.get(tableDir(name), f"gen-$gen%06d"))) gen += 1L
+    val genDir = f"gen-$gen%06d"
+    val w = df.write.mode(SaveMode.Overwrite)
+    partitionCols.get(name) match {
+      case Some(cols) if cols.forall(df.columns.contains) =>
+        w.partitionBy(cols: _*).parquet(s"${tableDir(name)}/$genDir")
+      case _ => w.parquet(s"${tableDir(name)}/$genDir")
+    }
+    // the write above either completed or threw — only now flip the
+    // manifest, atomically; a reader can never observe gen N's pointer
+    // with gen N's data incomplete
+    val manifest =
+      s"""{"generation":$gen,"dir":"$genDir","schema":${df.schema.json}}"""
+    val dir = Paths.get(tableDir(name))
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "_manifest-", ".tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, manifestPath(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def read(name: String): DataFrame = {
+    val (_, dir, schema) = currentManifest(name).getOrElse(
+      sys.error(s"table $name has no committed generation under $root"))
+    spark.read.parquet(s"${tableDir(name)}/$dir")
+      .select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Delete every generation prefix except the committed one. Call only
+    * when no reader can still hold the older generations.
+    */
+  def vacuum(name: String): Unit = currentManifest(name).foreach { case (_, live, _) =>
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(tableDir(name))
+    if (Files.isDirectory(dir)) {
+      val stale = Files.list(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-") &&
+          p.getFileName.toString != live)
+        .toList
+      stale.foreach { p =>
+        Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.delete)
+      }
+    }
+  }
+}

@@ -901,6 +901,37 @@ object DocQueries {
         vocabSize = 256, numShards = 8, seqLen = 128)
       .orderBy("shard", "seq_idx")
 
+  /** q121's FIXED merge table (english-digraph shapes, rank order) —
+    * fixed rather than trained so the DuckDB oracle can replay the exact
+    * same merges; [[graft.operators.Bpe.train]]'s output is oracle-checked
+    * separately via q108's pair statistics.
+    */
+  val q121Merges: Seq[(String, String)] = Seq(
+    ("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"),
+    ("i", "n"), ("a", "n"), ("an", "d"), ("o", "r"))
+
+  /** The tokenizer-true export chain end to end: BPE-encode every document
+    * with a fixed merge table (Bpe.encode's distinct-word kernel), freeze
+    * a 16-entry vocabulary over the BPE token stream, encode to ids
+    * (OOV → 0 — the small vocab exercises the OOV path, unlike q95/q105's
+    * all-in-vocab 256), and cut the md5-sharded stream into materialized
+    * 128-token training sequences. BPE tokens never contain whitespace,
+    * so riding them through array_join(" ") reuses the entire q95/q105
+    * whitespace vocab/encode/pack machinery — and their pinned plan
+    * shapes — unchanged. The encoded frame is persisted: it feeds both
+    * the vocab head and the encode join.
+    */
+  def q121BpePackedSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bpe = Bpe.encode(docs, "text", "doc_id", q121Merges)
+      .select(col("doc_id"), array_join(col("bpe_tokens"), " ").as("bpe_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = TextAnalysis.buildVocab(bpe, "bpe_text", vocabSize = 16)
+    Sharding.packedTokenSequencesWithVocab(bpe, "bpe_text", "doc_id", vocab,
+        numShards = 8, seqLen = 128)
+      .orderBy("shard", "seq_idx")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

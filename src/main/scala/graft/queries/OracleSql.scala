@@ -198,6 +198,64 @@ object OracleSql {
        |FROM perk, total ORDER BY vocab_k""".stripMargin
   }
 
+  /** q121: the BPE→vocab→pack export chain. The merge replay encodes each
+    * word's token list as a chr(31)-wrapped string — every token wrapped
+    * in its OWN separator pair (`␟tok␟␟tok␟…`) — so one left-to-right
+    * non-overlapping `replace('␟a␟␟b␟' → '␟ab␟')` per merge rank IS
+    * Bpe.replayMerges' greedy-leftmost scan: adjacent matches share no
+    * characters (each owns its wrappers), a merged token can never
+    * re-match as the same rank's lhs or rhs (strictly longer than both),
+    * and partial-token matches are impossible (the pattern requires both
+    * full wrappers). Verified exhaustively against the kernel on every
+    * distinct corpus word at sf0.001 and sf0.01; chr(31) appears nowhere
+    * in the corpus. The tail is q105's vocab/encode/pack SQL with the
+    * BPE token stream (ordered by word pos, then within-word pos)
+    * replacing the word stream, vocab 16, OOV → 0.
+    */
+  private val bpePackedSql: String = {
+    val sep = "chr(31)"
+    val init = s"$sep || array_to_string(list_transform(" +
+      s"generate_series(1, length(word)), i -> substr(word, i, 1)), $sep || $sep) || $sep"
+    val replay = DocQueries.q121Merges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+    }
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |           FROM documents WHERE text IS NOT NULL),
+       |wp AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos FROM w),
+       |st AS (SELECT doc_id, wpos, $replay AS state FROM wp WHERE word <> ''),
+       |tl AS (SELECT doc_id, wpos,
+       |              string_split(substr(state, 2, length(state) - 2), $sep || $sep) AS wtoks
+       |       FROM st),
+       |wt AS (SELECT doc_id, wpos, unnest(wtoks) AS tok, generate_subscripts(wtoks, 1) AS tpos
+       |       FROM tl),
+       |toks AS (SELECT doc_id, tok,
+       |                row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) AS pos
+       |         FROM wt),
+       |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+       |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS tid
+       |          FROM (SELECT * FROM freq ORDER BY cnt DESC, tok LIMIT 16)),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |               list(coalesce(tid, 0) ORDER BY pos) AS ids
+       |        FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id),
+       |k AS (SELECT doc_id, n_tokens, ids,
+       |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+       |      FROM enc WHERE n_tokens > 0),
+       |p AS (SELECT doc_id, ids, key % 8 AS shard,
+       |             CAST(sum(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT)
+       |               - n_tokens AS start_offset
+       |      FROM k),
+       |t AS (SELECT shard, start_offset + generate_subscripts(ids, 1) - 1 AS gpos,
+       |             unnest(ids) AS tid
+       |      FROM p),
+       |s AS (SELECT CAST(shard AS BIGINT) AS shard,
+       |             CAST(floor(gpos / 128.0) AS BIGINT) AS seq_idx,
+       |             gpos % 128 AS off, tid
+       |      FROM t)
+       |SELECT shard, seq_idx, array_to_string(list(tid ORDER BY off), ',') AS token_ids
+       |FROM s GROUP BY 1, 2 HAVING count(*) = 128
+       |ORDER BY shard, seq_idx""".stripMargin
+  }
+
   /** q120: candidate pairs (the q27 chain) classified by the unordered
     * pair of splits they span — the train/test leakage audit.
     */
@@ -679,6 +737,7 @@ object OracleSql {
     "q118_dedup_eval" -> dedupEvalSql,
     "q119_vocab_coverage" -> vocabCoverageSql,
     "q120_split_leakage" -> splitLeakageSql,
+    "q121_bpe_packed_sequences" -> bpePackedSql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,

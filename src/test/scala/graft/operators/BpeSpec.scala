@@ -111,6 +111,30 @@ class BpeSpec extends SparkTestBase {
     assert(a.nonEmpty && a === b)
   }
 
+  test("curate → BPE-encode → packed export is deterministic under repartitioning") {
+    // the full production chain (q83-verdict curation → q121's tokenizer
+    // path → packed sequences) must emit byte-identical sequences no
+    // matter how the input was partitioned — the q105 reproducibility
+    // contract extended through the CLI's keep set and the BPE kernel
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def chain(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val (kept, _) = graft.CurateMain.curate(spark, d, numShards = 4)
+      val bpe = Bpe.encode(kept, "text", "doc_id", graft.queries.DocQueries.q121Merges)
+        .select(col("doc_id"), array_join(col("bpe_tokens"), " ").as("bpe_text"))
+        .persist()
+      val vocab = TextAnalysis.buildVocab(bpe, "bpe_text", vocabSize = 16)
+      val out = Sharding.packedTokenSequencesWithVocab(
+          bpe, "bpe_text", "doc_id", vocab, numShards = 8, seqLen = 64)
+        .collect().map(_.toString).sorted.toSeq
+      bpe.unpersist()
+      out
+    }
+    val a = chain(docs)
+    val b = chain(docs.repartition(17))
+    assert(a.nonEmpty, "expected at least one full 64-token sequence")
+    assert(a === b)
+  }
+
   test("pair counting plans row-local pair explosion — no window, no extra exchange") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Bpe.pairCounts(Bpe.wordTable(d, "text"))

@@ -272,6 +272,24 @@ class IndexSpec extends SparkTestBase {
     assert(ok.count() >= 1)
   }
 
+  test("a bm25TopKBatch per-query slice feeds rrfFuse via the documented .limit") {
+    // the scaladoc'd composition: the per-query row_number filter drops
+    // the static row bound, so a slice re-bounds with .limit(topK) (a
+    // runtime no-op — the slice already has <= topK rows) and then fuses
+    import spark.implicits._
+    val qs = graft.queries.DocQueries.Bm25BatchQueries.toDF("query_id", "term")
+    val lexical = Index.bm25TopKBatch(docs, "text", "doc_id", qs, topK = 10)
+      .where(col("query_id") === 1L)
+      .select(col("doc_id"), col("score"))
+      .limit(10)
+    val dense = lexical.select(col("doc_id"), (col("score") * 0.5).as("cos")).limit(10)
+    val fused = Index.rrfFuse(lexical, dense, "doc_id", "score", "cos", topK = 5)
+      .collect()
+    assert(fused.nonEmpty && fused.length <= 5)
+    // both lists rank identically here, so rrf is symmetric: rank_a == rank_b
+    fused.foreach(r => assert(r.getAs[Long]("rank_a") === r.getAs[Long]("rank_b")))
+  }
+
   test("rrfFuse truncates to topK and breaks score ties by id") {
     import spark.implicits._
     val a = Seq((5L, 1.0), (6L, 1.0)).toDF("doc_id", "s") // tied scores
