@@ -13,6 +13,14 @@ class MainSessionSafetySpec extends SparkTestBase {
   private def assertSessionUsable(label: String): Unit = {
     assert(!spark.sparkContext.isStopped, s"$label stopped the host session")
     assert(spark.range(3).count() === 3L, s"host session unusable after $label")
+    // a joined main must not RECONFIGURE the host either: getOrCreate
+    // applies builder configs onto an existing session's runtime conf
+    // (the round-7 bucketed-scan flake: a main silently flipped the
+    // shared session's shuffle.partitions from 4 to 32 for every suite
+    // that ran after it) — Sessions.acquire never consults the builder
+    // when a live session exists, so the host conf stays untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4",
+      s"$label reconfigured the host session's shuffle partitions")
   }
 
   test("CurateMain.main twice leaves the host session usable") {
