@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * warehouse, validate, print metrics and a job summary.
   *
   * Usage: runMain graft.etl.SriMain <csvPath> <warehouseDir> [fixedDate]
+  *
+  * GRAFT_WAREHOUSE=manifest selects the object-store layout
+  * ([[ManifestWarehouse]]: generation prefixes + atomic manifest commit,
+  * the WRITE_TRUNCATE-equivalent for stores without atomic directory
+  * rename); default is the plain overwrite-in-place [[ParquetWarehouse]].
   */
 object SriMain {
   def main(args: Array[String]): Unit = {
@@ -33,8 +38,13 @@ object SriMain {
     // scale: daily-grain ID_Tiempo partitioning would mean 2,192 partitions
     // and a small-files problem at 100 TB; year partitions prune
     // date-ranged queries while keeping partition count bounded.
-    val wh = ParquetWarehouse(spark, whDir,
-      partitionCols = Map("fact_registro_vehiculos" -> Seq("Anio")))
+    val partCols = Map("fact_registro_vehiculos" -> Seq("Anio"))
+    val wh: Warehouse = sys.env.get("GRAFT_WAREHOUSE") match {
+      case Some("manifest") => ManifestWarehouse(spark, whDir, partCols)
+      case Some(other) if other != "parquet" =>
+        sys.error(s"GRAFT_WAREHOUSE must be 'parquet' or 'manifest', got '$other'")
+      case _ => ParquetWarehouse(spark, whDir, partCols)
+    }
     val pipelineStart = System.nanoTime()
     val res = SriPipeline.run(spark, csvPath, wh, clock, parallelDims = true)
     val pipelineSecs = (System.nanoTime() - pipelineStart) / 1e9

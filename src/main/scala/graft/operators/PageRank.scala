@@ -38,8 +38,16 @@ object PageRank {
                iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val directed = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+    // Eagerly cut the input lineage (same pattern as Components): the
+    // driver re-analyzes the full input plan for every job the iteration
+    // generates, so a deep upstream chain (a 64-hash minhash pipeline,
+    // say) costs seconds of PLANNING per iteration even when the data is
+    // cached — and the union below would execute an uncached input twice.
+    // After the cut, per-iteration driver work is O(1) in input plan depth.
+    val base = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+    val directed = base
+      .union(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val degrees = directed.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val withDeg = directed.join(degrees, Seq("__src"))

@@ -629,16 +629,23 @@ object DocQueries {
     * centrality over the SAME confirmed near-dup graph) instead of the
     * longest document — the "most canonical variant" policy. The
     * confirmed pair table feeds BOTH the centrality iteration and the
-    * component labeling, so it persists across its two consumers.
+    * component labeling, so it is computed once (eager lineage cut)
+    * and served leaf-shaped to both consumers.
     */
   def q117RetainCentral(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
       numHashes = 64, bands = 16)
+    // localCheckpoint, not persist: both consumers below are ITERATIVE
+    // (PageRank generations, components rounds) and a persist keeps the
+    // full minhash+jaccard lineage under the cache — the driver re-plans
+    // that deep tree for every generated job (~30s of pure planning at
+    // sf0.1). The eager cut computes the chain once and hands consumers a
+    // leaf-shaped plan.
     val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pr = PageRank.pageRank(nearDups, "id_a", "id_b", iterations = 3)
       .select(col("id").as("doc_id"), col("rank").as("__pr"))
     val withPr = docs.join(pr, Seq("doc_id"), "left")
