@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided parquet testdata (see /root/repo/TESTDATA.md).
   *
@@ -22,16 +22,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot represent
+  /** events.parquet's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (which Spark 4 cannot represent
     * natively; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-    * this loader converts nanos → microsecond timestamp with integral `div`
-    * (Column `/` is DOUBLE division and corrupts above 2^53 ns).
+    * read it as LONG) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+    * Spark reads as TIMESTAMP_NTZ). This loader normalizes BOTH to a
+    * session-local TIMESTAMP so downstream operators see one type:
+    * nanos convert with integral `div` (Column `/` is DOUBLE division and
+    * corrupts above 2^53 ns); NTZ casts — with the engine's pinned UTC
+    * session timezone that cast is instant-preserving, the same wall
+    * clock the nanos generation produced.
     */
   def events: DataFrame = {
     val raw = table("events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType           => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType   => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => raw
     }
   }
   def documents: DataFrame  = table("documents")

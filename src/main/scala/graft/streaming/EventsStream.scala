@@ -31,19 +31,31 @@ object EventsStream {
 
 
   /** Read the events dir as a stream (schema must be supplied: streaming
-    * sources cannot infer). Handles the testdata's TIMESTAMP(NANOS) via the
-    * same long-nanos conversion as the batch loader.
+    * sources cannot infer). The testdata's `ts` encoding has varied across
+    * driver generations (TIMESTAMP(NANOS) read as long under
+    * nanosAsLong=true, vs TIMESTAMP(MICROS) read as TIMESTAMP_NTZ), so
+    * the declared stream schema is taken from a one-time batch footer
+    * probe (parquet metadata only — no data scan, and only at stream
+    * CONSTRUCTION, never per micro-batch), then normalized to a
+    * session-local TIMESTAMP exactly like the batch loader
+    * ([[graft.sources.Tables.events]]) so stream and batch twins see one
+    * type.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val fileTsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", fileTsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // dir-level source, one table file
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileTsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Hourly tumbling-window aggregation with a watermark — the streaming
