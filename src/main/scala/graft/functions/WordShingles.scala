@@ -38,8 +38,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Edge semantics (shared with the oracles): trailing sub-shingles are
   * dropped except the single truncated shingle of a document shorter
   * than k words; null text generates nothing.
+  *
+  * `withPos = true` widens the output to (__sh, __pos, __len): the
+  * 1-based start position of the shingle in the document's token stream
+  * and the shingle's actual word count (< k only for the truncated
+  * short-doc shingle). Span-rewrite consumers
+  * ([[graft.operators.TextAnalysis.stripRepeatedSpans]]) need the
+  * positions to map an inventory hit back onto token indices; the
+  * narrow default stays byte-identical for every existing consumer.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, withPos: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(k >= 1, s"k must be >= 1, got $k")
@@ -51,7 +59,12 @@ case class WordShingles(child: Expression, k: Int)
   }
 
   override def elementSchema: StructType =
-    new StructType().add("__sh", StringType, nullable = false)
+    if (withPos)
+      new StructType()
+        .add("__sh", StringType, nullable = false)
+        .add("__pos", IntegerType, nullable = false)
+        .add("__len", IntegerType, nullable = false)
+    else new StructType().add("__sh", StringType, nullable = false)
 
   private val splitPattern = UTF8String.fromString("\\s+")
   private val space = UTF8String.fromString(" ")
@@ -68,7 +81,8 @@ case class WordShingles(child: Expression, k: Int)
       val m = math.min(k, n - i)
       val sl = new Array[UTF8String](m)
       System.arraycopy(words, i, sl, 0, m)
-      out(i) = InternalRow(UTF8String.concatWs(space, sl: _*))
+      val sh = UTF8String.concatWs(space, sl: _*)
+      out(i) = if (withPos) InternalRow(sh, i + 1, m) else InternalRow(sh)
       i += 1
     }
     out
@@ -84,4 +98,10 @@ object WordShingles {
   /** Column-API entry point: one row per word k-shingle of `text`. */
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  /** Positional variant: one row per shingle with its 1-based start
+    * token index and actual word count — (__sh, __pos, __len).
+    */
+  def wordShinglesWithPos(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k, withPos = true))
 }

@@ -391,6 +391,64 @@ object TextAnalysis {
       .select(col(idCol), col("span"), col("n_docs"))
   }
 
+  /** Exact-substring dedup REWRITE — the pass that actually removes the
+    * boilerplate [[repeatedSpans]] flags (dedup-train-data style: strip
+    * every k-token window that recurs in >= `minDocs` distinct documents,
+    * overlapping hits coalescing naturally because removal is by token
+    * position). Returns one row per input document:
+    * (idCol, n_tokens, n_removed, clean_text) with clean_text the
+    * surviving tokens rejoined in order ('' when everything was
+    * boilerplate; tokenization is the shared trim-lower-\s+ contract).
+    *
+    * Plan shape: the positional shingle generator emits (id, span, pos,
+    * len) in one compiled pass (no exchange); the inventory is the same
+    * single aggregation as [[repeatedSpans]]; hits are an equi-join on
+    * the span string (shuffle ∝ span occurrences — at real duplication
+    * rates the surviving inventory is tiny and broadcasts); hit windows
+    * explode into at most k (id, pos) removal rows each, so removal
+    * volume is bounded by k × repeated-window occurrences, never the
+    * corpus. The rebuild is one per-doc aggregation of (pos, word)
+    * structs — array_sort inside the agg, no corpus-wide window, and the
+    * per-doc array is bounded by document length exactly like chunking.
+    * At 100 TB: identical shapes, with the inventory join keyed on
+    * xxhash64(span) to keep the shuffle narrow.
+    */
+  def stripRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import graft.functions.WordShingles.wordShinglesWithPos
+    val base = df.where(col(textCol).isNotNull)
+    val posShingles = base.select(col(idCol),
+      wordShinglesWithPos(col(textCol), k))
+    val inventory = repeatedSpans(df, textCol, idCol, k, minDocs)
+      .select(col("span"))
+    // removed carries a RENAMED id: both sides of the anti-join descend
+    // from the same scan, and dataframe-reference disambiguation
+    // (tokens(idCol) === removed(idCol)) degenerates to a trivially-true
+    // self-equality there — the rename makes the join keys unambiguous
+    val removed = posShingles
+      .join(inventory, posShingles("__sh") === inventory("span"))
+      .select(col(idCol).as("__rid"),
+        explode(sequence(col("__pos"), col("__pos") + col("__len") - 1)).as("__rp"))
+      .distinct()
+    val tokens = base.select(col(idCol),
+        wordShinglesWithPos(col(textCol), 1))
+      .select(col(idCol), col("__sh").as("__w"), col("__pos"))
+    val kept = tokens.join(removed,
+      col(idCol) === col("__rid") && col("__pos") === col("__rp"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s("__w"))).as("clean_text"))
+    base.select(col(idCol),
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** CCNet-style BIGRAM language-model score: per-doc mean of
     * ln(c(w1,w2) / c(w1,·)) over the document's adjacent token pairs,
     * with both counts taken over the corpus's own bigram stream (so every

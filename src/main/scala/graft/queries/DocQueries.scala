@@ -939,6 +939,18 @@ object DocQueries {
       .orderBy("shard", "seq_idx")
   }
 
+  /** Exact-substring dedup rewrite (TextAnalysis.stripRepeatedSpans):
+    * every 8-token window recurring in ≥2 distinct documents is removed
+    * from every document carrying it, and the survivors are rejoined in
+    * token order — the pass that actually strips cross-document
+    * boilerplate, where q74 only inventories it. One row per document
+    * with before/removed token counts and the cleaned text.
+    */
+  def q122StripRepeated(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stripRepeatedSpans(Tables(spark, dir).documents, "text", "doc_id",
+        k = 8, minDocs = 2)
+      .orderBy("doc_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

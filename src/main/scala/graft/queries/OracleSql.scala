@@ -743,6 +743,57 @@ object OracleSql {
     "q83_curation" -> curationSql,
     "q84_incremental_curation" -> incrementalCurationSql,
 
+    // same tokenization + k=8 shingling as q74; removal is by token
+    // position (overlapping hits coalesce via DISTINCT positions), and
+    // the rebuild is an ordered string_agg — mirrors stripRepeatedSpans'
+    // struct-sort rebuild exactly
+    "q122_strip_repeated" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w) - 7, 1))) AS pos
+        |  FROM words),
+        |grams AS (
+        |  SELECT doc_id, pos, least(8, len(w) - pos + 1) AS m,
+        |         array_to_string(w[pos:pos+7], ' ') AS span
+        |  FROM sh),
+        |inv AS (SELECT span FROM grams GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos, g.m FROM grams g JOIN inv USING (span)),
+        |rem AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + m - 1)) AS p FROM hits)),
+        |toks AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM words),
+        |kept AS (SELECT t.doc_id, t.pos, t.word
+        |         FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.p
+        |         WHERE r.p IS NULL)
+        |SELECT w.doc_id,
+        |       CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |       CAST(len(w.w) - count(k.pos) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text
+        |FROM words w LEFT JOIN kept k USING (doc_id)
+        |GROUP BY w.doc_id, len(w.w)
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // symmetric-delete blocking replayed relationally: identity + every
+    // single-char deletion as variants, equi-join on the variant, exact
+    // levenshtein confirm — the same candidate set FuzzyJoin generates
+    "q123_fuzzy_name_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_name IS NOT NULL),
+        |dels AS (SELECT id, s, unnest(generate_series(1, length(s))) AS i FROM base),
+        |vars AS (
+        |  SELECT id, s, s AS var FROM base
+        |  UNION ALL
+        |  SELECT id, s, substr(s, 1, i - 1) || substr(s, i + 1) AS var FROM dels),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b
+        |  FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q85_inverted_index" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |              FROM documents)

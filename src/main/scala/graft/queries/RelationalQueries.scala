@@ -808,6 +808,18 @@ object RelationalQueries {
       .orderBy("change")
   }
 
+  /** Blocked fuzzy self-join (FuzzyJoin.editDistance1Join): all customer
+    * pairs whose names are within Levenshtein distance 1, found via
+    * symmetric-delete blocking — an equi-join on deletion variants,
+    * shuffle ∝ n × (len+1), never the n² pair scan — then confirmed with
+    * the exact edit distance. The entity-resolution gate of a record
+    * linkage pipeline.
+    */
+  def q123FuzzyNameJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistance1Join(
+        Tables(spark, dir).customer, "c_name", "c_custkey")
+      .orderBy("id_a", "id_b")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

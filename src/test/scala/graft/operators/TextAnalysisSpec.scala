@@ -432,4 +432,71 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("Generate"), s"explode survived the fusion:\n$plan")
     assert(!plan.contains("Exchange"), s"per-doc entropy must not shuffle:\n$plan")
   }
+
+  test("positional shingles: positions/lengths on normal, short and null docs") {
+    import graft.functions.WordShingles.wordShinglesWithPos
+    val d = Seq((1L, Option("a b c d")), (2L, Option("x y")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), wordShinglesWithPos(col("text"), 3))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(out === Set(
+      (1L, "a b c", 1, 3), (1L, "b c d", 2, 3), // full windows at 1-based starts
+      (2L, "x y", 1, 2)), // short doc: single truncated shingle, len < k
+      s"got $out")
+  }
+
+  test("stripRepeatedSpans removes cross-doc boilerplate, keeps unique text") {
+    // docs 1 and 2 share the 4-token header; doc 3 is untouched
+    val d = Seq(
+      (1L, "legal header boiler plate alpha beta"),
+      (2L, "legal header boiler plate gamma"),
+      (3L, "completely original content stands alone here")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripRepeatedSpans(d, "text", "doc_id", k = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 4L, "alpha beta")))
+    assert(out(2L) === ((5L, 4L, "gamma")))
+    assert(out(3L) === ((6L, 0L, "completely original content stands alone here")))
+  }
+
+  test("stripRepeatedSpans: overlapping hits coalesce; all-boilerplate doc stays as an empty row") {
+    // "a b c d e" in both docs: with k=3 the windows (a b c), (b c d),
+    // (c d e) all recur, covering positions 1..5 with overlaps — every
+    // token goes exactly once
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "x a b c d e y")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripRepeatedSpans(d, "text", "doc_id", k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((5L, "")), "fully-boilerplate doc must remain as an empty-text row")
+    assert(out(2L) === ((5L, "")))
+    assert(out(3L) === ((5L, "x y")), "unique flank tokens survive around the stripped middle")
+  }
+
+  test("stripRepeatedSpans matches a brute-force reference and is partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 120)
+    val k = 5
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    // brute force: inventory of k-windows in >=2 docs, then positional strip
+    val windows = rows.toSeq.flatMap { case (id, w) =>
+      val last = math.max(w.length - k + 1, 1)
+      (1 to last).map(p => (id, p, w.slice(p - 1, math.min(p - 1 + k, w.length))))
+    }
+    val inv = windows.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = rows.map { case (id, w) =>
+      val rem = windows.filter(t => t._1 == id && inv(t._3))
+        .flatMap(t => t._2 until math.min(t._2 + k, w.length + 1)).toSet
+      val keptW = w.zipWithIndex.collect { case (word, i) if !rem(i + 1) => word }
+      id -> ((w.length.toLong, (w.length - keptW.length).toLong, keptW.mkString(" ")))
+    }
+    val run1 = TextAnalysis.stripRepeatedSpans(docs, "text", "doc_id", k, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(run1 === expected)
+    val run2 = TextAnalysis.stripRepeatedSpans(docs.repartition(7, col("text")),
+        "text", "doc_id", k, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(run2 === expected, "result must not depend on input partitioning")
+  }
 }
