@@ -24,6 +24,19 @@ import graft.operators.Bpe
   *
   * 3. The q121 BPE→vocab→pack chain timed end to end at sf0.1.
   *
+  * 4. Exact-substring strip at corpus scale — 200k documents, half
+  *    carrying a known 8-token boilerplate header ahead of unique
+  *    md5-derived tails: the strip must remove EXACTLY the 8 header
+  *    tokens from every carrier (boundary windows that mix header and
+  *    unique tail never recur, so they must survive), leave clean docs
+  *    untouched, and checksum-match under repartitioning.
+  *
+  * 5. Fuzzy join at key-space scale — 510k strings (500k md5 keys +
+  *    10k planted single-substitution mutants): the symmetric-delete
+  *    blocking must recover EXACTLY the planted pairs (md5 hex keys
+  *    admit no accidental distance-1 neighbors at this density) through
+  *    a ~17M-variant equi-join, never a pair scan.
+  *
   * Run: `sbt "runMain graft.ScaleProofR7 /root/testdata/sf0.1 SCALEPROOF_r7.json"`
   */
 object ScaleProofR7 {
@@ -100,6 +113,61 @@ object ScaleProofR7 {
     val q121Sec = secs(t3)
     val q121Rows = graft.queries.DocQueries.q121BpePackedSequences(spark, sfDir).count()
 
+    // ---- 4. stripRepeatedSpans: 200k docs, half with a known header ---
+    val header = "legal boiler plate header shared across many documents" // 8 tokens
+    val nDocs = 200000L
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat(
+          when(col("id") % 2 === 0, lit(header + " ")).otherwise(lit("")),
+          // the FIRST tail token embeds the doc id verbatim: an 8-hex-char
+          // first word birthday-collides at 100k docs (16^8 ≈ 4.3e9,
+          // ~1 expected pair), which makes a header+tail boundary window
+          // genuinely recur and the strip correctly widen past 8 tokens —
+          // the proof needs boundary windows that provably NEVER recur
+          col("id").cast("string"), lit("u "),
+          // then a unique 8-word tail from two md5s split into 8-char words
+          regexp_replace(concat(md5(col("id").cast("string")),
+            md5(concat(lit("s"), col("id").cast("string")))), "(.{8})", "$1 "))
+          .as("text"))
+      .localCheckpoint(true)
+    val t4 = System.nanoTime()
+    val stripped = graft.operators.TextAnalysis
+      .stripRepeatedSpans(corpus, "text", "doc_id", k = 8, minDocs = 2)
+      .localCheckpoint(true)
+    val stripSec = secs(t4)
+    val stripAgg = stripped.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id") % 2 === 0 && col("n_removed") === 8, 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 2 =!= 0 && col("n_removed") === 0, 1L).otherwise(0L))).head
+    val (stripN, evenOk, oddOk) = (stripAgg.getLong(0), stripAgg.getLong(1), stripAgg.getLong(2))
+    def stripChecksum(df: DataFrame): Long =
+      df.agg(sum(xxhash64(col("doc_id"), col("n_removed"), col("clean_text")))).head.getLong(0)
+    val stripInv = stripChecksum(stripped) ==
+      stripChecksum(graft.operators.TextAnalysis.stripRepeatedSpans(
+        corpus.repartition(97), "text", "doc_id", k = 8, minDocs = 2))
+    val stripOk = stripN == nDocs && evenOk == nDocs / 2 && oddOk == nDocs / 2 && stripInv
+
+    // ---- 5. fuzzy join: 500k md5 keys + 10k planted mutants -----------
+    val nKeys = 500000L
+    val bases = spark.range(nKeys)
+      .select(col("id"), md5(col("id").cast("string")).as("name"))
+    val mutants = spark.range(0, nKeys, 50) // 10k planted neighbors
+      .select((col("id") + 10000000L).as("id"),
+        // 'z' never occurs in md5 hex: distance to the base is exactly 1,
+        // and to every other key stays >1
+        concat(lit("z"), expr("substr(md5(cast(id as string)), 2)")).as("name"))
+    val keys = bases.unionByName(mutants).localCheckpoint(true)
+    val t5 = System.nanoTime()
+    val pairs = graft.operators.FuzzyJoin.editDistance1Join(keys, "name", "id")
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val fuzzySec = secs(t5)
+    val nPairs = pairs.count()
+    val planted = nKeys / 50
+    val plantedFound = pairs
+      .where(col("id_b") === col("id_a") + 10000000L && col("id_a") % 50 === 0).count()
+    val fuzzyOk = nPairs == planted && plantedFound == planted
+
     val json =
       s"""{"metric":"scaleproof_r7","sf_dir":"$sfDir",
          |"bpe_encode":{"distinct_words":$nWords,"merges":${merges.length},
@@ -107,12 +175,20 @@ object ScaleProofR7 {
          |"checksum_invariant_under_repartition":${sumA == sumB},"ok":$bpeOk},
          |"manifest_warehouse":{"reads_during_commits":${obs.length},
          |"torn_reads":$torn,"parallel_tables_ok":$parallelOk,"ok":$whOk},
-         |"q121_chain":{"wall_sec":${f"$q121Sec%.1f"},"sequences":$q121Rows}}"""
+         |"q121_chain":{"wall_sec":${f"$q121Sec%.1f"},"sequences":$q121Rows},
+         |"strip_repeated":{"docs":$nDocs,"wall_sec":${f"$stripSec%.1f"},
+         |"carriers_stripped_exactly":$evenOk,"clean_docs_untouched":$oddOk,
+         |"checksum_invariant_under_repartition":$stripInv,"ok":$stripOk},
+         |"fuzzy_join":{"keys":${nKeys + planted},"planted_pairs":$planted,
+         |"wall_sec":${f"$fuzzySec%.1f"},"pairs_found":$nPairs,
+         |"planted_found":$plantedFound,"ok":$fuzzyOk}}"""
         .stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     require(bpeOk, "BPE encode failed losslessness or partitioning invariance at scale")
     require(whOk, s"ManifestWarehouse observed $torn torn reads")
+    require(stripOk, s"stripRepeatedSpans scale proof failed: n=$stripN even=$evenOk odd=$oddOk inv=$stripInv")
+    require(fuzzyOk, s"fuzzy join scale proof failed: pairs=$nPairs planted_found=$plantedFound of $planted")
     Sessions.release(spark, owned)
   }
 }
