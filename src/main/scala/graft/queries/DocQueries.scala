@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -949,6 +949,37 @@ object DocQueries {
   def q122StripRepeated(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.stripRepeatedSpans(Tables(spark, dir).documents, "text", "doc_id",
         k = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** q124/q125's engineered features — deterministic scalars both engines
+    * compute identically (integer-sourced doubles through IEEE division).
+    */
+  private def logregFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "x_chars" -> (col("n_chars").cast("double") / lit(1000.0)),
+    "x_tokens" -> (size(split(trim(lower(col("text"))), "\\s+")).cast("double") / lit(100.0)))
+
+  private def logregLabel = when(col("lang") === "en", 1.0).otherwise(0.0)
+
+  /** Quality-classifier training (LogReg.fit): 3 batch-GD iterations of
+    * logistic regression, lang='en' as the label over length/token-rate
+    * features — each iteration one map-side-combinable gradient
+    * aggregation + a d+1-scalar collect. The fitted weights are the
+    * oracle surface: DuckDB replays the entire training unrolled and must
+    * land on the same 9-decimal weights.
+    */
+  def q124LogregFit(spark: SparkSession, dir: String): DataFrame =
+    LogReg.fit(Tables(spark, dir).documents.where(col("text").isNotNull),
+        logregFeatures, logregLabel)
+      .orderBy("feature")
+
+  /** Quality scoring with the fitted model (LogReg.scoreAll): the trained
+    * weights ride into a pure scan→project pass as literals — no join —
+    * and every document gets its 6-decimal probability, the band a
+    * curation gate thresholds on.
+    */
+  def q125LogregScore(spark: SparkSession, dir: String): DataFrame =
+    LogReg.scoreAll(Tables(spark, dir).documents.where(col("text").isNotNull),
+        "doc_id", logregFeatures, logregLabel)
       .orderBy("doc_id")
 
   /** Multimodal metadata projection over binary payloads: byte length +

@@ -67,6 +67,44 @@ object OracleSql {
 
   private val minhashCandCtes: String = minhashCandCtesFrom("documents")
 
+  /** q124/q125: the logistic-regression TRAINING unrolled — one (gradient,
+    * weight-update) CTE pair per GD iteration, generated so the SQL
+    * cannot drift from the iteration count. Arithmetic mirrors
+    * operators.LogReg exactly: left-associated z, per-row sigmoid rounded
+    * to 9 decimals before the gradient (absorbs libm exp ulp skew),
+    * DECIMAL(28,12) gradient sums, half-away-from-zero weight rounding.
+    */
+  private def logregCtes(iters: Int): String = {
+    val feats = Seq("bias", "x_chars", "x_tokens")
+    val base =
+      """lrbase AS (
+        |  SELECT doc_id, 1.0 AS bias,
+        |         CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS x_chars,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+        |           / CAST(100.0 AS DOUBLE) AS x_tokens,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      val w = (f: String) => if (k == 1) "0.0" else s"w_$f"
+      val z = s"${w("bias")} * bias + ${w("x_chars")} * x_chars + ${w("x_tokens")} * x_tokens"
+      val p = s"round(1.0 / (1.0 + exp(-($z))), 9)"
+      val joinPrev = if (k == 1) "" else s" CROSS JOIN w${k - 1}"
+      val gSel = feats.map(f =>
+        s"sum(CAST(($p - y) * $f AS DECIMAL(28,12))) AS g_$f").mkString(",\n         ")
+      val wSel = feats.map(f =>
+        s"round(${w(f)} - 0.5 * (CAST(g_$f AS DOUBLE) / n), 9) AS w_$f").mkString(",\n         ")
+      val wFrom = if (k == 1) s"g$k" else s"g$k CROSS JOIN w${k - 1}"
+      s"""g$k AS (
+         |  SELECT $gSel,
+         |         count(*) AS n
+         |  FROM lrbase$joinPrev),
+         |w$k AS (
+         |  SELECT $wSel
+         |  FROM $wFrom)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n")
+  }
+
   /** q118: LSH candidate QUALITY eval — precision/recall of the banded
     * minhash candidates against exact all-pairs 5-gram Jaccard ≥ 0.8
     * truth on a bounded subset (the bands×rows tuning measurement a
@@ -793,6 +831,23 @@ object OracleSql {
         |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q124_logreg_fit" ->
+      s"""WITH ${logregCtes(3)}
+         |SELECT 'bias' AS feature, w_bias AS weight FROM w3
+         |UNION ALL SELECT 'x_chars', w_x_chars FROM w3
+         |UNION ALL SELECT 'x_tokens', w_x_tokens FROM w3
+         |ORDER BY feature""".stripMargin,
+
+    // the fitted weights score every row through the same pinned sigmoid;
+    // Spark folds them in as literals, here they ride a 1-row cross join
+    "q125_logreg_score" ->
+      s"""WITH ${logregCtes(3)}
+         |SELECT doc_id, x_chars, x_tokens,
+         |       round(round(1.0 / (1.0 + exp(-(w_bias * bias + w_x_chars * x_chars
+         |         + w_x_tokens * x_tokens))), 9), 6) AS score
+         |FROM lrbase CROSS JOIN w3
+         |ORDER BY doc_id""".stripMargin,
 
     "q85_inverted_index" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
