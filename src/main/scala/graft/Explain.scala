@@ -11,7 +11,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -19,12 +19,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; have ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     fn(spark, sfDir).explain("formatted")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

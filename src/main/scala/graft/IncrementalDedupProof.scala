@@ -28,7 +28,7 @@ object IncrementalDedupProof {
     val replication = args.lift(1).map(_.toInt).getOrElse(10)
     val outPath = args.lift(2).getOrElse("INCPROOF_r3.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 4 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,8 +37,7 @@ object IncrementalDedupProof {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
-      .getOrCreate()
+      .config("spark.network.timeout", "600s"))
     spark.sparkContext.setLogLevel("WARN")
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
@@ -90,6 +89,6 @@ object IncrementalDedupProof {
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     require(diffs == 0, "incremental pairs disagree with restricted full pairs")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

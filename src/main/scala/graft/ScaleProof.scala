@@ -36,7 +36,7 @@ object ScaleProof {
     val replication = args.lift(1).map(_.toInt).getOrElse(100)
     val outPath = args.lift(2).getOrElse("SCALEPROOF_r3.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       // finer than the test default: the pair-unroll dedup pushes ~10^8
       // rows through hash aggregates, and fewer/larger per-task hash maps
@@ -52,8 +52,7 @@ object ScaleProof {
       // local[-mode] heartbeats share the driver JVM: a full-GC pause must
       // not get the only executor expired and the context torn down
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
-      .getOrCreate()
+      .config("spark.network.timeout", "600s"))
     spark.sparkContext.setLogLevel("WARN")
 
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
@@ -134,6 +133,6 @@ object ScaleProof {
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     require(equal, "distributed and driver components disagree")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

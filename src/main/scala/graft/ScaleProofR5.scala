@@ -44,7 +44,7 @@ object ScaleProofR5 {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("SCALEPROOF_r5.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 4 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,8 +53,7 @@ object ScaleProofR5 {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
-      .getOrCreate()
+      .config("spark.network.timeout", "600s"))
     spark.sparkContext.setLogLevel("WARN")
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
@@ -204,6 +203,6 @@ object ScaleProofR5 {
     require(diffExact, "snapshot diff missed planted churn")
     require(buckNoExchange, "bucketed snapshot diff planned an Exchange")
     require(buckEqual, "bucketed diff counts diverged from raw")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

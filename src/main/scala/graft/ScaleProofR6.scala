@@ -65,7 +65,7 @@ object ScaleProofR6 {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("SCALEPROOF_r6.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 4 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
@@ -74,8 +74,7 @@ object ScaleProofR6 {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
-      .getOrCreate()
+      .config("spark.network.timeout", "600s"))
     spark.sparkContext.setLogLevel("WARN")
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
@@ -372,6 +371,6 @@ object ScaleProofR6 {
     require(decOk, "decontamination families not exact under replication")
     require(idxDiff == 0, "incremental index merge diverged from full rebuild")
     require(bpeOk, "BPE merge sequence not invariant under replication")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

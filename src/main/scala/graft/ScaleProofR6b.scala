@@ -54,7 +54,7 @@ object ScaleProofR6b {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("SCALEPROOF_r6b.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 4 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,8 +63,7 @@ object ScaleProofR6b {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "600s")
-      .getOrCreate()
+      .config("spark.network.timeout", "600s"))
     spark.sparkContext.setLogLevel("WARN")
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
@@ -244,6 +243,6 @@ object ScaleProofR6b {
     require(reOk, "rank-eval replica metrics diverged")
     require(spInvariant && idPure, "split manifest not partition-invariant/id-pure")
     require(mdOk, "media decode markers wrong at scale")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

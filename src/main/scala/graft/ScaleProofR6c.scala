@@ -23,15 +23,14 @@ object ScaleProofR6c {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("SCALEPROOF_r6c.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val (spark, owned) = Sessions.acquire(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 4 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
     spark.sparkContext.setLogLevel("WARN")
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
@@ -76,6 +75,6 @@ object ScaleProofR6c {
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     require(ok, "PageRank per-copy ranks diverged under disjoint replication")
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

@@ -27,11 +27,10 @@ import graft.operators.TextAnalysis
   */
 object ShingleBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val (spark, owned) = Sessions.acquire(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.ansi.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
@@ -76,6 +75,6 @@ object ShingleBench {
     t("native WordShingles generator (the kernel)") {
       drain(TextAnalysis.explodedShingles(corpus, "text", "doc_id", k), "__sh")
     }
-    spark.stop()
+    Sessions.release(spark, owned)
   }
 }

@@ -48,13 +48,19 @@ object FuzzyJoin {
     // quadratically in run length (measured 3.6× on zero-padded customer
     // keys). Dedup is per (id, variant) — one bucket row per string per
     // distinct variant, the canonical SymSpell shape.
+    // distinct(), not dropDuplicates(id, var): a dropDuplicates would
+    // carry __s through a first(string) aggregate buffer, which forces
+    // SortAggregate (a sort per side); a full-row distinct keeps every
+    // column a GROUP key, plans as HashAggregate, and is the same set
+    // because __s is functionally dependent on __id
     val variants = identity.unionByName(deletions)
-      .dropDuplicates("__id", "__var")
+      .distinct()
       // join on the variant's 8-byte hash, not the string: the exchange
       // carries a fixed-width key instead of len-char text, and exactness
       // survives — equal variants hash equal (no true pair lost), and a
       // hash collision only ADDS a candidate the levenshtein confirm
-      // below removes
+      // below removes. Hashing AFTER the exact string distinct keeps the
+      // dedup collision-free
       .select(col("__id"), col("__s"), xxhash64(col("__var")).as("__vh"))
     val a = variants.select(col("__id").as("id_a"), col("__s").as("name_a"), col("__vh"))
     val b = variants.select(col("__id").as("id_b"), col("__s").as("name_b"), col("__vh"))
