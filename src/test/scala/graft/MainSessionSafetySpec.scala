@@ -46,4 +46,10 @@ class MainSessionSafetySpec extends SparkTestBase {
     graft.streaming.StreamMain.main(Array("/root/testdata/sf0.001"))
     assertSessionUsable("StreamMain.main")
   }
+
+  test("Explain.main twice leaves the host session usable") {
+    Explain.main(Array("q01_scalar_agg"))
+    Explain.main(Array("q15_case_bucket"))
+    assertSessionUsable("Explain.main")
+  }
 }
