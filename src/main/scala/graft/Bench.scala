@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...},"spread":{...}}.
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  * Writes the FULL record {"metric":...,"queries":{...},"spread":{...},
+  * "recheck":{...}} to BENCH_local.json (override: SPARK_GRAFT_BENCH_OUT)
+  * and prints ONE compact JSON line (metric/value/unit/queries/sf) as the
+  * LAST stdout line — after session release — so a driver that tails
+  * stdout always finds an intact parseable line.
   * Each query runs 3 times; the per-query number (and the headline total)
   * is the MEDIAN, so one GC/contention outlier cannot distort the record
   * (the round-2 driver bench mis-read three queries by 10× that way), and
@@ -70,6 +74,11 @@ object Bench {
       val runs = (1 to nRuns).map { _ =>
         try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       }.sorted
+      // cache hygiene: queries that persist internally (BPE's word table,
+      // encodeTokens' posexplode, LogReg's feature projection) never
+      // unpersist — without this, a 125-query sweep accumulates every
+      // intermediate in the storage layer and pollutes late-run timings
+      spark.catalog.clearCache()
       val failed = runs.contains(-1.0)
       // LOWER median for even run counts: SPARK_GRAFT_RUNS=2 then reports
       // the faster run (the old min-of-2 behavior), not the slower
@@ -113,6 +122,7 @@ object Bench {
       val iso = (1 to nRuns).map { _ =>
         try time(sink(selected(name)(spark, sfDir))) catch { case _: Throwable => -1.0 }
       }.filter(_ >= 0)
+      spark.catalog.clearCache()
       val isoMin = if (iso.isEmpty) -1.0 else iso.min
       val b = baseline.getOrElse(name, -1.0)
       val verdict =
@@ -121,7 +131,18 @@ object Bench {
       "\"" + name +
         s"""":{"baseline":$b,"med":$med,"isolated_min":$isoMin,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"sf":"$sfDir"}""")
+    // Two output surfaces (round-7 driver artifact lesson: BENCH_r07.json
+    // captured only a truncated text tail of stdout, so `parsed` came back
+    // null). The FULL record — spread + recheck, ~20KB at 125 queries —
+    // goes to a file; stdout gets ONE compact JSON line (the driver's
+    // documented contract shape: metric/value/unit/queries/sf) printed
+    // LAST, after the session is released, so no Spark shutdown logging
+    // can interleave into or follow the parseable line.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     Sessions.release(spark, owned)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"sf":"$sfDir"}""")
   }
 }

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * deletion away from each other — real key spaces (names, SKUs, URLs)
   * keep buckets tiny; a pathological all-same-string input degenerates
   * to its true pair count, which no algorithm avoids. For thresholds
-  * t >= 2 the same blocking composes (emit up-to-t deletions per side,
-  * n × C(len, t) variants) — at that volume, emit xxhash64(variant)
-  * instead of the variant string to keep the shuffle narrow.
+  * t >= 2 the same blocking composes — [[editDistanceKJoin]] emits up to
+  * t deletion levels per side (n × Σ C(len, d) variants, frontier
+  * distincted per level) and joins on xxhash64(variant) to keep the
+  * shuffle narrow.
   */
 object FuzzyJoin {
 
@@ -33,35 +34,68 @@ object FuzzyJoin {
     * distance 1, found via symmetric-delete blocking. Returns
     * (id_a, id_b, name_a, name_b, edit_dist). Null strings never match.
     */
-  def editDistance1Join(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+  def editDistance1Join(df: DataFrame, strCol: String, idCol: String): DataFrame =
+    editDistanceKJoin(df, strCol, idCol, 1)
+
+  /** The threshold-t generalization: all (id_a < id_b) pairs within
+    * Levenshtein distance `t`, via t levels of symmetric-delete blocking.
+    *
+    * Candidate completeness for any t: take an optimal alignment of a
+    * pair (a, b) with i insertions, d deletions, s substitutions,
+    * i + d + s = lev(a, b) <= t. Deleting from `a` its d deleted and s
+    * substituted characters (d + s <= t deletions) and from `b` its i
+    * inserted and s substituted characters (i + s <= t deletions) leaves
+    * both sides equal to the matched-character subsequence — so every
+    * true pair shares at least one up-to-t-deletion variant, and the
+    * exact `levenshtein <= t` confirm removes everything the blocking
+    * over-admits. (Spec-checked against a brute-force pair scan at t=2.)
+    *
+    * Volume: n × Σ_{d<=t} C(len, d) variant rows — the frontier is
+    * DISTINCTED per deletion level before expanding, so runs of repeated
+    * characters collapse before they can multiply (a run of r identical
+    * characters yields r identical deletions at EVERY level; expanding
+    * un-deduped would compound the blowup level over level — the measured
+    * 3.6× at t=1 squares at t=2). Cross-level duplicates per id are
+    * impossible (a level-d variant of a length-L string has length L−d),
+    * so no final distinct pass is needed. t is capped at 3: C(len, t)
+    * growth makes deeper thresholds the wrong algorithm (use the q32-style
+    * n-gram Jaccard prefilter instead).
+    */
+  def editDistanceKJoin(df: DataFrame, strCol: String, idCol: String, t: Int): DataFrame = {
+    require(t >= 1 && t <= 3, s"editDistanceKJoin supports 1 <= t <= 3, got $t")
     val base = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
     val identity = base.select(col("__id"), col("__s"), col("__s").as("__var"))
-    val deletions = base
-      .select(col("__id"), col("__s"),
-        explode(sequence(lit(1), length(col("__s")))).as("__i"))
-      .select(col("__id"), col("__s"),
-        concat(expr("substr(__s, 1, __i - 1)"), expr("substr(__s, __i + 1)")).as("__var"))
-    // distinct BEFORE the join: a run of r identical characters yields r
-    // IDENTICAL deletion variants, so without the dedup a true pair meets
-    // in its shared bucket up to r × r times and the join output grows
-    // quadratically in run length (measured 3.6× on zero-padded customer
-    // keys). Dedup is per (id, variant) — one bucket row per string per
-    // distinct variant, the canonical SymSpell shape.
-    // distinct(), not dropDuplicates(id, var): a dropDuplicates would
-    // carry __s through a first(string) aggregate buffer, which forces
-    // SortAggregate (a sort per side); a full-row distinct keeps every
-    // column a GROUP key, plans as HashAggregate, and is the same set
-    // because __s is functionally dependent on __id
-    val variants = identity.unionByName(deletions)
-      .distinct()
-      // join on the variant's 8-byte hash, not the string: the exchange
-      // carries a fixed-width key instead of len-char text, and exactness
-      // survives — equal variants hash equal (no true pair lost), and a
-      // hash collision only ADDS a candidate the levenshtein confirm
-      // below removes. Hashing AFTER the exact string distinct keeps the
-      // dedup collision-free
-      .select(col("__id"), col("__s"), xxhash64(col("__var")).as("__vh"))
+    var frontier = identity
+    var all = identity
+    var d = 0
+    while (d < t) {
+      // the length >= 1 guard matters: sequence(1, 0) defaults its step to
+      // -1 and yields [1, 0], so an empty variant would emit two spurious
+      // "" deletions (distinct() absorbed them, but only by accident)
+      frontier = frontier
+        .where(length(col("__var")) >= 1)
+        .select(col("__id"), col("__s"),
+          explode(sequence(lit(1), length(col("__var")))).as("__i"),
+          col("__var"))
+        .select(col("__id"), col("__s"),
+          concat(expr("substr(__var, 1, __i - 1)"), expr("substr(__var, __i + 1)")).as("__var"))
+        // distinct(), not dropDuplicates(id, var): a dropDuplicates would
+        // carry __s through a first(string) aggregate buffer, which forces
+        // SortAggregate (a sort per side); a full-row distinct keeps every
+        // column a GROUP key, plans as HashAggregate, and is the same set
+        // because __s is functionally dependent on __id
+        .distinct()
+      all = all.unionByName(frontier)
+      d += 1
+    }
+    // join on the variant's 8-byte hash, not the string: the exchange
+    // carries a fixed-width key instead of len-char text, and exactness
+    // survives — equal variants hash equal (no true pair lost), and a
+    // hash collision only ADDS a candidate the levenshtein confirm
+    // below removes. Hashing AFTER the exact string distinct keeps the
+    // dedup collision-free
+    val variants = all.select(col("__id"), col("__s"), xxhash64(col("__var")).as("__vh"))
     val a = variants.select(col("__id").as("id_a"), col("__s").as("name_a"), col("__vh"))
     val b = variants.select(col("__id").as("id_b"), col("__s").as("name_b"), col("__vh"))
     a.join(b, Seq("__vh"))
@@ -69,6 +103,6 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
       .distinct()
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .where(col("edit_dist") <= 1)
+      .where(col("edit_dist") <= t)
   }
 }

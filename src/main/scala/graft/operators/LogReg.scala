@@ -64,8 +64,14 @@ object LogReg {
       } :+ count(lit(1)).as("__n")
       val row = base.agg(aggs.head, aggs.tail: _*).head
       val n = row.getLong(feats.size)
+      require(n > 0, "LogReg.fit: training input has no rows after feature projection")
       w = w.zipWithIndex.map { case (wj, j) =>
-        val g = row.getDecimal(j).doubleValue
+        // a null sum here means either every feature value was null or the
+        // decimal(28,12) accumulator overflowed (ansi off nulls instead of
+        // throwing) — both are caller errors worth naming, not NPEs
+        val g = Option(row.getDecimal(j)).getOrElse(throw new IllegalArgumentException(
+          s"LogReg.fit: gradient sum for '${feats(j)._1}' is null — " +
+            "all-null feature values or decimal(28,12) overflow")).doubleValue
         roundHalfAway(wj - lr * (g / n), 9)
       }
       i += 1
@@ -74,17 +80,22 @@ object LogReg {
     (feats.map(_._1), w)
   }
 
-  /** Fit on `df`, then score EVERY row: (idCol, per-feature…, score) with
-    * score = the 6-decimal-rounded fitted probability. The scoring pass
-    * is a pure projection over the corpus — the fitted weights ride in as
-    * literals, so the plan after training is scan → project, no join.
+  /** Fit on `df`, then score EVERY row: (idCol, per-feature…, keep…,
+    * score) with score = the 6-decimal-rounded fitted probability. The
+    * scoring pass is a pure projection over the corpus — the fitted
+    * weights ride in as literals, so the plan after training is
+    * scan → project, no join. `keep` carries extra projected columns
+    * (e.g. the label, for a downstream [[ClassifierEval]] pass) through
+    * the scoring projection without affecting the fit.
     */
   def scoreAll(df: DataFrame, idCol: String, features: Seq[(String, Column)],
-               label: Column, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+               label: Column, iters: Int = 3, lr: Double = 0.5,
+               keep: Seq[(String, Column)] = Nil): DataFrame = {
     val (names, w) = fitWeights(df, features, label, iters, lr)
     val feats = ("bias", lit(1.0)) +: features
     val projected = df.select(
-      col(idCol) +: feats.map { case (n, c) => c.cast("double").as(n) }: _*)
+      col(idCol) +: (feats.map { case (n, c) => c.cast("double").as(n) } ++
+        keep.map { case (n, c) => c.as(n) }): _*)
     projected
       .withColumn("score", round(sigmoid9(names.zip(w.toSeq)), 6))
       .drop("bias")

@@ -395,7 +395,8 @@ object TextAnalysis {
     * boilerplate [[repeatedSpans]] flags (dedup-train-data style: strip
     * every k-token window that recurs in >= `minDocs` distinct documents,
     * overlapping hits coalescing naturally because removal is by token
-    * position). Returns one row per input document:
+    * position). Returns one row per document with non-null text (null-text
+    * rows are filtered out, matching [[repeatedSpans]]' implicit contract):
     * (idCol, n_tokens, n_removed, clean_text) with clean_text the
     * surviving tokens rejoined in order ('' when everything was
     * boilerplate; tokenization is the shared trim-lower-\s+ contract).

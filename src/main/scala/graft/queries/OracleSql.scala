@@ -832,6 +832,18 @@ object OracleSql {
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // threshold-2 oracle is the brute-force pair scan — completeness of
+    // the engine's two-level symmetric-delete blocking is exactly what a
+    // hash match against the exhaustive baseline proves
+    "q126_fuzzy_name_join_t2" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_name IS NOT NULL)
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+        |FROM base a JOIN base b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q124_logreg_fit" ->
       s"""WITH ${logregCtes(3)}
          |SELECT 'bias' AS feature, w_bias AS weight FROM w3

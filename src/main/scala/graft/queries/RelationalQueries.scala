@@ -820,6 +820,17 @@ object RelationalQueries {
         Tables(spark, dir).customer, "c_name", "c_custkey")
       .orderBy("id_a", "id_b")
 
+  /** The threshold-2 blocked fuzzy join (FuzzyJoin.editDistanceKJoin):
+    * two symmetric-delete levels, per-level distinct, xxhash64 variant
+    * keys, exact levenshtein <= 2 confirm. The oracle is the documented
+    * brute-force O(n²) pair scan (q25/q26/q32 doctrine: the exact
+    * baseline EXISTS as the oracle; the engine never runs it).
+    */
+  def q126FuzzyNameJoinT2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistanceKJoin(
+        Tables(spark, dir).customer, "c_name", "c_custkey", t = 2)
+      .orderBy("id_a", "id_b")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

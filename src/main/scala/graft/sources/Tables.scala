@@ -37,7 +37,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     val raw = table("events")
     raw.schema("ts").dataType match {
       case LongType           => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType   => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType   =>
+        // the NTZ→TIMESTAMP cast reinterprets the wall clock in the SESSION
+        // timezone — it is instant-preserving only under the engine's pinned
+        // UTC. Fail loudly rather than silently shift every instant if a
+        // session ever reaches here without the pin.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events: NTZ→TIMESTAMP cast requires spark.sql.session.timeZone=UTC " +
+            s"(got '${spark.conf.get("spark.sql.session.timeZone")}')")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                  => raw
     }
   }

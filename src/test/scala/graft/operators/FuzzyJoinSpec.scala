@@ -43,6 +43,46 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture must actually contain distance-1 pairs")
   }
 
+  test("editDistanceKJoin t=2 finds the two-edit pairs distance-1 blocking misses") {
+    val d = Seq(
+      (1L, "spark"),
+      (2L, "sparkle"),  // two insertions from spark
+      (3L, "stork"),    // two substitutions from spark
+      (4L, "spa"),      // two deletions from spark
+      (5L, "sparkles"), // distance 3 from spark — must NOT appear
+      (6L, "")          // empty string: distance <= 2 only from spa? no — lev("", "spa") = 3
+    ).toDF("id", "name")
+    val out = FuzzyJoin.editDistanceKJoin(d, "name", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out((1L, 2L)) === 2L)
+    assert(out((1L, 3L)) === 2L)
+    assert(out((1L, 4L)) === 2L)
+    assert(out((2L, 5L)) === 1L, "sparkle/sparkles is a true distance-1 pair")
+    assert(!out.contains((1L, 5L)), "spark/sparkles is distance 3 and must be absent")
+    assert(!out.keys.exists { case (a, b) => a == 6L || b == 6L },
+      "the empty string is > 2 edits from every fixture name")
+  }
+
+  test("editDistanceKJoin t=2 is EXACT: equals the brute-force pair scan") {
+    val names = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .where(col("c_custkey") < 200)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = FuzzyJoin.editDistanceKJoin(names, "name", "id", 2)
+      .select("id_a", "id_b", "edit_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = names.as("a").join(names.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(blocked === brute,
+      s"t=2 blocking must lose no true pair and admit no false one: " +
+        s"missing=${(brute.keySet -- blocked.keySet).take(5)} " +
+        s"extra=${(blocked.keySet -- brute.keySet).take(5)}")
+    assert(brute.values.exists(_ == 2L), "fixture must actually contain distance-2 pairs")
+  }
+
   test("editDistance1Join plans as equi-joins: no cartesian, no nested loop") {
     val names = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
