@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation — the measurement pass a quality-filter
+  * rollout runs after [[LogReg]] fits and scores (does the fitted gate
+  * actually rank good documents above bad ones, and what does the chosen
+  * threshold cost in precision/recall?).
+  *
+  * AUC comes from the rank-sum (Mann–Whitney) identity, NOT a pair join:
+  * AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the sum of positive ranks
+  * under ascending score with mid-rank tie handling. One corpus-wide
+  * aggregation groups rows by score; every rank quantity after that lives
+  * on the DISTINCT-SCORE table, so the O(P·N) pair semantics costs one
+  * shuffle ∝ corpus plus window/agg work ∝ distinct scores.
+  *
+  * Determinism (the LogReg doctrine): ranks are computed as INTEGERS —
+  * `rank2 = 2·(rows strictly below) + n + 1` is twice the mid-rank, so
+  * the rank-sum accumulates exactly in LONG arithmetic with no float
+  * order sensitivity, and the single final division is one IEEE op both
+  * engines round identically (then round(…, 9) for belt and braces).
+  *
+  * Scale: the one partition-less window runs over DISTINCT score values —
+  * for a 6-decimal-quantized probability that is ≤ 1,000,001 rows no
+  * matter the corpus size, a bounded single-partition sort by
+  * construction (callers feeding unquantized scores should round first;
+  * [[LogReg.scoreAll]]'s 6-decimal contract already does).
+  */
+object ClassifierEval {
+
+  /** One-row metrics frame over (`scoreCol`, `labelCol`):
+    * (auc, n_pos, n_neg, tp, fp, fn, tn, precision, recall) with the
+    * confusion matrix taken at `score >= threshold` and label positivity
+    * at `label > 0.5`. Ratio columns are null when undefined (no
+    * positives / no negatives / no predicted positives) rather than NaN —
+    * a missing measurement, not a zero one.
+    */
+  def binaryMetrics(df: DataFrame, scoreCol: String, labelCol: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).cast("double").as("__score"),
+        when(col(labelCol).cast("double") > 0.5, 1L).otherwise(0L).as("__pos"))
+      .groupBy("__score")
+      .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__np"))
+    // rows strictly below this score; twice-mid-rank stays integral
+    val w = Window.orderBy("__score").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("__rank2",
+      lit(2L) * coalesce(sum(col("__n")).over(w), lit(0L)) + col("__n") + lit(1L))
+    val totals = ranked.agg(
+      sum(col("__np")).as("p"),
+      sum(col("__n") - col("__np")).as("n"),
+      sum(col("__np") * col("__rank2")).as("rs2"),
+      sum(when(col("__score") >= threshold, col("__np")).otherwise(0L)).as("tp"),
+      sum(when(col("__score") >= threshold, col("__n") - col("__np")).otherwise(0L)).as("fp"))
+    totals.select(
+      round(when(col("p") > 0 && col("n") > 0,
+        (col("rs2") - col("p") * (col("p") + 1)).cast("double") /
+          (lit(2.0) * (col("p") * col("n")).cast("double"))), 9).as("auc"),
+      col("p").as("n_pos"),
+      col("n").as("n_neg"),
+      col("tp"),
+      col("fp"),
+      (col("p") - col("tp")).as("fn"),
+      (col("n") - col("fp")).as("tn"),
+      round(when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")), 9).as("precision"),
+      round(when(col("p") > 0,
+        col("tp").cast("double") / col("p").cast("double")), 9).as("recall"))
+  }
+}

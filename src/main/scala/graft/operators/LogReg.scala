@@ -80,6 +80,64 @@ object LogReg {
     (feats.map(_._1), w)
   }
 
+  /** Mini-batch / multi-epoch GD under the same determinism doctrine as
+    * [[fit]]: rows are assigned to `batches` DETERMINISTIC mini-batches by
+    * the md5 bucket of their id ([[Sampling.bucket]] % batches — a pure
+    * row function, so the batch split is identical on any engine and any
+    * partitioning; no shuffled shuffle-of-rows randomness to replay). An
+    * epoch is `batches` sequential steps, each ONE map-side-combinable
+    * filtered gradient aggregation over that batch's rows + a d+1-scalar
+    * collect; weights update with lr·g/n_b and round to 9 decimals, so
+    * the whole `epochs × batches`-step trajectory replays exactly in the
+    * DuckDB oracle. The projected base persists once — every step is a
+    * filter over the cached projection, never a re-read of the corpus.
+    */
+  def fitMiniBatch(df: DataFrame, idCol: String, features: Seq[(String, Column)],
+                   label: Column, epochs: Int = 2, batches: Int = 2,
+                   lr: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    val (names, w) = fitWeightsMiniBatch(df, idCol, features, label, epochs, batches, lr)
+    import spark.implicits._
+    names.zip(w).toDF("feature", "weight")
+  }
+
+  /** The driver-side mini-batch loop behind [[fitMiniBatch]]. */
+  def fitWeightsMiniBatch(df: DataFrame, idCol: String, features: Seq[(String, Column)],
+                          label: Column, epochs: Int, batches: Int,
+                          lr: Double): (Seq[String], Array[Double]) = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(batches >= 1 && batches <= Sampling.Buckets,
+      s"batches must be in [1, ${Sampling.Buckets}], got $batches")
+    val feats = ("bias", lit(1.0)) +: features
+    val base = df
+      .select(feats.map { case (n, c) => c.cast("double").as(n) } ++
+        Seq(label.cast("double").as("__y"),
+          (Sampling.bucket(col(idCol)) % batches).as("__b")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var w = Array.fill(feats.size)(0.0)
+    var step = 0
+    while (step < epochs * batches) {
+      val b = step % batches
+      val p = sigmoid9(feats.map(_._1).zip(w.toSeq))
+      val aggs = feats.map { case (n, _) =>
+        sum(((p - col("__y")) * col(n)).cast("decimal(28,12)")).as("g_" + n)
+      } :+ count(lit(1)).as("__n")
+      val row = base.where(col("__b") === b).agg(aggs.head, aggs.tail: _*).head
+      val n = row.getLong(feats.size)
+      require(n > 0,
+        s"LogReg.fitMiniBatch: batch $b of $batches is empty — fewer rows than batches?")
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val g = Option(row.getDecimal(j)).getOrElse(throw new IllegalArgumentException(
+          s"LogReg.fitMiniBatch: gradient sum for '${feats(j)._1}' is null — " +
+            "all-null feature values or decimal(28,12) overflow")).doubleValue
+        roundHalfAway(wj - lr * (g / n), 9)
+      }
+      step += 1
+    }
+    base.unpersist()
+    (feats.map(_._1), w)
+  }
+
   /** Fit on `df`, then score EVERY row: (idCol, per-feature…, keep…,
     * score) with score = the 6-decimal-rounded fitted probability. The
     * scoring pass is a pure projection over the corpus — the fitted

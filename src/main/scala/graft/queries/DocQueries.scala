@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -981,6 +981,30 @@ object DocQueries {
     LogReg.scoreAll(Tables(spark, dir).documents.where(col("text").isNotNull),
         "doc_id", logregFeatures, logregLabel)
       .orderBy("doc_id")
+
+  /** Mini-batch / 2-epoch training (LogReg.fitMiniBatch): 4 GD steps,
+    * each one filtered gradient aggregation over a DETERMINISTIC
+    * md5-bucket mini-batch — the oracle replays the whole 4-step weight
+    * trajectory, batch filters included, to the same 9-decimal weights.
+    */
+  def q128LogregMinibatch(spark: SparkSession, dir: String): DataFrame =
+    LogReg.fitMiniBatch(Tables(spark, dir).documents.where(col("text").isNotNull),
+        "doc_id", logregFeatures, logregLabel, epochs = 2, batches = 2)
+      .orderBy("feature")
+
+  /** Classifier evaluation (ClassifierEval.binaryMetrics) on q125's
+    * fitted scores: AUC via the integer rank-sum identity (no pair join —
+    * one group-by-score shuffle, the rest on the distinct-score table)
+    * plus the confusion matrix at threshold 0.5. The oracle replays
+    * training, scoring AND the rank arithmetic relationally.
+    */
+  def q127LogregEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LogReg.scoreAll(
+      Tables(spark, dir).documents.where(col("text").isNotNull),
+      "doc_id", logregFeatures, logregLabel,
+      keep = Seq("y" -> logregLabel))
+    ClassifierEval.binaryMetrics(scored, "score", "y", threshold = 0.5)
+  }
 
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media

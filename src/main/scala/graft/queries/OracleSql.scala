@@ -67,28 +67,37 @@ object OracleSql {
 
   private val minhashCandCtes: String = minhashCandCtesFrom("documents")
 
-  /** q124/q125: the logistic-regression TRAINING unrolled — one (gradient,
-    * weight-update) CTE pair per GD iteration, generated so the SQL
-    * cannot drift from the iteration count. Arithmetic mirrors
+  /** q124/q125/q127/q128: the logistic-regression TRAINING unrolled — one
+    * (gradient, weight-update) CTE pair per GD step, generated so the SQL
+    * cannot drift from the step count. Arithmetic mirrors
     * operators.LogReg exactly: left-associated z, per-row sigmoid rounded
     * to 9 decimals before the gradient (absorbs libm exp ulp skew),
     * DECIMAL(28,12) gradient sums, half-away-from-zero weight rounding.
+    * With `batches = Some(m)` the replay is MINI-BATCH GD: lrbase gains
+    * the md5-bucket batch id (Sampling.bucket % m, same pure row function
+    * the engine uses) and step k's gradient filters to batch (k−1) % m —
+    * `iters` then counts total steps (epochs × m).
     */
-  private def logregCtes(iters: Int): String = {
+  private def logregCtes(iters: Int, batches: Option[Int] = None): String = {
     val feats = Seq("bias", "x_chars", "x_tokens")
+    val batchCol = batches.map { m =>
+      ",\n         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)" +
+        s" % 10000) % $m AS b"
+    }.getOrElse("")
     val base =
-      """lrbase AS (
+      s"""lrbase AS (
         |  SELECT doc_id, 1.0 AS bias,
         |         CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS x_chars,
-        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+        |         CAST(len(string_split_regex(trim(lower(text)), '${"\\"}s+')) AS DOUBLE)
         |           / CAST(100.0 AS DOUBLE) AS x_tokens,
-        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y$batchCol
         |  FROM documents WHERE text IS NOT NULL)""".stripMargin
     val iterCtes = (1 to iters).map { k =>
       val w = (f: String) => if (k == 1) "0.0" else s"w_$f"
       val z = s"${w("bias")} * bias + ${w("x_chars")} * x_chars + ${w("x_tokens")} * x_tokens"
       val p = s"round(1.0 / (1.0 + exp(-($z))), 9)"
       val joinPrev = if (k == 1) "" else s" CROSS JOIN w${k - 1}"
+      val batchWhere = batches.map(m => s" WHERE b = ${(k - 1) % m}").getOrElse("")
       val gSel = feats.map(f =>
         s"sum(CAST(($p - y) * $f AS DECIMAL(28,12))) AS g_$f").mkString(",\n         ")
       val wSel = feats.map(f =>
@@ -97,7 +106,7 @@ object OracleSql {
       s"""g$k AS (
          |  SELECT $gSel,
          |         count(*) AS n
-         |  FROM lrbase$joinPrev),
+         |  FROM lrbase$joinPrev$batchWhere),
          |w$k AS (
          |  SELECT $wSel
          |  FROM $wFrom)""".stripMargin
@@ -831,6 +840,49 @@ object OracleSql {
         |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mini-batch GD replay: 2 epochs × 2 md5-bucket batches = 4 unrolled
+    // steps, each gradient CTE filtered to its deterministic batch
+    "q128_logreg_minibatch" ->
+      s"""WITH ${logregCtes(4, batches = Some(2))}
+         |SELECT 'bias' AS feature, w_bias AS weight FROM w4
+         |UNION ALL SELECT 'x_chars', w_x_chars FROM w4
+         |UNION ALL SELECT 'x_tokens', w_x_tokens FROM w4
+         |ORDER BY feature""".stripMargin,
+
+    // classifier eval: the oracle replays training, scoring AND the
+    // Mann–Whitney rank arithmetic — rank2 = 2·(rows strictly below) +
+    // n + 1 is twice the mid-rank, so the rank-sum is exact LONG
+    // arithmetic in both engines and only the final divisions are floats
+    "q127_logreg_eval" ->
+      s"""WITH ${logregCtes(3)},
+         |scored AS (
+         |  SELECT round(round(1.0 / (1.0 + exp(-(w_bias * bias + w_x_chars * x_chars
+         |           + w_x_tokens * x_tokens))), 9), 6) AS score,
+         |         CAST(y AS BIGINT) AS pos
+         |  FROM lrbase CROSS JOIN w3),
+         |byscore AS (
+         |  SELECT score, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+         |  FROM scored GROUP BY score),
+         |ranked AS (
+         |  SELECT score, n, np,
+         |         2 * coalesce(sum(n) OVER (ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS rank2
+         |  FROM byscore),
+         |tot AS (
+         |  SELECT sum(np) AS p, sum(n - np) AS nn, sum(np * rank2) AS rs2,
+         |         sum(CASE WHEN score >= 0.5 THEN np ELSE 0 END) AS tp,
+         |         sum(CASE WHEN score >= 0.5 THEN n - np ELSE 0 END) AS fp
+         |  FROM ranked)
+         |SELECT
+         |  round(CASE WHEN p > 0 AND nn > 0 THEN
+         |    CAST(rs2 - p * (p + 1) AS DOUBLE) / (2.0 * CAST(p * nn AS DOUBLE)) END, 9) AS auc,
+         |  p AS n_pos, nn AS n_neg, tp, fp, p - tp AS fn, nn - fp AS tn,
+         |  round(CASE WHEN tp + fp > 0 THEN
+         |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 9) AS precision,
+         |  round(CASE WHEN p > 0 THEN
+         |    CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END, 9) AS recall
+         |FROM tot""".stripMargin,
 
     // threshold-2 oracle is the brute-force pair scan — completeness of
     // the engine's two-level symmetric-delete blocking is exactly what a

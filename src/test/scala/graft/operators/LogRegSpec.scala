@@ -45,6 +45,34 @@ class LogRegSpec extends SparkTestBase {
     assert(a === b, "decimal-quantized gradients must not see partitioning")
   }
 
+  test("mini-batch fit converges on the separable fixture and stays deterministic") {
+    // ids spread across both md5 buckets; 4 epochs × 2 batches = 8 steps
+    val d = (0L to 19L).map { i =>
+      val x = if (i % 2 == 0) -(1.0 + i / 2.0) else 1.0 + i / 2.0
+      (i, x, if (x > 0) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+    def wOf(df: org.apache.spark.sql.DataFrame) =
+      LogReg.fitMiniBatch(df, "id", Seq("x" -> col("x")), col("y"),
+          epochs = 4, batches = 2)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = wOf(d)
+    assert(w("x") > 0, s"positive-x class must earn a positive weight, got ${w("x")}")
+    // determinism: batch assignment is a pure row function, so weights
+    // must survive an adversarial repartition byte-for-byte
+    assert(wOf(d.repartition(7, col("y"))) === w)
+  }
+
+  test("mini-batch with one batch and one epoch equals a full-batch GD step") {
+    val d = Seq((1L, 1.0, 1.0), (2L, 2.0, 0.0), (3L, 3.0, 1.0), (4L, 4.0, 0.0))
+      .toDF("id", "x", "y")
+    val full = LogReg.fit(d, Seq("x" -> col("x")), col("y"), iters = 2, lr = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mini = LogReg.fitMiniBatch(d, "id", Seq("x" -> col("x")), col("y"),
+        epochs = 2, batches = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mini === full, "batches=1 must degenerate to exactly full-batch GD")
+  }
+
   test("scoring is a pure projection: no join, no exchange after the fit") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(col("text").isNotNull)
