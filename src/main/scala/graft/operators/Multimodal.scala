@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   *     sample rate, duration, RMS, peak, zero-cross rate), binary PPM
   *     (P6) images (header + raster), PNG/JPEG through the JDK's own
   *     `javax.imageio` — real dimensions, channel means, luminance,
-  *     genuine nearest-neighbour resizes — and MP4 CONTAINER demux via
-  *     the ISO BMFF box walk (duration, dimensions, track count). No
-  *     fakes.
-  *   - STUB for video FRAME decode only (the codec payload inside mdat
-  *     needs H.264/H.265 decoders the JDK lacks): frame sampling emits
-  *     fake-but-stable features so the surrounding plumbing (schema,
-  *     batching, partitioning, joins) stays testable and is real; the
-  *     stub marks its feature rows with an explicit -1 marker plane.
+  *     genuine nearest-neighbour resizes — MP4 CONTAINER demux via the
+  *     ISO BMFF box walk (duration, dimensions, track count), and
+  *     Motion-JPEG video FRAME decode end-to-end (AVI RIFF demux →
+  *     per-frame JPEG decode → frame count, luma, temporal motion,
+  *     sampled thumbnails). No fakes.
+  *   - STUB only for H.264/H.265 FRAME decode (the codec payload inside
+  *     mdat — no decoder for those codecs exists in the JDK): byte-window
+  *     frame sampling emits fake-but-stable features so the surrounding
+  *     plumbing (schema, batching, partitioning, joins) stays testable
+  *     and is real; the stub marks its feature rows with an explicit -1
+  *     marker plane.
   * [[extractFeatures]] dispatches by mime type: decodable payloads get the
   * real kernel, everything else falls back to the stub; a malformed
   * payload of a decodable type yields the stub features too (quarantine
@@ -116,8 +119,8 @@ object Multimodal {
 
   /** REAL feature vector for a demuxed MP4 container: duration,
     * presentation dimensions, track count — container metadata from the
-    * actual box walk. Frame-content planes stay zero (frame decode needs
-    * codecs the JVM lacks).
+    * actual box walk. Frame-content planes stay zero (frame decode for
+    * H.264/H.265 payloads needs codecs the JVM lacks).
     */
   private[operators] def mp4Features(info: MediaCodecs.Mp4Info): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -126,6 +129,24 @@ object Multimodal {
     out(2) = info.width / 4096.0f
     out(3) = info.height / 4096.0f
     out(4) = info.nTracks.toFloat
+    out
+  }
+
+  /** REAL feature vector for a FRAME-DECODED Motion-JPEG video: frame
+    * count, fps, dimensions from the decoded rasters, mean luma across
+    * frames, and the temporal motion statistic (mean consecutive-frame
+    * luma delta) — none of which exist without actually decoding every
+    * frame.
+    */
+  private[operators] def mjpegFeatures(info: MediaCodecs.MjpegInfo): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    out(0) = 4.0f // decoded-for-real marker plane: video FRAMES
+    out(1) = info.nFrames / 1000.0f
+    out(2) = info.fps.toFloat / 60.0f
+    out(3) = info.width / 4096.0f
+    out(4) = info.height / 4096.0f
+    out(5) = (info.meanLuma / 255.0).toFloat
+    out(6) = (info.motion / 255.0).toFloat
     out
   }
 
@@ -153,6 +174,9 @@ object Multimodal {
               .getOrElse(stubDecodeFeatures(m.content))
           case "video/mp4" =>
             MediaCodecs.decodeMp4Meta(m.content).map(mp4Features)
+              .getOrElse(stubDecodeFeatures(m.content))
+          case "video/x-msvideo" =>
+            MediaCodecs.decodeAviMjpeg(m.content).map(mjpegFeatures)
               .getOrElse(stubDecodeFeatures(m.content))
           case _ => stubDecodeFeatures(m.content)
         }
@@ -208,9 +232,59 @@ object Multimodal {
     }
   }
 
-  /** STUB video frame sampling: emits every `everyNth` byte-window as a
-    * "frame" record. Real impl: demux + keyframe extraction. Preserves the
-    * one-to-many explode shape (flatMap inside partitions) of the real op.
+  /** REAL video frame sampling for Motion-JPEG assets: demux the AVI,
+    * decode every retained frame through the JPEG kernel, emit one row per
+    * sampled frame with its decoded statistics and a real nearest-
+    * neighbour THUMBNAIL (the frame resized and re-encoded as JPEG).
+    * Non-MJPEG and malformed payloads contribute no rows — quarantine is
+    * the [[extractFeatures]] marker's job; a frame table must only ever
+    * contain genuinely decoded frames. One-to-many flatMap inside
+    * partitions; per-asset fan-out is bounded by frame count / everyNth.
+    */
+  def sampleMjpegFrames(media: Dataset[MediaRecord], everyNth: Int,
+                        thumbW: Int = 16, thumbH: Int = 12): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { m =>
+      MediaCodecs.demuxAviMjpeg(m.content).toSeq.flatMap { case (_, frames) =>
+        frames.zipWithIndex.collect {
+          case (bytes, idx) if idx % everyNth == 0 =>
+            MediaCodecs.decodeCompressedImage(bytes).flatMap { info =>
+              MediaCodecs.resizeCompressedImage(bytes, thumbW, thumbH).map { thumb =>
+                (m.media_id, idx.toLong, info.width, info.height,
+                  math.rint(info.meanLuma * 1e6) / 1e6, hexDigest(bytes), thumb)
+              }
+            }
+        }.flatten
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "mean_luma",
+      "frame_digest", "thumbnail")
+  }
+
+  /** Oracle-checkable slice of the MJPEG frame decoder: one row per
+    * Motion-JPEG asset with the REALLY-demuxed-and-decoded frame count,
+    * raster dimensions and fps, plus a quarantine flag (undecodable
+    * assets surface as decoded=false with −1 stats rather than vanish —
+    * the manifest-accounting contract). Against [[mediaRealAssets]] the
+    * numbers are independently predictable from the synthesis formula,
+    * which is exactly what makes the real decode oracle-checkable.
+    */
+  def mjpegFrameStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.mime_type == "video/x-msvideo")
+      .map { m =>
+        MediaCodecs.decodeAviMjpeg(m.content) match {
+          case Some(i) => (m.media_id, true, i.nFrames.toLong, i.width.toLong, i.height.toLong, i.fps)
+          case None    => (m.media_id, false, -1L, -1L, -1L, -1.0)
+        }
+      }.toDF("media_id", "decoded", "n_frames", "width", "height", "fps")
+  }
+
+  /** STUB video frame sampling for codecs the JVM cannot decode
+    * (H.264/H.265): emits every `everyNth` byte-window as a "frame"
+    * record. MJPEG assets get the REAL [[sampleMjpegFrames]] path.
+    * Preserves the one-to-many explode shape (flatMap inside partitions)
+    * of the real op.
     */
   def sampleFrames(media: Dataset[MediaRecord], everyNth: Int, frameBytes: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
@@ -252,11 +326,12 @@ object Multimodal {
     * bytes — alternating uncompressed P6 PPM and compressed PNG, so both
     * the byte-arithmetic and the javax.imageio kernels decode well-formed
     * files at every scale factor — every "audio" row a real PCM WAV sine
-    * tone seeded from the doc id, and every "video" row a real minimal
-    * ISO BMFF tree (ftyp + moov) whose mvhd/tkhd the container demux
-    * genuinely parses (frame payloads would need an encoder; none are
-    * written, and frame sampling stays a stub). Runs the synthesis in
-    * mapPartitions (same shape as decode).
+    * tone seeded from the doc id, and every "video" row alternating a
+    * real Motion-JPEG AVI (3 + id % 5 genuinely JPEG-encoded frames the
+    * frame decoder reads back END-TO-END) and a real minimal ISO BMFF
+    * tree (ftyp + moov) whose mvhd/tkhd the container demux parses —
+    * the H.264-shaped case where container metadata is the honest
+    * ceiling. Runs the synthesis in mapPartitions (same shape as decode).
     */
   def mediaRealAssets(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -281,10 +356,20 @@ object Multimodal {
               MediaRecord(id, "audio", MediaCodecs.syntheticWav(id, n, rate),
                 "audio/wav", None, None, Some(rate), Some(n * 1000L / rate))
             case _ =>
-              val (w, h) = (64, 48)
-              MediaRecord(id, "video",
-                MediaCodecs.syntheticMp4(nChars * 10, w, h), "video/mp4",
-                Some(w), Some(h), None, Some(nChars * 10))
+              if ((id / 3) % 2 == 0) {
+                val (w, h) = (32, 24)
+                val nFrames = (3 + id % 5).toInt
+                val fps = 10
+                MediaRecord(id, "video",
+                  MediaCodecs.syntheticAviMjpeg(text.getBytes("UTF-8"), w, h, nFrames, fps),
+                  "video/x-msvideo", Some(w), Some(h), None,
+                  Some(nFrames * 1000L / fps))
+              } else {
+                val (w, h) = (64, 48)
+                MediaRecord(id, "video",
+                  MediaCodecs.syntheticMp4(nChars * 10, w, h), "video/mp4",
+                  Some(w), Some(h), None, Some(nChars * 10))
+              }
           }
         }
       }

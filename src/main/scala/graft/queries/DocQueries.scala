@@ -1006,6 +1006,18 @@ object DocQueries {
     ClassifierEval.binaryMetrics(scored, "score", "y", threshold = 0.5)
   }
 
+  /** REAL video frame decode (Multimodal.mjpegFrameStats): every
+    * Motion-JPEG asset in the real-asset corpus demuxes its AVI RIFF tree
+    * and JPEG-decodes every frame; the emitted frame count / dimensions /
+    * fps must equal what the synthesis planted — the oracle replays the
+    * plant formula, so a hash match proves the demux walked every '00dc'
+    * sample and the rasters decoded to their true geometry.
+    */
+  def q130MjpegFrameStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mjpegFrameStats(
+        Multimodal.mediaRealAssets(spark, Tables(spark, dir).documents))
+      .orderBy("media_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -841,6 +841,19 @@ object OracleSql {
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // the engine demuxes and JPEG-decodes real AVI bytes; the oracle
+    // replays the SYNTHESIS formula (3 + id % 5 frames at 32x24, 10 fps,
+    // assets on doc_id % 3 = 2 with even id/3) — a hash match proves the
+    // real decode recovered exactly what was planted
+    "q130_mjpeg_frame_stats" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |       CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+        |       CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+        |       10.0 AS fps
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0
+        |ORDER BY media_id""".stripMargin,
+
     // mini-batch GD replay: 2 epochs × 2 md5-bucket batches = 4 unrolled
     // steps, each gradient CTE filtered to its deterministic batch
     "q128_logreg_minibatch" ->

@@ -216,13 +216,27 @@ class MultimodalSpec extends SparkTestBase {
     // the corpus genuinely carries BOTH image containers
     val mimes = assets.filter(_.modality == "image").collect().map(_.mime_type).toSet
     assert(mimes === Set("image/x-portable-pixmap", "image/png"))
-    // video: the container demux is REAL (marker 3, mvhd duration,
-    // tkhd 64x48); only frame decode remains codec-less
+    // video rows alternate: MJPEG assets FRAME-decode for real (marker 4,
+    // 32x24 from the decoded rasters, genuine temporal motion); MP4
+    // assets get the real container demux (marker 3, tkhd 64x48) — the
+    // honest ceiling for JDK-undecodable codecs
+    val videoMime = assets.filter(_.modality == "video").collect()
+      .map(m => m.media_id -> m.mime_type).toMap
+    assert(videoMime.values.toSet === Set("video/x-msvideo", "video/mp4"),
+      "the corpus must carry both video containers")
     byModality("video").foreach { f =>
-      assert(f.feature(0) === 3.0f, "real MP4 container demux marker")
-      assert(math.abs(f.feature(2) - 64 / 4096.0f) < 1e-6)
-      assert(math.abs(f.feature(3) - 48 / 4096.0f) < 1e-6)
-      assert(f.feature(4) === 1.0f, "one track written, one parsed")
+      if (videoMime(f.media_id) == "video/x-msvideo") {
+        assert(f.feature(0) === 4.0f, "real MJPEG frame-decode marker")
+        assert(f.feature(1) === (3 + f.media_id % 5) / 1000.0f, "exact demuxed frame count")
+        assert(math.abs(f.feature(3) - 32 / 4096.0f) < 1e-6)
+        assert(math.abs(f.feature(4) - 24 / 4096.0f) < 1e-6)
+        assert(f.feature(6) > 0.0f, "consecutive frames differ: real temporal motion")
+      } else {
+        assert(f.feature(0) === 3.0f, "real MP4 container demux marker")
+        assert(math.abs(f.feature(2) - 64 / 4096.0f) < 1e-6)
+        assert(math.abs(f.feature(3) - 48 / 4096.0f) < 1e-6)
+        assert(f.feature(4) === 1.0f, "one track written, one parsed")
+      }
     }
     // real resize end-to-end: every image payload becomes a valid 8x6
     // raster in its own container
@@ -235,6 +249,76 @@ class MultimodalSpec extends SparkTestBase {
       assert(info.width === 8 && info.height === 6)
       assert(m.width === Some(8) && m.height === Some(6))
     }
+  }
+
+  test("MJPEG codec: encode/demux/decode roundtrip recovers exact frame count, dims, fps, motion") {
+    val avi = MediaCodecs.syntheticAviMjpeg("seedbytes".getBytes("UTF-8"), 32, 24,
+      nFrames = 5, fps = 10)
+    val info = MediaCodecs.decodeAviMjpeg(avi).get
+    assert(info.nFrames === 5, "every planted 00dc sample demuxes")
+    assert(info.width === 32 && info.height === 24,
+      "dimensions come from the DECODED rasters, not headers")
+    assert(info.fps === 10.0)
+    assert(info.motion > 0.0, "rotated-seed frames genuinely differ")
+    assert(info.meanLuma > 0.0 && info.meanLuma < 255.0)
+    // determinism: byte-identical synthesis, identical statistics
+    assert(MediaCodecs.decodeAviMjpeg(
+      MediaCodecs.syntheticAviMjpeg("seedbytes".getBytes("UTF-8"), 32, 24, 5, 10)).get === info)
+  }
+
+  test("MJPEG quarantine: truncation, hostile sizes, and corrupt frames all yield None") {
+    val avi = MediaCodecs.syntheticAviMjpeg("x".getBytes("UTF-8"), 16, 12, 3, 10)
+    // truncated mid-frame: the movi walk sees a chunk overrunning the buffer
+    assert(MediaCodecs.decodeAviMjpeg(java.util.Arrays.copyOf(avi, avi.length - 7)).isEmpty,
+      "truncated sample file must quarantine whole")
+    // hostile chunk size: plant 0xFFFFFFFF into the first movi chunk header
+    val hostile = avi.clone()
+    val moviAt = { // find '00dc'
+      var i = 12; while (!(hostile(i) == '0' && hostile(i + 1) == '0' &&
+        hostile(i + 2) == 'd' && hostile(i + 3) == 'c')) i += 1
+      i
+    }
+    hostile(moviAt + 4) = 0xff.toByte; hostile(moviAt + 5) = 0xff.toByte
+    hostile(moviAt + 6) = 0xff.toByte; hostile(moviAt + 7) = 0x7f.toByte
+    assert(MediaCodecs.decodeAviMjpeg(hostile).isEmpty,
+      "size field past the buffer must quarantine, not read out of bounds")
+    // corrupt frame payload: valid container, one sample not a JPEG
+    val badFrame = avi.clone()
+    badFrame(moviAt + 8) = 0 // JPEG magic FFD8FF destroyed
+    assert(MediaCodecs.decodeAviMjpeg(badFrame).isEmpty,
+      "an undecodable frame poisons the asset — never a shorter video")
+    // non-AVI bytes
+    assert(MediaCodecs.decodeAviMjpeg("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // zero-frame AVI (headers only, empty movi) is not a video
+    assert(MediaCodecs.demuxAviMjpeg(avi).get._2.size === 3)
+  }
+
+  test("MJPEG frame sampling: real decoded frames with real thumbnails, stride honored") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val assets = Multimodal.mediaRealAssets(spark, docs)
+    val frames = Multimodal.sampleMjpegFrames(assets, everyNth = 2).cache()
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    // only MJPEG assets contribute; every row is a genuinely decoded frame
+    val mjpegIds = assets.collect()
+      .filter(m => m.modality == "video" && m.mime_type == "video/x-msvideo")
+      .map(m => m.media_id -> (3 + m.media_id % 5).toInt).toMap
+    val byId = rows.groupBy(_.getAs[Long]("media_id"))
+    assert(byId.keySet.subsetOf(mjpegIds.keySet), "mp4 rows must contribute no fake frames")
+    assert(byId.keySet === mjpegIds.keySet)
+    byId.foreach { case (id, rs) =>
+      val expected = (0 until mjpegIds(id)).count(_ % 2 == 0)
+      assert(rs.length === expected, s"stride: every 2nd of ${mjpegIds(id)} frames")
+      assert(rs.forall(_.getAs[Int]("width") === 32))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("frame_idx") % 2 === 0)
+        // the thumbnail is itself a real decodable 16x12 JPEG
+        val t = MediaCodecs.decodeCompressedImage(r.getAs[Array[Byte]]("thumbnail")).get
+        assert(t.width === 16 && t.height === 12)
+      }
+    }
+    frames.unpersist()
   }
 
   test("frame sampling explodes video rows only") {
