@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.operators.{Curriculum, Dedup, Sampling, Sharding, TextAnalysis}
+import graft.operators.{Curriculum, Dedup, Multimodal, Sampling, Sharding, TextAnalysis}
 
 /** End-to-end curation CLI — the product surface of the LLM-data half of
   * the engine, the way [[graft.etl.SriMain]] is for the star-schema ETL
@@ -26,7 +26,13 @@ import graft.operators.{Curriculum, Dedup, Sampling, Sharding, TextAnalysis}
   * end: rerunning over the same input writes byte-identical splits and
   * manifest counts (spec-asserted).
   *
-  * Usage: `runMain graft.CurateMain <docsParquetDir> <outDir> [numShards]`
+  * With a fourth argument the run also curates a MEDIA corpus: every
+  * asset decode-verifies through the real [[graft.operators.Multimodal]]
+  * kernels, undecodable payloads quarantine as `dropped_undecodable` in
+  * the same manifest, and the genuinely-decoded feature rows land in
+  * `outDir/media_features`.
+  *
+  * Usage: `runMain graft.CurateMain <docsParquetDir> <outDir> [numShards] [mediaParquetDir]`
   */
 object CurateMain {
 
@@ -84,10 +90,37 @@ object CurateMain {
     (sharded, counts)
   }
 
+  /** The media-bearing corpus path: decode-verify every asset through the
+    * REAL [[Multimodal.extractFeatures]] kernels and quarantine what does
+    * not decode. The stub marker plane (feature(0) == −1: no real kernel
+    * for the mime type, or a malformed payload of a decodable type) is
+    * exactly the decode-failure signal, so the curation gate turns it
+    * into an accounted `dropped_undecodable` manifest reason — the media
+    * kernels plugged into the product surface, with the same
+    * drops-are-accounted discipline as the text chain. Returns (kept
+    * feature rows — every one genuinely decoded — and the manifest
+    * counts).
+    */
+  def curateMedia(spark: SparkSession, media: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]):
+      (DataFrame, Map[String, Long]) = {
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nInput = feats.count()
+    val kept = feats.where(element_at(col("feature"), 1) =!= -1.0f)
+    val nKept = kept.count()
+    val counts = Map(
+      "media_input" -> nInput,
+      "media_kept" -> nKept,
+      "media_dropped_undecodable" -> (nInput - nKept))
+    (kept, counts)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CurateMain <docsParquetDir> <outDir> [numShards]")
+    require(args.length >= 2,
+      "usage: CurateMain <docsParquetDir> <outDir> [numShards] [mediaParquetDir]")
     val (docsPath, outDir) = (args(0), args(1))
     val numShards = args.lift(2).map(_.toInt).getOrElse(8)
+    val mediaPath = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     // Sessions.acquire, not bare getOrCreate: in a host JVM with a live
     // session (tests, embedders) getOrCreate JOINS it, and stopping a
@@ -103,13 +136,25 @@ object CurateMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(docsPath)
-    val (sharded, counts) = curate(spark, docs, numShards)
+    val (sharded, textCounts) = curate(spark, docs, numShards)
 
     // one directory per split, shard-partitioned, training-order sort key
     // in the data (phase, shuffle_key) — a consumer streams ORDER BY them
     sharded.write.mode("overwrite")
       .partitionBy("split", "shard")
       .parquet(s"$outDir/curated")
+
+    // optional media-bearing corpus: decode-verify + quarantine, kept
+    // feature rows land next to the curated text splits
+    val counts = mediaPath match {
+      case Some(path) =>
+        import spark.implicits._
+        val media = spark.read.parquet(path).as[Multimodal.MediaRecord]
+        val (keptFeats, mediaCounts) = curateMedia(spark, media)
+        keptFeats.write.mode("overwrite").parquet(s"$outDir/media_features")
+        textCounts ++ mediaCounts
+      case None => textCounts
+    }
 
     val manifest = counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -77,6 +77,55 @@ class CurateMainSpec extends SparkTestBase {
     assert(manifest("input") === 500L)
   }
 
+  test("media path: decode failures quarantine as dropped_undecodable and the manifest balances") {
+    import spark.implicits._
+    import graft.operators.{MediaCodecs, Multimodal}
+    // mixed corpus: 30 genuinely decodable real assets + 3 planted
+    // undecodables (truncated AVI, garbage WAV, garbage PNG)
+    val good = Multimodal.mediaRealAssets(spark,
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30))
+    val truncatedAvi = {
+      val avi = MediaCodecs.syntheticAviMjpeg("x".getBytes("UTF-8"), 16, 12, 3, 10)
+      java.util.Arrays.copyOf(avi, avi.length - 9)
+    }
+    val bad = Seq(
+      Multimodal.MediaRecord(9001L, "video", truncatedAvi, "video/x-msvideo",
+        Some(16), Some(12), None, Some(300L)),
+      Multimodal.MediaRecord(9002L, "audio", "not audio at all".getBytes("UTF-8"),
+        "audio/wav", None, None, Some(16000), Some(1L)),
+      Multimodal.MediaRecord(9003L, "image", Array[Byte](1, 2, 3, 4), "image/png",
+        Some(8), Some(8), None, None)).toDS()
+    val mixed = good.union(bad)
+
+    val (kept, counts) = CurateMain.curateMedia(spark, mixed)
+    assert(counts("media_input") === 33L)
+    assert(counts("media_dropped_undecodable") === 3L,
+      s"exactly the planted corrupt assets quarantine: $counts")
+    assert(counts("media_kept") === 30L)
+    assert(counts("media_input") === counts("media_kept") + counts("media_dropped_undecodable"))
+    // every surviving row really decoded: marker plane is never the stub's
+    val keptRows = kept.collect()
+    assert(keptRows.length === 30)
+    keptRows.foreach { r =>
+      val marker = r.getAs[scala.collection.Seq[Float]]("feature").head
+      assert(Set(1.0f, 2.0f, 3.0f, 4.0f).contains(marker),
+        s"kept row ${r.getAs[Long]("media_id")} carries stub marker $marker")
+    }
+
+    // the CLI end-to-end: mixed corpus through main, manifest balances
+    val mediaDir = java.nio.file.Files.createTempDirectory("curate-media").toString
+    mixed.toDF().write.mode("overwrite").parquet(mediaDir)
+    val outDir = java.nio.file.Files.createTempDirectory("curate-out-m").toString
+    CurateMain.main(Array("/root/testdata/sf0.001/documents.parquet", outDir, "4", mediaDir))
+    assert(!spark.sparkContext.isStopped)
+    val manifest = ujsonish(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/manifest.json")))
+    assert(manifest("media_input") === 33L)
+    assert(manifest("media_dropped_undecodable") === 3L)
+    assert(manifest("media_kept") === 30L)
+    assert(spark.read.parquet(s"$outDir/media_features").count() === 30L)
+  }
+
   /** Minimal flat {"k":123,...} parser — no JSON library on the classpath. */
   private def ujsonish(s: String): Map[String, Long] =
     s.trim.stripPrefix("{").stripSuffix("}").split(",")
