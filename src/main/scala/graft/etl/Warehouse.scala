@@ -174,19 +174,37 @@ final case class ManifestWarehouse(
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
-  /** Delete every generation prefix except the committed one. Call only
-    * when no reader can still hold the older generations.
+  /** Retention-policy vacuum: delete generation prefixes numbered at or
+    * below `liveGen − keepLast`, so the newest `keepLast` generations
+    * (counting the live one) survive — `keepLast = 1` reclaims everything
+    * but the committed generation; `keepLast = 2` is the
+    * reader-may-still-stream-gen-N−1 policy (pick it to match the longest
+    * reader you allow, exactly like open-table-format vacuum horizons).
+    *
+    * Two prefixes are NEVER collectable regardless of policy: the live
+    * generation, and any prefix numbered ABOVE it — a higher-numbered
+    * prefix can be a concurrent writer's in-flight, not-yet-committed
+    * write, and deleting it mid-write would corrupt that commit. Orphans
+    * above live (crashed writers) therefore survive until a later commit
+    * passes their number; orphans below live collect by age like any
+    * other stale generation.
     */
-  def vacuum(name: String): Unit = currentManifest(name).foreach { case (_, live, _) =>
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(tableDir(name))
-    if (Files.isDirectory(dir)) {
-      val stale = Files.list(dir).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-") &&
-          p.getFileName.toString != live)
-        .toList
-      stale.foreach { p =>
-        Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.delete)
+  def vacuum(name: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    currentManifest(name).foreach { case (liveGen, _, _) =>
+      import scala.jdk.CollectionConverters._
+      val dir = Paths.get(tableDir(name))
+      if (Files.isDirectory(dir)) {
+        val stale = Files.list(dir).iterator().asScala
+          .filter { p =>
+            Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-") &&
+              p.getFileName.toString.stripPrefix("gen-").toLongOption
+                .exists(_ <= liveGen - keepLast)
+          }
+          .toList
+        stale.foreach { p =>
+          Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.delete)
+        }
       }
     }
   }

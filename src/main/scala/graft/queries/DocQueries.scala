@@ -803,6 +803,34 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** The SERVING composition q96 documents but never exercised:
+    * bm25TopKBatch (the stored-index batch scorer) → per-query slice →
+    * explicit `.limit(k)` re-bound → rrfFuse with the dense list. The
+    * slice-limit is rrfFuse's enforced bounded-input contract in action —
+    * the per-query row_number filter does not propagate a static maxRows
+    * bound, so the limit is what makes the fusion plan legal (and it is a
+    * runtime no-op: the slice already has ≤ 50 rows).
+    */
+  def q129HybridServing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val batch = Index.bm25TopKBatch(t.documents, "text", "doc_id",
+      Bm25BatchQueries.toDF("query_id", "term"), topK = 50)
+    val lex = batch.where(col("query_id") === 1)
+      .select(col("doc_id"), col("score")).limit(50)
+    val q = t.embeddings.where(col("vec_id") === 0)
+      .select(col("embedding").as("__qv"))
+    val dense = t.embeddings.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(50)
+    Index.rrfFuse(lex, dense, "doc_id", "score", "cos_sim", topK = 20)
+      .orderBy("doc_id")
+  }
+
   /** Character-entropy quality signal (TextAnalysis.charEntropy): the
     * [a-z] distribution entropy per document.
     */

@@ -841,6 +841,58 @@ object OracleSql {
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // batch-BM25 → slice → rrf fusion: the q99 index/scoring chain for
+    // query 1 top-50, fused with q96's dense list via the same rank
+    // arithmetic — the serving composition with the .limit(k) re-bound
+    "q129_hybrid_serving" ->
+      """WITH q AS (
+        |  SELECT CAST(v.query_id AS BIGINT) AS query_id, v.term
+        |  FROM (VALUES (1, 'spark'), (1, 'shuffle'), (1, 'join'),
+        |               (2, 'data'), (2, 'parquet'),
+        |               (3, 'the'), (3, 'of'), (3, 'and')) AS v(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+        |hits AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |              * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+        |            AS DECIMAL(28,9)) AS ts
+        |  FROM tf JOIN q USING (term) JOIN dft USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN c),
+        |scored AS (
+        |  SELECT query_id, doc_id, round(CAST(sum(ts) AS DOUBLE), 4) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, score FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored WHERE query_id = 1)
+        |  WHERE rn <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |dense AS (SELECT doc_id, cos_sim FROM (
+        |  SELECT vec_id AS doc_id,
+        |         list_dot_product(nv, qv) /
+        |           (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(qv, qv))) AS cos_sim
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv
+        |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN qv)
+        |  ORDER BY cos_sim DESC, doc_id LIMIT 50),
+        |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a FROM bm),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_b FROM dense),
+        |f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |             coalesce(rank_a, 0) AS rank_a, coalesce(rank_b, 0) AS rank_b,
+        |             round((CASE WHEN rank_a IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (rank_a + 60) ELSE 0.0 END)
+        |                 + (CASE WHEN rank_b IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (rank_b + 60) ELSE 0.0 END), 6) AS rrf
+        |      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+        |SELECT doc_id, rank_a, rank_b, rrf
+        |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+
     // the engine demuxes and JPEG-decodes real AVI bytes; the oracle
     // replays the SYNTHESIS formula (3 + id % 5 frames at 32x24, 10 fps,
     // assets on doc_id % 3 = 2 with even id/3) — a hash match proves the

@@ -63,6 +63,43 @@ class ManifestWarehouseSpec extends SparkTestBase {
     assert(wh.read("t").count() === 1L, "vacuum must not touch the live generation")
   }
 
+  test("vacuum retention: keepLast horizon holds for a lagging reader; in-flight prefixes survive") {
+    val root = tmp("mwh-vac")
+    val wh = ManifestWarehouse(spark, root)
+    (1 to 3).foreach(i => wh.write("t", Seq((i.toLong, s"v$i")).toDF("id", "tag")))
+    // a lagging reader resolves the CURRENT manifest (gen-3) and holds its
+    // plan while a newer generation commits under it
+    val lagging = wh.read("t")
+    wh.write("t", Seq((4L, "v4")).toDF("id", "tag"))
+    // an in-flight concurrent writer: a prefix ABOVE the live generation
+    // that has not reached its manifest flip yet
+    Seq((9L, "inflight")).toDF("id", "tag").write.parquet(s"$root/t/gen-000007")
+
+    // keepLast=2 keeps gen-3 (the lagging reader's) + live gen-4; gen-1/2
+    // collect; gen-7 must survive — it may be mid-write
+    wh.vacuum("t", keepLast = 2)
+    def gens() = new java.io.File(s"$root/t").listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens() === Seq("gen-000003", "gen-000004", "gen-000007"),
+      s"retention horizon 2 + in-flight protection, saw ${gens()}")
+    assert(lagging.select("tag").collect().map(_.getString(0)).toSeq === Seq("v3"),
+      "the lagging reader's generation must still be fully readable after vacuum")
+    assert(wh.read("t").select("tag").collect().map(_.getString(0)).toSeq === Seq("v4"))
+
+    // tightening to keepLast=1 reclaims the lagging generation but STILL
+    // never touches the in-flight prefix above live
+    wh.vacuum("t", keepLast = 1)
+    assert(gens() === Seq("gen-000004", "gen-000007"))
+    // the orphan stays protected until the live generation PASSES it:
+    // commits claim 5 and 6, then the claim loop skips the existing
+    // gen-7 prefix and commits 8 — only now is the orphan below live
+    // and collectable by a policy vacuum
+    (5 to 7).foreach(i => wh.write("t", Seq((i.toLong, s"v$i")).toDF("id", "tag")))
+    wh.vacuum("t", keepLast = 1)
+    assert(gens() === Seq("gen-000008"), s"orphan collected once below live, saw ${gens()}")
+    assert(wh.read("t").select("tag").collect().map(_.getString(0)).toSeq === Seq("v7"))
+  }
+
   test("SriPipeline runs unchanged against the manifest warehouse; golden counts hold") {
     val root = tmp("mwh-sri")
     val wh = ManifestWarehouse(spark, root,
