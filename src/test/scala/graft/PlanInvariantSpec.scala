@@ -33,7 +33,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q114_curriculum",      // 1-row quantile-fence table broadcast-crossed, as q88's bounds
     "q115_budget_select",   // 1-row fence table + nBuckets-row offsets broadcast-crossed, as q114
     "q118_dedup_eval",      // bounded all-pairs TRUTH baseline (the q26 shape) + 1-row metric cross joins
-    "q119_vocab_coverage"   // 1-row corpus-total broadcast-crossed into the coverage curve, as q58/q88's bounds
+    "q119_vocab_coverage",  // 1-row corpus-total broadcast-crossed into the coverage curve, as q58/q88's bounds
+    "q129_hybrid_serving"   // composes q99's constants cross join + q25's 1-row query-vector broadcast, as q96
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
