@@ -94,8 +94,14 @@ object FuzzyJoin {
     // survives — equal variants hash equal (no true pair lost), and a
     // hash collision only ADDS a candidate the levenshtein confirm
     // below removes. Hashing AFTER the exact string distinct keeps the
-    // dedup collision-free
+    // dedup collision-free.
+    // persist: BOTH self-join sides read this table — without the cache
+    // each side recomputes the whole t-level expansion and its distincts
+    // (the exchanges don't canonicalize equal across the a/b aliasing),
+    // doubling the dominant cost. Freed by the caller's cache hygiene
+    // (Bench clears between queries) or session end.
     val variants = all.select(col("__id"), col("__s"), xxhash64(col("__var")).as("__vh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = variants.select(col("__id").as("id_a"), col("__s").as("name_a"), col("__vh"))
     val b = variants.select(col("__id").as("id_b"), col("__s").as("name_b"), col("__vh"))
     a.join(b, Seq("__vh"))

@@ -954,7 +954,8 @@ object OracleSql {
     // hash match against the exhaustive baseline proves
     "q126_fuzzy_name_join_t2" ->
       """WITH base AS (
-        |  SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_name IS NOT NULL)
+        |  SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_name IS NOT NULL AND c_custkey < 2500)
         |SELECT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b,
         |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
         |FROM base a JOIN base b ON a.id < b.id

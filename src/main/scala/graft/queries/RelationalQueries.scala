@@ -824,11 +824,18 @@ object RelationalQueries {
     * two symmetric-delete levels, per-level distinct, xxhash64 variant
     * keys, exact levenshtein <= 2 confirm. The oracle is the documented
     * brute-force O(n²) pair scan (q25/q26/q32 doctrine: the exact
-    * baseline EXISTS as the oracle; the engine never runs it).
+    * baseline EXISTS as the oracle; the engine never runs it). Bounded
+    * to a fixed key subset (the q118 precedent): zero-padded sequential
+    * keys are symmetric-delete's documented pathological case — true-
+    * pair volume grows ~quadratically with key density, so an unbounded
+    * q126 would benchmark the dataset's duplication rate, not the
+    * operator; the realistic-key-space scale measurement is
+    * SCALEPROOF_r8's 61k-key planted-mutant run.
     */
   def q126FuzzyNameJoinT2(spark: SparkSession, dir: String): DataFrame =
     graft.operators.FuzzyJoin.editDistanceKJoin(
-        Tables(spark, dir).customer, "c_name", "c_custkey", t = 2)
+        Tables(spark, dir).customer.where(col("c_custkey") < 2500),
+        "c_name", "c_custkey", t = 2)
       .orderBy("id_a", "id_b")
 
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
