@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PCA by power iteration — the dominant-direction probe of an
+  * embedding corpus (what single axis carries the most variance, how much
+  * of the total it explains). LLM-data uses: embedding-drift detection
+  * between corpus snapshots, whitening diagnostics before cosine dedup
+  * (a corpus whose top component explains most of the variance cosines
+  * everything against everything), and cheap 1-D projections for
+  * curriculum/stratification.
+  *
+  * The scale shape is the [[LogReg]] gradient pattern, NOT a covariance
+  * materialization: C·v is computed as one scan with d map-side-combinable
+  * decimal sums — `y_j = Σ_i s_i·(x_ij − μ_j)` where `s_i = Σ_j v_j·(x_ij −
+  * μ_j)` is a per-row projection. Row state never shuffles, no d² explode
+  * ever happens (a covariance-matrix build is a d²-per-row blowup — 4096×
+  * write amplification at d=64), and each iteration collects exactly d
+  * scalars. 1000 executors see the same plan as local[32].
+  *
+  * Determinism / engine parity (the LogReg doctrine): all per-row
+  * arithmetic is IEEE add/multiply on identical doubles in a PINNED left-associated
+  * order (the l2Sq unroll precedent), cross-row accumulation quantizes to
+  * DECIMAL(28,9) (partition-order-invariant exact addition), and every
+  * driver-side update (means, normalized loadings) rounds to 9 decimals
+  * half-away-from-zero. sqrt and division are correctly-rounded IEEE ops
+  * both engines agree on — no transcendental enters the chain — so the
+  * DuckDB oracle replays the whole trajectory unrolled, hash-exact.
+  */
+object Pca {
+
+  /** Top principal component of `vecCol` (static width `dim`) after
+    * `iters` power iterations from the uniform unit start v0 = 1/√d:
+    * one row per dimension `(dim, mu, loading)` (1-based dim index,
+    * 9-decimal mean and unit-eigenvector coordinate) with the
+    * corpus-constant measurement columns `(explained_var,
+    * explained_ratio, n_vecs)` carried on every row.
+    *
+    * Runs AT CALL TIME (2 + iters Spark jobs — means, iterations, final
+    * variance split); the returned frame is a local literal, the fit/
+    * BPE-train contract.
+    */
+  def topComponent(df: DataFrame, vecCol: String, dim: Int,
+                   iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = df
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .where(size(col("__v")) === dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val mu = dimMeans(base, dim)
+    val v = iterate(base, mu, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)), dim, iters)
+
+    // one final pass splits the variance: projected onto v vs total —
+    // per-row s² and Σ_j c_j² are left-associated doubles, sums decimal
+    val sFin = sExpr(mu, v, dim).as("__s")
+    val totSq = (1 to dim).map { j => val c = centered(j, mu); c * c }.reduce(_ + _)
+    val row = base.select(sFin, totSq.as("__t"))
+      .agg(
+        sum((col("__s") * col("__s")).cast("decimal(28,9)")).as("vp"),
+        sum(col("__t").cast("decimal(28,9)")).as("vt"),
+        count(lit(1)).as("n"))
+      .head
+    val n = row.getLong(2)
+    val varProj = roundHalfAway(dec(row, 0, "projected-variance").doubleValue / n, 9)
+    val varTot = roundHalfAway(dec(row, 1, "total-variance").doubleValue / n, 9)
+    base.unpersist()
+
+    import spark.implicits._
+    (1 to dim).map(j => (j.toLong, mu(j - 1), v(j - 1)))
+      .toDF("dim", "mu", "loading")
+      .withColumn("explained_var", lit(varProj))
+      .withColumn("explained_ratio",
+        if (varTot > 0) lit(roundHalfAway(varProj / varTot, 9)) else lit(null).cast("double"))
+      .withColumn("n_vecs", lit(n))
+  }
+
+  /** First `nComponents` principal components by sequential deflation:
+    * after each fitted component the corpus projects to its orthogonal
+    * complement (`c' = c − s·v`, one narrow array rebuild — still no
+    * shuffle) and power iteration repeats on the residual. Returns
+    * `(component, dim, loading, explained_var)` rows; component 1 equals
+    * [[topComponent]]'s loadings exactly.
+    */
+  def principalComponents(df: DataFrame, vecCol: String, dim: Int,
+                          nComponents: Int, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    require(nComponents >= 1 && nComponents <= dim,
+      s"nComponents must be in [1, $dim], got $nComponents")
+    val raw = df
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .where(size(col("__v")) === dim)
+    val mu = dimMeans(raw.persist(StorageLevel.MEMORY_AND_DISK), dim)
+    // center once; every deflation round works on a zero-mean residual
+    var cur = raw
+      .select(array((1 to dim).map(j => centered(j, mu)): _*).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    raw.unpersist()
+    val zero = Array.fill(dim)(0.0)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    var c = 1
+    while (c <= nComponents) {
+      val v = iterate(cur, zero, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)), dim, iters)
+      val s = sExpr(zero, v, dim).as("__s")
+      val r = cur.select(s).agg(
+        sum((col("__s") * col("__s")).cast("decimal(28,9)")).as("vp"),
+        count(lit(1)).as("n")).head
+      val varProj = roundHalfAway(dec(r, 0, "projected-variance").doubleValue / r.getLong(1), 9)
+      (1 to dim).foreach(j => out += ((c.toLong, j.toLong, v(j - 1), varProj)))
+      if (c < nComponents) {
+        val next = cur
+          .select(col("__v"), sExpr(zero, v, dim).as("__s"))
+          .select(array((1 to dim).map(j =>
+            element_at(col("__v"), j) - col("__s") * lit(v(j - 1))): _*).as("__v"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent generation
+        cur.unpersist()
+        cur = next
+      }
+      c += 1
+    }
+    cur.unpersist()
+    import spark.implicits._
+    out.result().toDF("component", "dim", "loading", "explained_var")
+  }
+
+  /** Per-dimension 9-decimal means in ONE aggregation of d decimal sums —
+    * no posexplode, no shuffle beyond the scalar-row reduce.
+    */
+  private[operators] def dimMeans(base: DataFrame, dim: Int): Array[Double] = {
+    val aggs = (1 to dim).map(j =>
+      sum(element_at(col("__v"), j).cast("decimal(28,9)")).as(s"m_$j")) :+
+      count(lit(1)).as("__n")
+    val row = base.agg(aggs.head, aggs.tail: _*).head
+    val n = row.getLong(dim)
+    require(n > 0, "Pca: input has no rows of the declared width")
+    (0 until dim).map(j => roundHalfAway(dec(row, j, s"dim ${j + 1} mean").doubleValue / n, 9)).toArray
+  }
+
+  /** One power-iteration ladder: `iters` rounds of y = Σ s·c per dim
+    * (d decimal sums, one scan each), normalize, round to 9 decimals.
+    */
+  private def iterate(base: DataFrame, mu: Array[Double], v0: Array[Double],
+                      dim: Int, iters: Int): Array[Double] = {
+    var v = v0
+    var i = 0
+    while (i < iters) {
+      val projected = base.select(col("__v"), sExpr(mu, v, dim).as("__s"))
+      val aggs = (1 to dim).map(j =>
+        sum((col("__s") * centered(j, mu)).cast("decimal(28,9)")).as(s"y_$j")) :+
+        count(lit(1)).as("__n")
+      val row = projected.agg(aggs.head, aggs.tail: _*).head
+      val n = row.getLong(dim)
+      require(n > 0, "Pca: input has no rows of the declared width")
+      val yh = (0 until dim).map(j => dec(row, j, s"dim ${j + 1} power step").doubleValue / n)
+      val norm = math.sqrt(yh.map(x => x * x).reduceLeft(_ + _))
+      require(norm > 0,
+        "Pca: power iteration collapsed to the zero vector — constant input along v?")
+      v = yh.map(x => roundHalfAway(x / norm, 9)).toArray
+      i += 1
+    }
+    v
+  }
+
+  /** s = Σ_j v_j·(x_j − μ_j), left-associated, j ascending — the pinned
+    * per-row projection both engines replay bit for bit.
+    */
+  private def sExpr(mu: Array[Double], v: Array[Double], dim: Int): Column =
+    (1 to dim).map(j => lit(v(j - 1)) * centered(j, mu)).reduce(_ + _)
+
+  private def centered(j: Int, mu: Array[Double]): Column =
+    if (mu(j - 1) == 0.0) element_at(col("__v"), j)
+    else element_at(col("__v"), j) - lit(mu(j - 1))
+
+  private def dec(row: org.apache.spark.sql.Row, i: Int, what: String): java.math.BigDecimal =
+    Option(row.getDecimal(i)).getOrElse(throw new IllegalArgumentException(
+      s"Pca: decimal sum for $what is null — all-null values or decimal(28,9) overflow"))
+
+  private def roundHalfAway(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -1045,6 +1045,32 @@ object DocQueries {
     Multimodal.mjpegFrameStats(
         Multimodal.mediaRealAssets(spark, Tables(spark, dir).documents))
       .orderBy("media_id")
+
+  /** Distributed PCA top component (Pca.topComponent): 3 power iterations
+    * over the embedding corpus, each ONE scan with 64 map-side-combinable
+    * decimal sums (the LogReg gradient shape — no covariance matrix, no
+    * d² explode, row state never shuffles), plus the per-dim means and the
+    * final projected/total variance split. The oracle replays the entire
+    * trajectory unrolled — means, 3 normalize-round ladders, variance —
+    * and must land on the same 9-decimal loadings.
+    */
+  def q131PcaTopComponent(spark: SparkSession, dir: String): DataFrame =
+    Pca.topComponent(Tables(spark, dir).embeddings, "embedding", 64, iters = 3)
+      .orderBy("dim")
+
+  /** Deterministic JL random projection (RandomProjection.project):
+    * 64 → 16 dims through the plan-time ±1/√k Rademacher matrix — a pure
+    * scan→project pass (no exchange anywhere), the width reducer in front
+    * of shuffle-heavy ANN/clustering. The oracle recomputes every
+    * coefficient from the same md5 parity and replays the unrolled sums.
+    */
+  def q132RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val p = RandomProjection.project(
+      Tables(spark, dir).embeddings, "embedding", "vec_id", 64, 16)
+    p.select(col("vec_id") +:
+        (1 to 16).map(o => element_at(col("proj"), o).as(s"p$o")): _*)
+      .orderBy("vec_id")
+  }
 
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media

@@ -114,6 +114,82 @@ object OracleSql {
     (base +: iterCtes).mkString(",\n")
   }
 
+  /** q131: the PCA power-iteration trajectory unrolled — per-dim decimal
+    * means, `iters` (per-row projection → d decimal sums → IEEE normalize
+    * → 9-decimal round) ladders, final projected/total variance split.
+    * Generated per dimension so the SQL cannot drift from the width;
+    * arithmetic mirrors operators.Pca exactly: left-associated per-row
+    * sums in ascending-j order, DECIMAL(28,9) cross-row accumulation,
+    * round-half-away at every driver-side update. sqrt and division are
+    * correctly-rounded IEEE ops — no transcendental anywhere — so the
+    * replay is bit-exact.
+    */
+  private def pcaSql(dim: Int, iters: Int): String = {
+    val ds = 1 to dim
+    def vj(k: Int, j: Int) =
+      if (k == 0) s"(1.0/sqrt(CAST($dim AS DOUBLE)))" else s"v$j"
+    val base =
+      s"pbase AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE len(embedding) = $dim)"
+    val mus = "mus AS (SELECT\n  " + ds.map(j =>
+      s"round(CAST(sum(CAST(v[$j] AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS m$j")
+      .mkString(",\n  ") + "\n  FROM pbase)"
+    val iterCtes = (1 to iters).map { k =>
+      val prev = if (k == 1) "" else s" CROSS JOIN w${k - 1}"
+      val sTerms = ds.map(j => s"${vj(k - 1, j)} * (v[$j] - m$j)").mkString(" + ")
+      val yTerms = ds.map(j =>
+        s"sum(CAST(s * (v[$j] - m$j) AS DECIMAL(28,9))) AS y$j").mkString(",\n  ")
+      val hTerms = ds.map(j => s"CAST(y$j AS DOUBLE)/n AS h$j").mkString(", ")
+      val nrm = ds.map(j => s"h$j*h$j").mkString(" + ")
+      val wTerms = ds.map(j => s"round(h$j/nrm, 9) AS v$j").mkString(", ")
+      s"""s$k AS (SELECT v, $sTerms AS s FROM pbase CROSS JOIN mus$prev),
+         |y$k AS (SELECT
+         |  $yTerms,
+         |  count(*) AS n FROM s$k CROSS JOIN mus),
+         |h$k AS (SELECT $hTerms FROM y$k),
+         |n$k AS (SELECT *, sqrt($nrm) AS nrm FROM h$k),
+         |w$k AS (SELECT $wTerms FROM n$k)""".stripMargin
+    }
+    val sFin = ds.map(j => s"v$j * (v[$j] - m$j)").mkString(" + ")
+    val tFin = ds.map(j => s"(v[$j] - m$j)*(v[$j] - m$j)").mkString(" + ")
+    val fin =
+      s"""fin AS (SELECT $sFin AS s, $tFin AS t FROM pbase CROSS JOIN mus CROSS JOIN w$iters),
+         |vr AS (SELECT
+         |  round(CAST(sum(CAST(s*s AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS explained_var,
+         |  round(CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS vt,
+         |  count(*) AS n_vecs FROM fin),
+         |sel AS (
+         |  ${ds.map(j =>
+             s"SELECT $j AS d, m$j AS muv, v$j AS loading FROM mus CROSS JOIN w$iters")
+             .mkString("\n  UNION ALL ")})""".stripMargin
+    s"""WITH $base,
+       |$mus,
+       |${iterCtes.mkString(",\n")},
+       |$fin
+       |SELECT CAST(d AS BIGINT) AS dim, muv AS mu, loading, explained_var,
+       |       CASE WHEN vt > 0 THEN round(explained_var/vt, 9) END AS explained_ratio,
+       |       n_vecs
+       |FROM sel CROSS JOIN vr ORDER BY dim""".stripMargin
+  }
+
+  /** q132: the JL projection replayed with the SAME plan-time Rademacher
+    * coefficients the engine unrolls (the q29/q68 generated-literal
+    * precedent — RandomProjection.component is the single source of
+    * truth, so the SQL cannot drift from the matrix).
+    */
+  private def randomProjectionSql(dimIn: Int, dimOut: Int): String = {
+    val cols = (1 to dimOut).map { o =>
+      val terms = (1 to dimIn).map { i =>
+        val s = graft.operators.RandomProjection.component(o, i)
+        s"CAST(embedding[$i] AS DOUBLE) * $s"
+      }.mkString(" + ")
+      s"round(($terms)/sqrt(CAST($dimOut AS DOUBLE)), 9) AS p$o"
+    }
+    s"""SELECT vec_id,
+       |  ${cols.mkString(",\n  ")}
+       |FROM embeddings WHERE len(embedding) = $dimIn
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q118: LSH candidate QUALITY eval — precision/recall of the banded
     * minhash candidates against exact all-pairs 5-gram Jaccard ≥ 0.8
     * truth on a bounded subset (the bands×rows tuning measurement a
@@ -1139,6 +1215,10 @@ object OracleSql {
         |       round(min(val), 6) AS min_val,
         |       round(max(val), 6) AS max_val
         |FROM ex GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q131_pca_top_component" -> pcaSql(64, 3),
+
+    "q132_random_projection" -> randomProjectionSql(64, 16),
 
     "q95_vocab_encode" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
