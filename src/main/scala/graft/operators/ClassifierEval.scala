@@ -69,4 +69,49 @@ object ClassifierEval {
       round(when(col("p") > 0,
         col("tp").cast("double") / col("p").cast("double")), 9).as("recall"))
   }
+
+  /** Calibration / reliability report: is a score of 0.8 actually right
+    * 80% of the time? `bins` equal-width score bins over [0, 1] (the
+    * probability contract of [[LogReg.scoreAll]]; the top bin absorbs
+    * score = 1.0), one row per NON-EMPTY bin:
+    * `(bin, n, n_pos, mean_score, pos_rate)` — a well-calibrated model
+    * has mean_score ≈ pos_rate per bin — plus the corpus-constant proper
+    * scoring rules `brier` (mean squared error of the probability) and
+    * `log_loss` (cross-entropy, scores clamped to [ε, 1−ε] against
+    * ln(0)), and `n_total`, carried on every row as the in-plan 1-row
+    * broadcast (the q43 shape; never a driver collect).
+    *
+    * Scale/determinism: two aggregations over one narrow projection —
+    * the per-bin one shuffles ≤ `bins` groups, the scalar one is a 1-row
+    * reduce; means/Brier accumulate as DECIMAL(28,12); the log-loss term
+    * rounds to 9 decimals PER ROW before summing (ln is the
+    * transcendental libm may skew by an ulp — the sigmoid9 doctrine).
+    * Null scores/labels are excluded (a missing measurement, not a 0).
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val base = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("double").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val binned = base
+      .groupBy(least(floor(col("__s") * bins), lit(bins - 1)).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y") > 0.5, 1L).otherwise(0L)).as("n_pos"),
+        round(sum(col("__s").cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
+          .as("mean_score"))
+    val pc = greatest(least(col("__s"), lit(1.0) - lit(1e-9)), lit(1e-9))
+    val ll = round(-(col("__y") * log(pc) + (lit(1.0) - col("__y")) * log(lit(1.0) - pc)), 9)
+    val scalars = base.agg(
+      round(sum(((col("__s") - col("__y")) * (col("__s") - col("__y")))
+        .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9).as("brier"),
+      round(sum(ll.cast("decimal(28,12)")).cast("double") / count(lit(1)), 9).as("log_loss"),
+      count(lit(1)).as("n_total"))
+    binned
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9).as("pos_rate"))
+      .crossJoin(broadcast(scalars))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distribution-drift monitoring between two corpus snapshots — the gate
+  * a production data pipeline runs before accepting a new crawl/dump into
+  * training (did document lengths, quality scores, or any numeric feature
+  * shift under the incoming batch?). Two standard measures in one pass:
+  *
+  *   - **PSI** (population stability index): Σ_b (p_cur − p_base)·
+  *     ln(p_cur/p_base) over `buckets` quantile buckets fenced on the
+  *     BASELINE's exact interpolated percentiles (the q92 fence shape;
+  *     <0.1 stable, 0.1–0.25 drifting, >0.25 shifted by the usual rule of
+  *     thumb). Zero-count buckets floor at ε=1e-6, the standard smoothing.
+  *   - **KS** (two-sample Kolmogorov–Smirnov statistic): max |ECDF_base −
+  *     ECDF_cur| over the merged value domain.
+  *
+  * Scale shape: values quantize to `quantizeDecimals` first (bounding the
+  * distinct-value domain — the ClassifierEval windowed-rank contract),
+  * then BOTH measures run off ONE (value → per-side counts) aggregation:
+  * the corpus shuffles once, persisted across its two consumers; the KS
+  * window and the PSI bucket fold run over the distinct-value / bucket
+  * tables, never the corpus. Baseline fences stay IN-PLAN as a broadcast
+  * 1-row frame (never a driver collect); the PSI per-bucket terms round
+  * to 9 decimals before the decimal sum (ln is transcendental — the
+  * sigmoid9 doctrine), so the whole measurement replays exactly in the
+  * DuckDB oracle.
+  */
+object Drift {
+
+  /** One row: `(n_base, n_cur, n_distinct, psi, ks)` for `valueCol`
+    * compared between `base` and `cur`. Null values are excluded (a
+    * missing measurement, not a zero).
+    */
+  def numericDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+                   buckets: Int = 10, quantizeDecimals: Int = 6): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val v = round(col(valueCol).cast("double"), quantizeDecimals).as("__v")
+    val tagged = base.select(v, lit(0).as("__side"))
+      .unionAll(cur.select(v, lit(1).as("__side")))
+      .where(col("__v").isNotNull)
+    val byv = tagged
+      .groupBy("__v")
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val totals = byv.agg(
+      sum(col("cb")).as("nb"), sum(col("cc")).as("nc"),
+      count(lit(1)).as("nd"))
+
+    // KS off the distinct-value table: cumulative per-side fractions
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = byv
+      .select(sum(col("cb")).over(w).as("ab"), sum(col("cc")).over(w).as("ac"))
+      .crossJoin(broadcast(totals))
+      .agg(round(max(abs(col("ab").cast("double") / col("nb").cast("double") -
+        col("ac").cast("double") / col("nc").cast("double"))), 9).as("ks"))
+
+    // PSI: baseline-quantile fences (exact interpolated, frequency-
+    // weighted — the multiset percentile) broadcast onto the value table
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val fences = byv.agg(expr(
+      s"percentile(__v, array(${ps.mkString(", ")}), cb)").as("__f"))
+    val bucket = (1 until buckets).map(i =>
+      when(col("__v") > element_at(col("__f"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    val eps = lit(1e-6)
+    val psi = byv
+      .crossJoin(broadcast(fences))
+      .groupBy(bucket.as("__b"))
+      .agg(sum(col("cb")).as("bb"), sum(col("cc")).as("bc"))
+      .crossJoin(broadcast(totals))
+      .select(
+        greatest(col("bb").cast("double") / col("nb").cast("double"), eps).as("pb"),
+        greatest(col("bc").cast("double") / col("nc").cast("double"), eps).as("pc"))
+      .select(round((col("pc") - col("pb")) * log(col("pc") / col("pb")), 9).as("__t"))
+      .agg(round(sum(col("__t").cast("decimal(28,12)")).cast("double"), 9).as("psi"))
+
+    val out = totals
+      .crossJoin(psi)
+      .crossJoin(ks)
+      .select(col("nb").as("n_base"), col("nc").as("n_cur"),
+        col("nd").as("n_distinct"), col("psi"), col("ks"))
+    out
+  }
+}

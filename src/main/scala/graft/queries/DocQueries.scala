@@ -1034,6 +1034,23 @@ object DocQueries {
     ClassifierEval.binaryMetrics(scored, "score", "y", threshold = 0.5)
   }
 
+  /** Calibration report (ClassifierEval.calibration) on q125's fitted
+    * scores: 10 equal-width reliability bins (mean_score vs pos_rate per
+    * bin) + the Brier and clamped log-loss proper scoring rules as the
+    * in-plan 1-row broadcast. The oracle replays training, scoring, the
+    * bin arithmetic and both scoring rules (log-loss terms rounded per
+    * row before the decimal sum — the ln doctrine).
+    */
+  def q133Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LogReg.scoreAll(
+      Tables(spark, dir).documents.where(col("text").isNotNull),
+      "doc_id", logregFeatures, logregLabel,
+      keep = Seq("y" -> logregLabel))
+    // 1000 bins: the 3-iteration fit's scores live in a ~0.01-wide band,
+    // so the fine grid is what actually produces a reliability CURVE
+    ClassifierEval.calibration(scored, "score", "y", bins = 1000).orderBy("bin")
+  }
+
   /** REAL video frame decode (Multimodal.mjpegFrameStats): every
     * Motion-JPEG asset in the real-asset corpus demuxes its AVI RIFF tree
     * and JPEG-decodes every frame; the emitted frame count / dimensions /

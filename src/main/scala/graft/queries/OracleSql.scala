@@ -1025,6 +1025,32 @@ object OracleSql {
          |    CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END, 9) AS recall
          |FROM tot""".stripMargin,
 
+    // q125's scoring chain + ClassifierEval.calibration's bin arithmetic:
+    // equal-width bins, decimal(28,12) mean/Brier sums, log-loss terms
+    // rounded to 9 decimals per row BEFORE summing (the ln doctrine)
+    "q133_calibration" ->
+      s"""WITH ${logregCtes(3)},
+         |scored AS (
+         |  SELECT round(round(1.0 / (1.0 + exp(-(w_bias * bias + w_x_chars * x_chars
+         |           + w_x_tokens * x_tokens))), 9), 6) AS s, y
+         |  FROM lrbase CROSS JOIN w3),
+         |b AS (
+         |  SELECT CAST(least(floor(s * 1000), 999) AS BIGINT) AS bin, count(*) AS n,
+         |         CAST(sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)/count(*), 9) AS mean_score
+         |  FROM scored GROUP BY 1),
+         |g AS (
+         |  SELECT round(CAST(sum(CAST((s - y)*(s - y) AS DECIMAL(28,12))) AS DOUBLE)/count(*), 9) AS brier,
+         |         round(CAST(sum(CAST(round(-(y * ln(greatest(least(s, 1.0 - 1e-9), 1e-9))
+         |           + (1.0 - y) * ln(1.0 - greatest(least(s, 1.0 - 1e-9), 1e-9))), 9)
+         |           AS DECIMAL(28,12))) AS DOUBLE)/count(*), 9) AS log_loss,
+         |         count(*) AS n_total
+         |  FROM scored)
+         |SELECT bin, n, n_pos, mean_score,
+         |       round(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE), 9) AS pos_rate,
+         |       brier, log_loss, n_total
+         |FROM b CROSS JOIN g ORDER BY bin""".stripMargin,
+
     // threshold-2 oracle is the brute-force pair scan — completeness of
     // the engine's two-level symmetric-delete blocking is exactly what a
     // hash match against the exhaustive baseline proves
@@ -1219,6 +1245,51 @@ object OracleSql {
     "q131_pca_top_component" -> pcaSql(64, 3),
 
     "q132_random_projection" -> randomProjectionSql(64, 16),
+
+    // Drift.numericDrift replayed: one (value -> per-side counts) table,
+    // baseline-decile fences via quantile_cont (== Spark's exact
+    // interpolated percentile, the q92 parity), unrolled bucket fold,
+    // eps-smoothed PSI terms rounded per bucket before the decimal sum,
+    // ECDF window KS off the distinct-value table
+    "q134_snapshot_drift" -> {
+      val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+      val bucketCase = (1 to 9).map(i =>
+        s"CASE WHEN v > fences[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH b0 AS (
+         |  SELECT round(CAST(l_extendedprice AS DOUBLE), 6) AS v FROM lineitem
+         |  WHERE l_shipdate < DATE '1998-01-01' AND l_extendedprice IS NOT NULL),
+         |c0 AS (
+         |  SELECT round(CAST(l_extendedprice AS DOUBLE), 6) AS v FROM lineitem
+         |  WHERE l_shipdate >= DATE '1998-01-01' AND l_extendedprice IS NOT NULL),
+         |u AS (SELECT v, 0 AS side FROM b0 UNION ALL SELECT v, 1 AS side FROM c0),
+         |byv AS (
+         |  SELECT v, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb,
+         |         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+         |  FROM u GROUP BY v),
+         |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cc) AS BIGINT) AS nc,
+         |               count(*) AS nd FROM byv),
+         |kss AS (
+         |  SELECT round(max(abs(CAST(ab AS DOUBLE)/CAST(nb AS DOUBLE)
+         |    - CAST(ac AS DOUBLE)/CAST(nc AS DOUBLE))), 9) AS ks
+         |  FROM (SELECT
+         |      sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ab,
+         |      sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ac
+         |    FROM byv) CROSS JOIN tot),
+         |f AS (SELECT quantile_cont(v, [$ps]) AS fences FROM b0),
+         |bg AS (
+         |  SELECT $bucketCase AS b, sum(cb) AS bb, sum(cc) AS bc
+         |  FROM byv CROSS JOIN f GROUP BY 1),
+         |pp AS (
+         |  SELECT greatest(CAST(bb AS DOUBLE)/CAST(nb AS DOUBLE), 1e-6) AS pb,
+         |         greatest(CAST(bc AS DOUBLE)/CAST(nc AS DOUBLE), 1e-6) AS pc
+         |  FROM bg CROSS JOIN tot),
+         |psis AS (
+         |  SELECT round(CAST(sum(CAST(round((pc - pb) * ln(pc/pb), 9)
+         |    AS DECIMAL(28,12))) AS DOUBLE), 9) AS psi
+         |  FROM pp)
+         |SELECT nb AS n_base, nc AS n_cur, nd AS n_distinct, psi, ks
+         |FROM tot CROSS JOIN psis CROSS JOIN kss""".stripMargin
+    },
 
     "q95_vocab_encode" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

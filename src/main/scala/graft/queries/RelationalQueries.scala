@@ -838,6 +838,22 @@ object RelationalQueries {
         "c_name", "c_custkey", t = 2)
       .orderBy("id_a", "id_b")
 
+  /** Snapshot distribution drift (Drift.numericDrift): PSI over
+    * baseline-decile buckets + the two-sample KS statistic for
+    * l_extendedprice, pre-1998 shipments as the accepted baseline vs
+    * 1998+ as the incoming snapshot. One corpus shuffle builds the
+    * (value → per-side counts) table; both measures run off it. The
+    * oracle replays fences (quantile_cont == Spark's exact interpolated
+    * percentile), bucket fold, ε-smoothed PSI terms and the ECDF window.
+    */
+  def q134SnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    graft.operators.Drift.numericDrift(
+      li.where(col("l_shipdate") < lit("1998-01-01")),
+      li.where(col("l_shipdate") >= lit("1998-01-01")),
+      "l_extendedprice", buckets = 10)
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
