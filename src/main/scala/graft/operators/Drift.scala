@@ -37,7 +37,6 @@ object Drift {
     */
   def numericDrift(base: DataFrame, cur: DataFrame, valueCol: String,
                    buckets: Int = 10, quantizeDecimals: Int = 6): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val v = round(col(valueCol).cast("double"), quantizeDecimals).as("__v")
     val tagged = base.select(v, lit(0).as("__side"))
       .unionAll(cur.select(v, lit(1).as("__side")))
@@ -47,6 +46,29 @@ object Drift {
       .agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cb"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cc"))
+    driftFromCounts(byv, buckets)
+  }
+
+  /** Both measures off an already-built `(__v double, cb long, cc long)`
+    * value-level per-side count table — the entry point for stored-
+    * histogram state ([[graft.streaming.DriftStream]] keeps exactly this
+    * table per side and never revisits the corpora): measuring cost is
+    * O(distinct values), independent of corpus size.
+    *
+    * Runs AT CALL TIME and returns the 1-row report as a local literal
+    * (the fit contract): the count table is persisted across its three
+    * consumers (totals, KS, PSI) and MUST be unpersisted before
+    * returning — a lazily-returned plan over a still-cached byv would
+    * poison Spark's plan-equality cache for the NEXT measurement over
+    * the same paths (two reads of one root are sameResult even after
+    * new files land, so a later call would silently get this call's
+    * data — the DriftStream batch-1 bug this contract fixed).
+    */
+  def driftFromCounts(counts: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val byv = counts
+      .select(col("__v").cast("double").as("__v"),
+        col("cb").cast("long").as("cb"), col("cc").cast("long").as("cc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val totals = byv.agg(
@@ -86,6 +108,9 @@ object Drift {
       .crossJoin(ks)
       .select(col("nb").as("n_base"), col("nc").as("n_cur"),
         col("nd").as("n_distinct"), col("psi"), col("ks"))
-    out
+    val report = out.collect()
+    byv.unpersist()
+    byv.sparkSession.createDataFrame(
+      java.util.Arrays.asList(report: _*), out.schema)
   }
 }

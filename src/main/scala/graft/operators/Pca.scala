@@ -13,12 +13,15 @@ import org.apache.spark.storage.StorageLevel
   * curriculum/stratification.
   *
   * The scale shape is the [[LogReg]] gradient pattern, NOT a covariance
-  * materialization: C·v is computed as one scan with d map-side-combinable
-  * decimal sums — `y_j = Σ_i s_i·(x_ij − μ_j)` where `s_i = Σ_j v_j·(x_ij −
-  * μ_j)` is a per-row projection. Row state never shuffles, no d² explode
-  * ever happens (a covariance-matrix build is a d²-per-row blowup — 4096×
-  * write amplification at d=64), and each iteration collects exactly d
-  * scalars. 1000 executors see the same plan as local[32].
+  * materialization: C·v is computed per iteration as ONE pass — a narrow
+  * per-row projection `s_i = Σ_j v_j·(x_ij − μ_j)` plus a posexplode into
+  * (dim, s·c) partials aggregated map-side per dimension (`y_j = Σ_i
+  * s_i·(x_ij − μ_j)`, the q94 dimStats layout; see [[dimMeans]] for why
+  * not d fused wide sums). Row state never shuffles (the exchange carries
+  * d×partitions decimal partials), no d² covariance explode ever happens
+  * (that is a 4096×-per-row write amplification at d=64), and each
+  * iteration collects exactly d scalars. 1000 executors see the same plan
+  * as local[32].
   *
   * Determinism / engine parity (the LogReg doctrine): all per-row
   * arithmetic is IEEE add/multiply on identical doubles in a PINNED left-associated
@@ -51,8 +54,7 @@ object Pca {
       .where(size(col("__v")) === dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val mu = dimMeans(base, dim)
-    val v = iterate(base, mu, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)), dim, iters)
+    val (mu, v) = fitOn(base, dim, iters)
 
     // one final pass splits the variance: projected onto v vs total —
     // per-row s² and Σ_j c_j² are left-associated doubles, sums decimal
@@ -65,8 +67,8 @@ object Pca {
         count(lit(1)).as("n"))
       .head
     val n = row.getLong(2)
-    val varProj = roundHalfAway(dec(row, 0, "projected-variance").doubleValue / n, 9)
-    val varTot = roundHalfAway(dec(row, 1, "total-variance").doubleValue / n, 9)
+    val varProj = roundHalfAway(decOf(row, 0, "projected-variance").doubleValue / n, 9)
+    val varTot = roundHalfAway(decOf(row, 1, "total-variance").doubleValue / n, 9)
     base.unpersist()
 
     import spark.implicits._
@@ -76,6 +78,37 @@ object Pca {
       .withColumn("explained_ratio",
         if (varTot > 0) lit(roundHalfAway(varProj / varTot, 9)) else lit(null).cast("double"))
       .withColumn("n_vecs", lit(n))
+  }
+
+  /** Fit the top component, then score EVERY vector: `(idCol, pca1)`
+    * with pca1 = round(Σ_j v_j·(x_j − μ_j), 9) — the corpus's 1-D
+    * maximum-variance feature (curriculum stratification, per-snapshot
+    * drift tracking via [[Drift.numericDrift]] on the projection). The
+    * scoring pass is the [[LogReg.scoreAll]] shape: the fitted (μ, v)
+    * ride back in as literals, so after training the plan is a pure
+    * scan→project — no join, no exchange.
+    */
+  def scoreTopComponent(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                        iters: Int = 3): DataFrame = {
+    val base = df
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .where(size(col("__v")) === dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (mu, v) = fitOn(base, dim, iters)
+    base.unpersist()
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .where(size(col("__v")) === dim)
+      .select(col(idCol), round(sExpr(mu, v, dim), 9).as("pca1"))
+  }
+
+  /** Means + `iters` power iterations over an already-persisted base
+    * projection — the fit kernel behind [[topComponent]] and
+    * [[scoreTopComponent]].
+    */
+  private def fitOn(base: DataFrame, dim: Int, iters: Int): (Array[Double], Array[Double]) = {
+    val mu = dimMeans(base, dim)
+    val v = iterate(base, mu, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)), dim, iters)
+    (mu, v)
   }
 
   /** First `nComponents` principal components by sequential deflation:
@@ -108,7 +141,7 @@ object Pca {
       val r = cur.select(s).agg(
         sum((col("__s") * col("__s")).cast("decimal(28,9)")).as("vp"),
         count(lit(1)).as("n")).head
-      val varProj = roundHalfAway(dec(r, 0, "projected-variance").doubleValue / r.getLong(1), 9)
+      val varProj = roundHalfAway(decOf(r, 0, "projected-variance").doubleValue / r.getLong(1), 9)
       (1 to dim).foreach(j => out += ((c.toLong, j.toLong, v(j - 1), varProj)))
       if (c < nComponents) {
         val next = cur
@@ -127,35 +160,51 @@ object Pca {
     out.result().toDF("component", "dim", "loading", "explained_var")
   }
 
-  /** Per-dimension 9-decimal means in ONE aggregation of d decimal sums —
-    * no posexplode, no shuffle beyond the scalar-row reduce.
+  /** Per-dimension 9-decimal means via one posexplode + dim-keyed
+    * aggregation (the q94 dimStats shape). d fused wide sums would save
+    * the explode, but 64 decimal aggregates each carrying CheckOverflow
+    * codegen blow the generated method into janino-minutes territory —
+    * measured on the 2M-vector scale proof; the narrow-row explode
+    * compiles in milliseconds and map-side combine still reduces each
+    * task to d partials before the (tiny, d-group) shuffle.
     */
   private[operators] def dimMeans(base: DataFrame, dim: Int): Array[Double] = {
-    val aggs = (1 to dim).map(j =>
-      sum(element_at(col("__v"), j).cast("decimal(28,9)")).as(s"m_$j")) :+
-      count(lit(1)).as("__n")
-    val row = base.agg(aggs.head, aggs.tail: _*).head
-    val n = row.getLong(dim)
-    require(n > 0, "Pca: input has no rows of the declared width")
-    (0 until dim).map(j => roundHalfAway(dec(row, j, s"dim ${j + 1} mean").doubleValue / n, 9)).toArray
+    val rows = base
+      .select(posexplode(col("__v")).as(Seq("__j", "__x")))
+      .groupBy("__j")
+      .agg(sum(col("__x").cast("decimal(28,9)")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+    require(rows.nonEmpty, "Pca: input has no rows of the declared width")
+    val byDim = rows.map(r => r.getInt(0) -> r).toMap
+    (0 until dim).map { j =>
+      val r = byDim(j)
+      roundHalfAway(decOf(r, 1, s"dim ${j + 1} mean").doubleValue / r.getLong(2), 9)
+    }.toArray
   }
 
-  /** One power-iteration ladder: `iters` rounds of y = Σ s·c per dim
-    * (d decimal sums, one scan each), normalize, round to 9 decimals.
+  /** One power-iteration ladder: `iters` rounds of y_j = Σ_i s_i·c_ij
+    * — the per-row projection s computes once in a narrow column, then
+    * the same posexplode + dim-keyed decimal aggregation as [[dimMeans]]
+    * (decimal addition is order-independent, so the grouping layout does
+    * not change the totals the oracle replays); normalize, round to 9.
     */
   private def iterate(base: DataFrame, mu: Array[Double], v0: Array[Double],
                       dim: Int, iters: Int): Array[Double] = {
+    val muArr = array(mu.map(lit): _*)
     var v = v0
     var i = 0
     while (i < iters) {
-      val projected = base.select(col("__v"), sExpr(mu, v, dim).as("__s"))
-      val aggs = (1 to dim).map(j =>
-        sum((col("__s") * centered(j, mu)).cast("decimal(28,9)")).as(s"y_$j")) :+
-        count(lit(1)).as("__n")
-      val row = projected.agg(aggs.head, aggs.tail: _*).head
-      val n = row.getLong(dim)
-      require(n > 0, "Pca: input has no rows of the declared width")
-      val yh = (0 until dim).map(j => dec(row, j, s"dim ${j + 1} power step").doubleValue / n)
+      val rows = base
+        .select(sExpr(mu, v, dim).as("__s"), posexplode(col("__v")).as(Seq("__j", "__x")))
+        .groupBy("__j")
+        .agg(sum((col("__s") * (col("__x") - element_at(muArr, col("__j") + 1)))
+          .cast("decimal(28,9)")).as("__y"), count(lit(1)).as("__n"))
+        .collect()
+      require(rows.nonEmpty, "Pca: input has no rows of the declared width")
+      val byDim = rows.map(r => r.getInt(0) -> r).toMap
+      val n = byDim(0).getLong(2)
+      val yh = (0 until dim).map(j =>
+        decOf(byDim(j), 1, s"dim ${j + 1} power step").doubleValue / n)
       val norm = math.sqrt(yh.map(x => x * x).reduceLeft(_ + _))
       require(norm > 0,
         "Pca: power iteration collapsed to the zero vector — constant input along v?")
@@ -175,7 +224,7 @@ object Pca {
     if (mu(j - 1) == 0.0) element_at(col("__v"), j)
     else element_at(col("__v"), j) - lit(mu(j - 1))
 
-  private def dec(row: org.apache.spark.sql.Row, i: Int, what: String): java.math.BigDecimal =
+  private def decOf(row: org.apache.spark.sql.Row, i: Int, what: String): java.math.BigDecimal =
     Option(row.getDecimal(i)).getOrElse(throw new IllegalArgumentException(
       s"Pca: decimal sum for $what is null — all-null values or decimal(28,9) overflow"))
 

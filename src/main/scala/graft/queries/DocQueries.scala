@@ -1089,6 +1089,18 @@ object DocQueries {
       .orderBy("vec_id")
   }
 
+  /** PCA corpus projection (Pca.scoreTopComponent): the fitted top
+    * component folded back over every vector as literals — a pure
+    * scan→project scoring pass (the LogReg.scoreAll shape) emitting the
+    * corpus's 1-D maximum-variance feature. Composes with
+    * Drift.numericDrift (embedding-drift tracking) and Curriculum
+    * (variance-stratified ordering). Oracle: same unrolled training CTEs
+    * as q131 + the per-row projection.
+    */
+  def q135PcaProjection(spark: SparkSession, dir: String): DataFrame =
+    Pca.scoreTopComponent(Tables(spark, dir).embeddings, "embedding", "vec_id", 64)
+      .orderBy("vec_id")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

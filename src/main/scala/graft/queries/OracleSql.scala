@@ -124,12 +124,12 @@ object OracleSql {
     * correctly-rounded IEEE ops — no transcendental anywhere — so the
     * replay is bit-exact.
     */
-  private def pcaSql(dim: Int, iters: Int): String = {
+  private def pcaCtes(dim: Int, iters: Int): String = {
     val ds = 1 to dim
     def vj(k: Int, j: Int) =
       if (k == 0) s"(1.0/sqrt(CAST($dim AS DOUBLE)))" else s"v$j"
     val base =
-      s"pbase AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE len(embedding) = $dim)"
+      s"pbase AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE len(embedding) = $dim)"
     val mus = "mus AS (SELECT\n  " + ds.map(j =>
       s"round(CAST(sum(CAST(v[$j] AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS m$j")
       .mkString(",\n  ") + "\n  FROM pbase)"
@@ -149,27 +149,43 @@ object OracleSql {
          |n$k AS (SELECT *, sqrt($nrm) AS nrm FROM h$k),
          |w$k AS (SELECT $wTerms FROM n$k)""".stripMargin
     }
-    val sFin = ds.map(j => s"v$j * (v[$j] - m$j)").mkString(" + ")
+    s"$base,\n$mus,\n${iterCtes.mkString(",\n")}"
+  }
+
+  /** The engine-pinned per-row projection Σ v_j·(x_j − μ_j) in ascending-j
+    * left association, referencing the final w{iters} / mus columns.
+    */
+  private def pcaScoreExpr(dim: Int): String =
+    (1 to dim).map(j => s"v$j * (v[$j] - m$j)").mkString(" + ")
+
+  private def pcaSql(dim: Int, iters: Int): String = {
+    val ds = 1 to dim
+    val sFin = pcaScoreExpr(dim)
     val tFin = ds.map(j => s"(v[$j] - m$j)*(v[$j] - m$j)").mkString(" + ")
-    val fin =
-      s"""fin AS (SELECT $sFin AS s, $tFin AS t FROM pbase CROSS JOIN mus CROSS JOIN w$iters),
-         |vr AS (SELECT
-         |  round(CAST(sum(CAST(s*s AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS explained_var,
-         |  round(CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS vt,
-         |  count(*) AS n_vecs FROM fin),
-         |sel AS (
-         |  ${ds.map(j =>
-             s"SELECT $j AS d, m$j AS muv, v$j AS loading FROM mus CROSS JOIN w$iters")
-             .mkString("\n  UNION ALL ")})""".stripMargin
-    s"""WITH $base,
-       |$mus,
-       |${iterCtes.mkString(",\n")},
-       |$fin
+    s"""WITH ${pcaCtes(dim, iters)},
+       |fin AS (SELECT $sFin AS s, $tFin AS t FROM pbase CROSS JOIN mus CROSS JOIN w$iters),
+       |vr AS (SELECT
+       |  round(CAST(sum(CAST(s*s AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS explained_var,
+       |  round(CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS vt,
+       |  count(*) AS n_vecs FROM fin),
+       |sel AS (
+       |  ${ds.map(j =>
+           s"SELECT $j AS d, m$j AS muv, v$j AS loading FROM mus CROSS JOIN w$iters")
+           .mkString("\n  UNION ALL ")})
        |SELECT CAST(d AS BIGINT) AS dim, muv AS mu, loading, explained_var,
        |       CASE WHEN vt > 0 THEN round(explained_var/vt, 9) END AS explained_ratio,
        |       n_vecs
        |FROM sel CROSS JOIN vr ORDER BY dim""".stripMargin
   }
+
+  /** q135: the fitted component folded back over the corpus — one
+    * projection score per vector off the same unrolled training CTEs.
+    */
+  private def pcaScoreSql(dim: Int, iters: Int): String =
+    s"""WITH ${pcaCtes(dim, iters)}
+       |SELECT vec_id, round(${pcaScoreExpr(dim)}, 9) AS pca1
+       |FROM pbase CROSS JOIN mus CROSS JOIN w$iters
+       |ORDER BY vec_id""".stripMargin
 
   /** q132: the JL projection replayed with the SAME plan-time Rademacher
     * coefficients the engine unrolls (the q29/q68 generated-literal
@@ -1245,6 +1261,8 @@ object OracleSql {
     "q131_pca_top_component" -> pcaSql(64, 3),
 
     "q132_random_projection" -> randomProjectionSql(64, 16),
+
+    "q135_pca_projection" -> pcaScoreSql(64, 3),
 
     // Drift.numericDrift replayed: one (value -> per-side counts) table,
     // baseline-decile fences via quantile_cont (== Spark's exact

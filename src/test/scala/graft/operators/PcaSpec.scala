@@ -81,6 +81,26 @@ class PcaSpec extends SparkTestBase {
     assert(v1 >= v2, s"variance must not increase down the spectrum: $v1 < $v2")
   }
 
+  test("scoreTopComponent: projection-only scoring plan whose values recompute from the fitted component") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scored = Pca.scoreTopComponent(emb, "embedding", "vec_id", 64)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring must be scan->project once fitted:\n$plan")
+    val fit = Pca.topComponent(emb, "embedding", 64).collect().sortBy(_.getLong(0))
+    val mu = fit.map(_.getAs[Double]("mu"))
+    val v = fit.map(_.getAs[Double]("loading"))
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def round9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val scores = scored.collect().map(r => r.getLong(0) -> r.getAs[Double]("pca1")).toMap
+    vecs.take(20).foreach { case (id, x) =>
+      val s = round9((0 until 64).map(j => v(j) * (x(j) - mu(j))).reduceLeft(_ + _))
+      assert(scores(id) == s, s"vec $id: engine ${scores(id)} vs reference $s")
+    }
+  }
+
   test("zero-variance input fails loudly instead of emitting NaN loadings") {
     val d = vecs(Seq.fill(5)(Seq(1.0, 2.0, 3.0)))
     val e = intercept[IllegalArgumentException] {
