@@ -71,10 +71,12 @@ object Clustering {
     df.select(col(labelCol).as("proto_label"),
         posexplode(col(vecCol)).as(Seq("dim", "__val")))
       .groupBy(col("proto_label"), col("dim"))
-      .agg(round(
-        (sum(col("__val").cast("double").cast("decimal(28,9)")).cast("double") /
-          count(lit(1))),
-        roundTo).as("c"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(
+          (sum(col("__val").cast("double").cast("decimal(28,9)")).cast("double") /
+            count(lit(1))),
+          roundTo).as("c"))
 
   /** [[labelCentroids]] reassembled to array form: (proto_label, proto_vec)
     * with proto_vec ordered by dimension — the broadcastable prototype
@@ -86,6 +88,37 @@ object Clustering {
       .groupBy(col("proto_label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x("c")).as("proto_vec"))
+
+  /** Per-label prototype drift between two embedding snapshots — "did any
+    * class's representation move?" (the embedding-space counterpart of
+    * [[Drift.numericDrift]]'s value-distribution gauge; run it between an
+    * accepted corpus and an incoming crawl, or across encoder versions).
+    * For every label present in BOTH snapshots: member counts, the L2
+    * distance and the cosine similarity between its decimal-exact
+    * prototypes.
+    *
+    * Scale shape: each side is ONE (label, dim)-bounded map-side-
+    * combinable aggregation (the [[labelCentroids]] shuffle bound — never
+    * corpus-sized); the final join holds one row per label on each side.
+    * Distances use the unrolled left-associated [[Quantize.l2Sq]] chain
+    * and the codegen cosine kernel, both engine-replayable.
+    */
+  def prototypeDrift(a: DataFrame, b: DataFrame, vecCol: String, labelCol: String,
+                     dim: Int, roundTo: Int = 6): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    def protos(df: DataFrame, nCol: String, vCol: String) =
+      labelCentroids(df, vecCol, labelCol, roundTo)
+        .groupBy(col("proto_label"))
+        .agg(
+          max(col("n_members")).as(nCol),
+          transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            x => x("c")).as(vCol))
+    protos(a, "n_a", "__va")
+      .join(protos(b, "n_b", "__vb"), Seq("proto_label"))
+      .select(col("proto_label").as("label"), col("n_a"), col("n_b"),
+        round(sqrt(Quantize.l2Sq(col("__va"), col("__vb"), dim)), 9).as("l2_dist"),
+        round(cosineSim(col("__va"), col("__vb")), 9).as("cos_sim"))
+  }
 
   /** Nearest-prototype evaluation — the standard embedding-quality probe
     * (a "prototype classifier"): build per-label centroids, assign every

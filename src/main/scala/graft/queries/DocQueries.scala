@@ -1101,6 +1101,22 @@ object DocQueries {
     Pca.scoreTopComponent(Tables(spark, dir).embeddings, "embedding", "vec_id", 64)
       .orderBy("vec_id")
 
+  /** Per-label prototype drift (Clustering.prototypeDrift) between the
+    * even- and odd-id halves of the embedding corpus (a stand-in for two
+    * temporal snapshots): decimal-exact per-label centroids on each side
+    * — one (label, dim)-bounded aggregation per side, never a
+    * corpus-sized shuffle — joined per label with the unrolled L2 and
+    * codegen cosine between prototypes. The oracle replays both centroid
+    * builds and both distance chains.
+    */
+  def q136PrototypeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Clustering.prototypeDrift(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "embedding", "label", dim = 64)
+      .orderBy("label")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

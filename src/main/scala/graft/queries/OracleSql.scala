@@ -1264,6 +1264,31 @@ object OracleSql {
 
     "q135_pca_projection" -> pcaScoreSql(64, 3),
 
+    // Clustering.prototypeDrift replayed: q110's decimal centroid build
+    // per snapshot half, then the unrolled L2 chain and the
+    // list_dot_product cosine (the q110 parity) between prototypes
+    "q136_prototype_drift" -> {
+      val l2 = (1 to 64).map(j => s"(va[$j] - vb[$j])*(va[$j] - vb[$j])").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |xa AS (SELECT label, t.d AS dim, v[t.d + 1] AS val
+         |       FROM e CROSS JOIN range(64) t(d) WHERE vec_id % 2 = 0),
+         |xb AS (SELECT label, t.d AS dim, v[t.d + 1] AS val
+         |       FROM e CROSS JOIN range(64) t(d) WHERE vec_id % 2 = 1),
+         |ma AS (SELECT label, dim, count(*) AS nm,
+         |              round(CAST(sum(CAST(val AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS c
+         |       FROM xa GROUP BY 1, 2),
+         |mb AS (SELECT label, dim, count(*) AS nm,
+         |              round(CAST(sum(CAST(val AS DECIMAL(28,9))) AS DOUBLE)/count(*), 6) AS c
+         |       FROM xb GROUP BY 1, 2),
+         |pa AS (SELECT label, max(nm) AS n_a, list(c ORDER BY dim) AS va FROM ma GROUP BY 1),
+         |pb AS (SELECT label, max(nm) AS n_b, list(c ORDER BY dim) AS vb FROM mb GROUP BY 1)
+         |SELECT label, n_a, n_b,
+         |       round(sqrt($l2), 9) AS l2_dist,
+         |       round(list_dot_product(va, vb) /
+         |         (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 9) AS cos_sim
+         |FROM pa JOIN pb USING (label) ORDER BY label""".stripMargin
+    },
+
     // Drift.numericDrift replayed: one (value -> per-side counts) table,
     // baseline-decile fences via quantile_cont (== Spark's exact
     // interpolated percentile, the q92 parity), unrolled bucket fold,

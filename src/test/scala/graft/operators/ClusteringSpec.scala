@@ -100,4 +100,43 @@ class ClusteringSpec extends SparkTestBase {
       "embedding", "vec_id", "label").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "prototype table must broadcast")
   }
+
+  test("prototypeDrift: identical snapshots measure zero distance and cosine 1 per label") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, 0, Seq(1.0, 2.0, 3.0)), (2L, 0, Seq(3.0, 2.0, 1.0)),
+      (3L, 1, Seq(-1.0, 0.0, 4.0))).toDF("id", "label", "v")
+    val rows = Clustering.prototypeDrift(snap, snap, "v", "label", dim = 3)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("l2_dist") == 0.0)
+      assert(r.getAs[Double]("cos_sim") == 1.0)
+      assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+    }
+  }
+
+  test("prototypeDrift: a planted per-label shift surfaces with the hand-computed distance") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 0, Seq(1.0, 1.0)), (2L, 0, Seq(3.0, 3.0)),   // prototype (2, 2)
+      (3L, 1, Seq(0.0, 0.0))).toDF("id", "label", "v")
+    val b = Seq(
+      (4L, 0, Seq(2.0, 2.0)),                            // same prototype (2, 2)
+      (5L, 1, Seq(3.0, 4.0))).toDF("id", "label", "v")   // label 1 moved by (3, 4)
+    val rows = Clustering.prototypeDrift(a, b, "v", "label", dim = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rows(0).getAs[Double]("l2_dist") == 0.0, "label 0 did not move")
+    assert(rows(1).getAs[Double]("l2_dist") == 5.0, "3-4-5 triangle from the origin shift")
+    assert(rows(0).getAs[Long]("n_a") == 2L && rows(0).getAs[Long]("n_b") == 1L)
+  }
+
+  test("prototypeDrift is invariant to input partitioning") {
+    val a = embeddings.where(col("vec_id") % 2 === 0)
+    val b = embeddings.where(col("vec_id") % 2 === 1)
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Clustering.prototypeDrift(x, y, "embedding", "label", dim = 64)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int]).toSeq
+    assert(run(a, b) == run(a.repartition(13), b.repartition(7)))
+  }
 }
