@@ -1117,6 +1117,18 @@ object DocQueries {
       .orderBy("label")
   }
 
+  /** Count–min sketch build (Sketch.countMinSketch): the corpus's token
+    * stream collapsed to the exportable 4×256 counter grid — one
+    * vocabulary-bounded token aggregation, then a d-cell fan-out summed
+    * per (depth, bucket); the serving-side artifact for approximate
+    * frequency queries (the q58 KMV/q47 exact-stats sketch family). The
+    * oracle replays the salted-md5 cell hashing and both aggregations.
+    */
+  def q137CountMinSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketch.countMinSketch(
+        Tables(spark, dir).documents, "text", depth = 4, width = 256)
+      .orderBy("depth", "bucket")
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

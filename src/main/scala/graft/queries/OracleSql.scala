@@ -1264,6 +1264,23 @@ object OracleSql {
 
     "q135_pca_projection" -> pcaScoreSql(64, 3),
 
+    // Sketch.countMinSketch replayed: token counts, then the salted-md5
+    // cell fan-out (the Sampling.bucket conv <-> 0x-cast parity) summed
+    // per (depth, bucket)
+    "q137_count_min_sketch" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '${"\\"}s+')) AS tok
+         |  FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |cells AS (
+         |  SELECT r.d AS depth,
+         |         CAST(concat('0x', substr(md5(r.d || '_' || tok), 1, 12)) AS BIGINT) % 256 AS bucket,
+         |         cnt
+         |  FROM tc CROSS JOIN range(4) r(d))
+         |SELECT CAST(depth AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM cells GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
+
     // Clustering.prototypeDrift replayed: q110's decimal centroid build
     // per snapshot half, then the unrolled L2 chain and the
     // list_dot_product cosine (the q110 parity) between prototypes
