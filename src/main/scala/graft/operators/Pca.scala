@@ -43,10 +43,12 @@ object Pca {
     *
     * Runs AT CALL TIME (2 + iters Spark jobs — means, iterations, final
     * variance split); the returned frame is a local literal, the fit/
-    * BPE-train contract.
+    * BPE-train contract. `exact = false` swaps the decimal accumulators
+    * for native double sums — the ~50×-faster production twin (see
+    * [[fitOn]]); the oracle runs the exact form.
     */
   def topComponent(df: DataFrame, vecCol: String, dim: Int,
-                   iters: Int = 3): DataFrame = {
+                   iters: Int = 3, exact: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val base = df
@@ -54,16 +56,17 @@ object Pca {
       .where(size(col("__v")) === dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val (mu, v) = fitOn(base, dim, iters)
+    val (mu, v) = fitOn(base, dim, iters, exact)
 
     // one final pass splits the variance: projected onto v vs total —
     // per-row s² and Σ_j c_j² are left-associated doubles, sums decimal
     val sFin = sExpr(mu, v, dim).as("__s")
-    val totSq = (1 to dim).map { j => val c = centered(j, mu); c * c }.reduce(_ + _)
-    val row = base.select(sFin, totSq.as("__t"))
+    def acc(c: Column) = if (exact) sum(c.cast("decimal(28,9)")).cast("decimal(38,9)")
+                         else sum(c).cast("decimal(38,9)")
+    val row = base.select(sFin, totSqExpr(mu).as("__t"))
       .agg(
-        sum((col("__s") * col("__s")).cast("decimal(28,9)")).as("vp"),
-        sum(col("__t").cast("decimal(28,9)")).as("vt"),
+        acc(col("__s") * col("__s")).as("vp"),
+        acc(col("__t")).as("vt"),
         count(lit(1)).as("n"))
       .head
     val n = row.getLong(2)
@@ -89,12 +92,12 @@ object Pca {
     * scan→project — no join, no exchange.
     */
   def scoreTopComponent(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-                        iters: Int = 3): DataFrame = {
+                        iters: Int = 3, exact: Boolean = true): DataFrame = {
     val base = df
       .select(col(vecCol).cast("array<double>").as("__v"))
       .where(size(col("__v")) === dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (mu, v) = fitOn(base, dim, iters)
+    val (mu, v) = fitOn(base, dim, iters, exact)
     base.unpersist()
     df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .where(size(col("__v")) === dim)
@@ -104,10 +107,18 @@ object Pca {
   /** Means + `iters` power iterations over an already-persisted base
     * projection — the fit kernel behind [[topComponent]] and
     * [[scoreTopComponent]].
+    *
+    * `exact = true` is the oracle doctrine (DECIMAL(28,9) accumulation:
+    * partition-order-invariant, engine-replayable, and ~50× slower at
+    * scale — BigDecimal adds dominate). `exact = false` is the
+    * production twin (the [[Similarity.refineCentroids]] precedent):
+    * native double sums, same plan shape, loadings agreeing to ~1e-9 on
+    * real data but carrying last-ulp partition-order sensitivity.
     */
-  private def fitOn(base: DataFrame, dim: Int, iters: Int): (Array[Double], Array[Double]) = {
-    val mu = dimMeans(base, dim)
-    val v = iterate(base, mu, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)), dim, iters)
+  private def fitOn(base: DataFrame, dim: Int, iters: Int,
+                    exact: Boolean = true): (Array[Double], Array[Double]) = {
+    val mu = dimMeans(base, dim, exact)
+    val v = iterate(base, mu, Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)), dim, iters, exact)
     (mu, v)
   }
 
@@ -128,8 +139,9 @@ object Pca {
       .where(size(col("__v")) === dim)
     val mu = dimMeans(raw.persist(StorageLevel.MEMORY_AND_DISK), dim)
     // center once; every deflation round works on a zero-mean residual
+    val mArr = array(mu.map(lit): _*)
     var cur = raw
-      .select(array((1 to dim).map(j => centered(j, mu)): _*).as("__v"))
+      .select(zip_with(col("__v"), mArr, (x, m) => x - m).as("__v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     raw.unpersist()
     val zero = Array.fill(dim)(0.0)
@@ -144,10 +156,10 @@ object Pca {
       val varProj = roundHalfAway(decOf(r, 0, "projected-variance").doubleValue / r.getLong(1), 9)
       (1 to dim).foreach(j => out += ((c.toLong, j.toLong, v(j - 1), varProj)))
       if (c < nComponents) {
+        val wArr = array(v.map(lit): _*)
         val next = cur
           .select(col("__v"), sExpr(zero, v, dim).as("__s"))
-          .select(array((1 to dim).map(j =>
-            element_at(col("__v"), j) - col("__s") * lit(v(j - 1))): _*).as("__v"))
+          .select(zip_with(col("__v"), wArr, (x, w) => x - col("__s") * w).as("__v"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent generation
         cur.unpersist()
@@ -168,11 +180,12 @@ object Pca {
     * compiles in milliseconds and map-side combine still reduces each
     * task to d partials before the (tiny, d-group) shuffle.
     */
-  private[operators] def dimMeans(base: DataFrame, dim: Int): Array[Double] = {
+  private[operators] def dimMeans(base: DataFrame, dim: Int,
+                                  exact: Boolean = true): Array[Double] = {
     val rows = base
       .select(posexplode(col("__v")).as(Seq("__j", "__x")))
       .groupBy("__j")
-      .agg(sum(col("__x").cast("decimal(28,9)")).as("__s"), count(lit(1)).as("__n"))
+      .agg(accum(col("__x"), exact).as("__s"), count(lit(1)).as("__n"))
       .collect()
     require(rows.nonEmpty, "Pca: input has no rows of the declared width")
     val byDim = rows.map(r => r.getInt(0) -> r).toMap
@@ -189,17 +202,24 @@ object Pca {
     * not change the totals the oracle replays); normalize, round to 9.
     */
   private def iterate(base: DataFrame, mu: Array[Double], v0: Array[Double],
-                      dim: Int, iters: Int): Array[Double] = {
+                      dim: Int, iters: Int, exact: Boolean = true): Array[Double] = {
     val muArr = array(mu.map(lit): _*)
     var v = v0
     var i = 0
     while (i < iters) {
-      val rows = base
-        .select(sExpr(mu, v, dim).as("__s"), posexplode(col("__v")).as(Seq("__j", "__x")))
+      // materialize (s, v) BEFORE the explode: column pruning rewires a
+      // projection under a Generate to recompute above it, so an inline
+      // __s would re-evaluate per exploded element — measured 64× the
+      // work (36s vs 2.3s per pass at 2M×64)
+      val withS = base.select(sExpr(mu, v, dim).as("__s"), col("__v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rows = withS
+        .select(col("__s"), posexplode(col("__v")).as(Seq("__j", "__x")))
         .groupBy("__j")
-        .agg(sum((col("__s") * (col("__x") - element_at(muArr, col("__j") + 1)))
-          .cast("decimal(28,9)")).as("__y"), count(lit(1)).as("__n"))
+        .agg(accum(col("__s") * (col("__x") - element_at(muArr, col("__j") + 1)), exact)
+          .as("__y"), count(lit(1)).as("__n"))
         .collect()
+      withS.unpersist()
       require(rows.nonEmpty, "Pca: input has no rows of the declared width")
       val byDim = rows.map(r => r.getInt(0) -> r).toMap
       val n = byDim(0).getLong(2)
@@ -216,13 +236,37 @@ object Pca {
 
   /** s = Σ_j v_j·(x_j − μ_j), left-associated, j ascending — the pinned
     * per-row projection both engines replay bit for bit.
+    *
+    * Shape note: expressed as a zip_with/aggregate LOOP, not d unrolled
+    * `element_at` terms. The values are BITWISE identical (same IEEE ops
+    * in the same order; the fold's 0.0 seed is absorbed by the first
+    * add), but the unrolled form generates a method past HotSpot's JIT
+    * size limit, demoting the whole stage to the bytecode interpreter —
+    * measured 304s vs 0.8s for one 2M-row pass of this expression.
     */
-  private def sExpr(mu: Array[Double], v: Array[Double], dim: Int): Column =
-    (1 to dim).map(j => lit(v(j - 1)) * centered(j, mu)).reduce(_ + _)
+  private def sExpr(mu: Array[Double], v: Array[Double], dim: Int): Column = {
+    val wArr = array(v.map(lit): _*)
+    val mArr = array(mu.map(lit): _*)
+    aggregate(
+      zip_with(zip_with(col("__v"), mArr, (x, m) => x - m), wArr, (c, w) => c * w),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
-  private def centered(j: Int, mu: Array[Double]): Column =
-    if (mu(j - 1) == 0.0) element_at(col("__v"), j)
-    else element_at(col("__v"), j) - lit(mu(j - 1))
+  /** Σ_j (x_j − μ_j)², same loop shape and association order. */
+  private def totSqExpr(mu: Array[Double]): Column = {
+    val mArr = array(mu.map(lit): _*)
+    aggregate(
+      zip_with(col("__v"), mArr, (x, m) => (x - m) * (x - m)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** exact: per-term DECIMAL(28,9) quantization + exact sum (the oracle
+    * doctrine); fast: native double sum cast to the same output type so
+    * the driver-side reads are shared.
+    */
+  private def accum(c: Column, exact: Boolean): Column =
+    if (exact) sum(c.cast("decimal(28,9)")).cast("decimal(38,9)")
+    else sum(c).cast("decimal(38,9)")
 
   private def decOf(row: org.apache.spark.sql.Row, i: Int, what: String): java.math.BigDecimal =
     Option(row.getDecimal(i)).getOrElse(throw new IllegalArgumentException(

@@ -32,14 +32,19 @@ object RandomProjection {
   /** out_o = round((Σ_i x_i·sign(o,i)) / √dimOut, 9) for o = 1..dimOut,
     * ascending-i left-associated sums — the pinned arithmetic both engines
     * replay exactly.
+    *
+    * Each output is a zip_with/aggregate LOOP over the sign array, not
+    * dimIn unrolled terms: bitwise the same values (the fold's 0.0 seed
+    * is absorbed by the first add), but dimOut×dimIn unrolled terms blow
+    * the generated stage past HotSpot's JIT method limit and the whole
+    * projection runs interpreted (the Pca.sExpr finding — 8×+ measured).
     */
   def projectExpr(vec: Column, dimIn: Int, dimOut: Int): Seq[Column] = {
     val v = vec.cast("array<double>")
     val scale = math.sqrt(dimOut.toDouble)
     (1 to dimOut).map { o =>
-      val dot = (1 to dimIn).map { i =>
-        element_at(v, i) * lit(component(o, i))
-      }.reduce(_ + _)
+      val sArr = array((1 to dimIn).map(i => lit(component(o, i))): _*)
+      val dot = aggregate(zip_with(v, sArr, (x, s) => x * s), lit(0.0), (a, x) => a + x)
       round(dot / lit(scale), 9)
     }
   }

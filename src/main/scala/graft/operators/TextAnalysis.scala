@@ -196,6 +196,37 @@ object TextAnalysis {
       .withColumnRenamed("__sh", "shingle")
       .distinct()
 
+  /** N-gram novelty vs a reference corpus — what fraction of a document's
+    * k-shingles has the accepted corpus NEVER seen? The memorization-risk
+    * / freshness gauge of an intake pipeline (novelty ≈ 0: the document
+    * re-states existing data; ≈ 1: genuinely new text), the per-document
+    * complement of [[contamination]]'s pairwise overlap counts.
+    *
+    * Scale shape: both sides shingle through the zero-exchange
+    * [[explodedShingles]] kernel; the reference reduces to its DISTINCT
+    * shingle set once, and the only exchange is the shingle equi-join +
+    * the doc-keyed count — shuffle ∝ shingle rows, never |docs|×|ref|.
+    * (For a reference that fits the broadcast budget, hint
+    * `broadcast(ref)` upstream; for repeated daily runs, store the
+    * reference's distinct-shingle table and join that — the q72
+    * stored-index pattern.)
+    */
+  def noveltyScore(docs: DataFrame, ref: DataFrame, textCol: String,
+                   idCol: String, k: Int = 5): DataFrame = {
+    val d = shingleRows(docs, textCol, idCol, k)
+    val r = shingleRows(ref, textCol, idCol, k)
+      .select(col("shingle")).distinct()
+      .withColumn("__seen", lit(1L))
+    d.join(r, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .select(col(idCol), col("n_shingles"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles").cast("double"), 9)
+          .as("novelty"))
+  }
+
   /** Benchmark-contamination check: for every (document, benchmark doc)
     * pair sharing at least one word k-shingle, the number of distinct
     * shared shingles. The join is an equi-join on the shingle string —

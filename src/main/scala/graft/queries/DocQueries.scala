@@ -1129,6 +1129,21 @@ object DocQueries {
         Tables(spark, dir).documents, "text", depth = 4, width = 256)
       .orderBy("depth", "bucket")
 
+  /** N-gram novelty scoring (TextAnalysis.noveltyScore): odd-id documents
+    * as the incoming batch measured against the even-id half as the
+    * accepted reference — per document, how many of its 5-shingles the
+    * reference has never seen. One shingle equi-join + one doc-keyed
+    * count; the oracle replays the shingle kernel on both sides and the
+    * left-join fraction.
+    */
+  def q138NoveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    TextAnalysis.noveltyScore(
+        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0),
+        "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -1264,6 +1264,25 @@ object OracleSql {
 
     "q135_pca_projection" -> pcaScoreSql(64, 3),
 
+    // TextAnalysis.noveltyScore replayed: the q49 shingle kernel on both
+    // halves, reference reduced to its distinct shingle set, left-join
+    // seen fraction per incoming document
+    "q138_novelty_score" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w) - 4, 1)),
+        |         i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+        |       FROM w),
+        |d AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+        |r AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0)
+        |SELECT d.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |       round(1.0 - CAST(sum(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE), 9) AS novelty
+        |FROM d LEFT JOIN r ON d.shingle = r.shingle
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // Sketch.countMinSketch replayed: token counts, then the salted-md5
     // cell fan-out (the Sampling.bucket conv <-> 0x-cast parity) summed
     // per (depth, bucket)

@@ -101,6 +101,19 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("the fast (double-sum) twin agrees with the exact decimal path to 1e-6") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ex = Pca.topComponent(emb, "embedding", 64).collect().sortBy(_.getLong(0))
+    val fa = Pca.topComponent(emb, "embedding", 64, exact = false).collect().sortBy(_.getLong(0))
+    ex.zip(fa).foreach { case (e, f) =>
+      assert(math.abs(e.getAs[Double]("loading") - f.getAs[Double]("loading")) < 1e-6,
+        s"dim ${e.getLong(0)}: ${e.getAs[Double]("loading")} vs ${f.getAs[Double]("loading")}")
+      assert(math.abs(e.getAs[Double]("mu") - f.getAs[Double]("mu")) < 1e-6)
+    }
+    assert(math.abs(ex.head.getAs[Double]("explained_ratio") -
+      fa.head.getAs[Double]("explained_ratio")) < 1e-6)
+  }
+
   test("zero-variance input fails loudly instead of emitting NaN loadings") {
     val d = vecs(Seq.fill(5)(Seq(1.0, 2.0, 3.0)))
     val e = intercept[IllegalArgumentException] {

@@ -499,4 +499,33 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(run2 === expected, "result must not depend on input partitioning")
   }
+
+  test("noveltyScore: copies score 0, fresh text scores 1, half-overlap is exact") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // k=3 shingles of ref: "a b c","b c d",...,"f g h" (6 shingles)
+    val docs = Seq(
+      (10L, "a b c d e f g h"),            // exact copy: novelty 0
+      (11L, "x y z w v u"),                // disjoint: novelty 1
+      (12L, "a b c d x")                   // shingles: abc,bcd,cdx -> 2 seen of 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, ref, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Double]("novelty") == 0.0)
+    assert(out(11L).getAs[Double]("novelty") == 1.0)
+    assert(out(12L).getAs[Long]("n_shingles") == 3L)
+    assert(out(12L).getAs[Long]("n_seen") == 2L)
+    assert(out(12L).getAs[Double]("novelty") == math.rint((1.0 - 2.0 / 3.0) * 1e9) / 1e9)
+  }
+
+  test("noveltyScore: short documents fall back to the single whole-text shingle") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b"), (11L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, ref, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Long]("n_shingles") == 1L && out(10L).getAs[Double]("novelty") == 0.0)
+    assert(out(11L).getAs[Double]("novelty") == 1.0)
+  }
 }
