@@ -77,17 +77,19 @@ object ScaleProofR8b {
 
     // ---- 2. JL projection: 2M x (64 -> 16), pure map pass -------------
     val withId = synth(nVecs, 1)
+    // checksum via a per-row fold, NOT an explode of proj — a projection
+    // under a Generate re-evaluates above it per element (the Pca finding)
     def projSum(df: org.apache.spark.sql.DataFrame) =
       RandomProjection.project(df, "embedding", "id", 64, 16)
-        .select(explode(col("proj")).as("x"))
-        .agg(sum(col("x").cast("decimal(28,9)")).cast("string"), count(lit(1)))
+        .select(aggregate(col("proj"), lit(0.0), (a, x) => a + x).as("rowsum"))
+        .agg(sum(col("rowsum").cast("decimal(28,9)")).cast("string"), count(lit(1)))
         .head
     val tJ = System.nanoTime()
     val ps1 = projSum(withId)
     val projSec = secs(tJ)
     val ps2 = projSum(withId.repartition(83))
     val projOk = ps1.getString(0) == ps2.getString(0) &&
-      ps1.getLong(1) == nVecs * 16
+      ps1.getLong(1) == nVecs
 
     // ---- 3. Calibration at 10M rows -----------------------------------
     val nCal = 10000000L

@@ -44,8 +44,8 @@ object Pca {
     * Runs AT CALL TIME (2 + iters Spark jobs — means, iterations, final
     * variance split); the returned frame is a local literal, the fit/
     * BPE-train contract. `exact = false` swaps the decimal accumulators
-    * for native double sums — the ~50×-faster production twin (see
-    * [[fitOn]]); the oracle runs the exact form.
+    * for native double sums (see [[fitOn]]); the oracle runs the exact
+    * form.
     */
   def topComponent(df: DataFrame, vecCol: String, dim: Int,
                    iters: Int = 3, exact: Boolean = true): DataFrame = {
@@ -109,11 +109,13 @@ object Pca {
     * [[scoreTopComponent]].
     *
     * `exact = true` is the oracle doctrine (DECIMAL(28,9) accumulation:
-    * partition-order-invariant, engine-replayable, and ~50× slower at
-    * scale — BigDecimal adds dominate). `exact = false` is the
-    * production twin (the [[Similarity.refineCentroids]] precedent):
-    * native double sums, same plan shape, loadings agreeing to ~1e-9 on
-    * real data but carrying last-ulp partition-order sensitivity.
+    * partition-order-invariant, engine-replayable). `exact = false` is
+    * the double-sum twin (the [[Similarity.refineCentroids]] precedent):
+    * same plan shape, loadings agreeing to ~1e-9 on real data but
+    * carrying last-ulp partition-order sensitivity. Post-codegen-fix the
+    * decimal contract is a MODEST surcharge, not a regime change
+    * (SCALEPROOF_r8c ledgers both at 2M like for like) — prefer exact
+    * unless profiling says otherwise.
     */
   private def fitOn(base: DataFrame, dim: Int, iters: Int,
                     exact: Boolean = true): (Array[Double], Array[Double]) = {
