@@ -1144,6 +1144,49 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — the 100-TB shape of q49/q106:
+    * instead of equi-joining the corpus's shingle stream against the
+    * benchmark's (shuffle ∝ corpus shingles), build a Bloom filter over
+    * the benchmark's distinct 5-shingles ONCE (bounded by m bits)
+    * and probe each corpus shingle against the BROADCAST bit table; only
+    * bloom-flagged docs proceed to the exact confirm join. Per flagged
+    * doc the output carries n_shingles, the bloom hit count and the exact
+    * hit count — no false negatives (n_bloom_hits ≥ n_exact_hits always,
+    * so nothing contaminated escapes the prefilter), and the FP surplus
+    * is visible and bounded by (1−e^(−kn/m))^k. Benchmark membership is
+    * q49's doc_id % 97 fence. m is DELIBERATELY undersized here (2^11 for
+    * a few hundred benchmark shingles) so the false-positive tail is
+    * non-empty and oracle-checked, not just theorized; production sizing
+    * (m ≈ 1.44·k·n) drives it to the configured ε. The oracle replays the
+    * shingle kernel, the salted-md5 bit positions, and both counts.
+    */
+  def q140BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bloom
+    val d = Tables(spark, dir).documents
+    val bench = d.where(col("doc_id") % 97 === 0)
+    val corpus = d.where(col("doc_id") % 97 =!= 0)
+    val benchSh = TextAnalysis.shingleRows(bench, "text", "doc_id", 5)
+      .select(col("shingle")).distinct()
+    val k = 2; val m = 2048
+    val bits = Bloom.build(benchSh, "shingle", k = k, mBits = m)
+    val corpusSh = TextAnalysis.explodedShingles(corpus, "text", "doc_id", 5)
+    val perShingle = corpusSh
+      .select(col("doc_id"), col("__sh"),
+        explode(array((0 until k).map(i => Bloom.bitPos(i, col("__sh"), m)): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("__sh"))
+      .agg((sum(coalesce(col("__set"), lit(0))) === k).cast("long").as("bloom_hit"))
+      .join(broadcast(benchSh.withColumnRenamed("shingle", "__sh")
+        .withColumn("__exact", lit(1L))), Seq("__sh"), "left")
+    perShingle
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("bloom_hit")).as("n_bloom_hits"),
+        sum(coalesce(col("__exact"), lit(0L))).as("n_exact_hits"))
+      .where(col("n_bloom_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

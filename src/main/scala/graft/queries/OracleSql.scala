@@ -1283,6 +1283,106 @@ object OracleSql {
         |FROM d LEFT JOIN r ON d.shingle = r.shingle
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // Bloom.build + Bloom.probe replayed: salted-md5 bit positions of the
+    // ordering customers (k=3, m=4096), probed with every customer key;
+    // member = all 3 positions set, truth joined back for FP visibility
+    "q139_bloom_membership" ->
+      """WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+        |bits AS (
+        |  SELECT DISTINCT CAST(concat('0x', substr(md5(i.i || '_' || key), 1, 12)) AS BIGINT) % 4096 AS pos
+        |  FROM keys CROSS JOIN range(3) i(i)),
+        |fan AS (
+        |  SELECT c_custkey, CAST(concat('0x', substr(md5(i.i || '_' || CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 4096 AS pos
+        |  FROM (SELECT DISTINCT c_custkey FROM customer) CROSS JOIN range(3) i(i)),
+        |hits AS (
+        |  SELECT c_custkey, sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM fan LEFT JOIN bits b ON fan.pos = b.pos GROUP BY 1),
+        |act AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT CAST(h.c_custkey AS BIGINT) AS c_custkey,
+        |       CAST(n_hit AS BIGINT) AS n_hit,
+        |       CAST(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END AS BIGINT) AS member,
+        |       CAST(CASE WHEN act.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS actual
+        |FROM hits h LEFT JOIN act ON h.c_custkey = act.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Bloom-prefiltered decontamination replayed: q49's shingle kernel on
+    // both fences, the benchmark's k=2/m=2^11 bit table (undersized by
+    // design so the FP tail shows), per-shingle all-positions-set
+    // verdict, exact confirm, per-doc counts
+    "q140_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w) - 4, 1)),
+        |         i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+        |       FROM w),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |bits AS (
+        |  SELECT DISTINCT CAST(concat('0x', substr(md5(i.i || '_' || shingle), 1, 12)) AS BIGINT) % 2048 AS pos
+        |  FROM bsh CROSS JOIN range(2) i(i)),
+        |fan AS (
+        |  SELECT doc_id, shingle,
+        |         CAST(concat('0x', substr(md5(i.i || '_' || shingle), 1, 12)) AS BIGINT) % 2048 AS pos
+        |  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0) CROSS JOIN range(2) i(i)),
+        |ps AS (
+        |  SELECT doc_id, shingle,
+        |         CASE WHEN sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 2 THEN 1 ELSE 0 END AS bloom_hit
+        |  FROM fan LEFT JOIN bits b ON fan.pos = b.pos GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT ps.doc_id, ps.bloom_hit,
+        |         CASE WHEN bsh.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        |  FROM ps LEFT JOIN bsh ON ps.shingle = bsh.shingle)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+        |       CAST(sum(exact_hit) AS BIGINT) AS n_exact_hits
+        |FROM pe GROUP BY 1 HAVING sum(bloom_hit) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Zipf fit replayed: q47's token counts, frequency-ranked top 1000,
+    // ln-ln least squares via the same moment-based regr_* closed forms
+    "q141_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+        |tc AS (SELECT word, count(*) AS freq FROM toks WHERE length(word) > 0 GROUP BY 1),
+        |head AS (SELECT word, freq FROM tc ORDER BY freq DESC, word LIMIT 1000),
+        |ranked AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank, freq
+        |           FROM head)
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |       round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+        |       round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+        |       round(regr_r2(ln(freq), ln(rank)), 6) AS r2
+        |FROM ranked""".stripMargin,
+
+    // Entity resolution replayed: q123's deletion-variant pair blocking
+    // (t=1 confirm), q57's recursive-CTE reachability with min-label
+    // components, singleton entities via the left join, and the
+    // golden-record window election
+    "q142_entity_resolution" ->
+      """WITH RECURSIVE
+        |base AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |         WHERE c_custkey < 2500 AND c_name IS NOT NULL),
+        |dels AS (SELECT id, s, unnest(generate_series(1, length(s))) AS i FROM base),
+        |vars AS (SELECT id, s, s AS var FROM base
+        |         UNION ALL
+        |         SELECT id, s, substr(s, 1, i - 1) || substr(s, i + 1) AS var FROM dels),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |      FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id
+        |      WHERE levenshtein(a.s, b.s) <= 1),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM ed),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1),
+        |asg AS (
+        |  SELECT b.c_custkey AS id, b.c_acctbal, coalesce(c.component, b.c_custkey) AS entity
+        |  FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 2500) b
+        |  LEFT JOIN comp c ON b.c_custkey = c.id)
+        |SELECT CAST(id AS BIGINT) AS c_custkey, CAST(entity AS BIGINT) AS entity,
+        |       CAST(CASE WHEN row_number() OVER (PARTITION BY entity ORDER BY c_acctbal DESC, id) = 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM asg ORDER BY c_custkey""".stripMargin,
+
     // Sketch.countMinSketch replayed: token counts, then the salted-md5
     // cell fan-out (the Sampling.bucket conv <-> 0x-cast parity) summed
     // per (depth, bucket)

@@ -854,6 +854,89 @@ object RelationalQueries {
       "l_extendedprice", buckets = 10)
   }
 
+  /** Bloom-filter build + membership probe (operators/Bloom.scala): the
+    * set-bit table of the ordering customers' Bloom filter (k=3 salted-md5
+    * hashes into m=4096 bits), probed with EVERY customer key. Emits per
+    * probe key the hit count, the filter's verdict, and ground truth — so
+    * the no-false-negative guarantee (actual=1 ⇒ member=1) and the
+    * false-positive tail are both visible in the oracle-checked output.
+    * Build state is bounded by m rows regardless of input cardinality;
+    * the probe joins against the BROADCAST bit table — at 100 TB the
+    * "already ingested?" check costs m/8 bytes per executor, not a
+    * shuffle of the key set. The oracle replays the salted-md5 positions
+    * bit-for-bit.
+    */
+  def q139BloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bits = graft.operators.Bloom.build(
+      t.orders.select(col("o_custkey")), "o_custkey", k = 3, mBits = 4096)
+    val truth = t.orders.select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("actual", lit(1L))
+    graft.operators.Bloom.probe(bits, t.customer.select(col("c_custkey")),
+        "c_custkey", k = 3, mBits = 4096)
+      .withColumn("member", when(col("member"), 1L).otherwise(0L))
+      .join(truth, Seq("c_custkey"), "left")
+      .withColumn("actual", coalesce(col("actual"), lit(0L)))
+      .orderBy("c_custkey")
+  }
+
+  /** Zipf's-law fit over the corpus vocabulary: regress ln(frequency) on
+    * ln(rank) for the top 1000 words (ranked by frequency, ties broken by
+    * word) — the standard corpus-health diagnostic (natural text slopes
+    * ≈ −1; scraped boilerplate and synthetic text bend the curve). One
+    * vocabulary-bounded token aggregation (q47's shape), a single
+    * TakeOrderedAndProject for the head, then the built-in moment-based
+    * regr_slope/intercept/r2 — all map-side combinable, nothing
+    * corpus-sized past the first group-by. Oracle replays rank, logs and
+    * the regression closed form.
+    */
+  def q141ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables(spark, dir).documents
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(1000)
+      .select(row_number().over(
+          Window.orderBy(col("freq").desc, col("word"))).cast("long").as("rank"),
+        col("freq"))
+    freqs.agg(
+      count(lit(1)).as("n_words"),
+      round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
+      round(expr("regr_intercept(ln(freq), ln(rank))"), 6).as("zipf_intercept"),
+      round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("r2"))
+  }
+
+  /** Entity resolution end-to-end: blocked fuzzy matching (q123's
+    * SymSpell join, t=1) → connected components over the match graph →
+    * golden-record election per entity (highest account balance, id
+    * tie-break). The classic MDM/record-linkage composition the
+    * reference's dedup (`dags/sri_vehiculos_etl_dag.py:146-161`, exact
+    * only) cannot express. Unmatched records form singleton entities via
+    * the left join + coalesce, so the output partitions the input. Scale:
+    * the pair graph is the fuzzy join's variant-blocked output (never
+    * n²), components run min-label over edges, and the election is one
+    * row_number window per entity — shuffle ∝ records. Bounded to the
+    * q126 key subset for the same key-density reason. Oracle: deletion-
+    * variant pair replay + recursive-CTE reachability + window election.
+    */
+  def q142EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer.where(col("c_custkey") < 2500)
+    val pairs = graft.operators.FuzzyJoin
+      .editDistanceKJoin(cust, "c_name", "c_custkey", t = 1)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.Components
+      .connectedComponents(pairs, "id_a", "id_b")
+    val elect = Window.partitionBy(col("entity"))
+      .orderBy(col("c_acctbal").desc, col("id"))
+    cust.select(col("c_custkey").cast("long").as("id"), col("c_acctbal"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("entity", coalesce(col("component"), col("id")))
+      .withColumn("is_canonical",
+        when(row_number().over(elect) === 1, 1L).otherwise(0L))
+      .select(col("id").as("c_custkey"), col("entity"), col("is_canonical"))
+      .orderBy("c_custkey")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

@@ -34,7 +34,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q115_budget_select",   // 1-row fence table + nBuckets-row offsets broadcast-crossed, as q114
     "q118_dedup_eval",      // bounded all-pairs TRUTH baseline (the q26 shape) + 1-row metric cross joins
     "q119_vocab_coverage",  // 1-row corpus-total broadcast-crossed into the coverage curve, as q58/q88's bounds
-    "q129_hybrid_serving"   // composes q99's constants cross join + q25's 1-row query-vector broadcast, as q96
+    "q129_hybrid_serving",  // composes q99's constants cross join + q25's 1-row query-vector broadcast, as q96
+    "q133_calibration"      // 1-row brier/log-loss/n_total scalar table broadcast-crossed onto the bin rows, as q58/q88
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
@@ -51,7 +52,10 @@ class PlanInvariantSpec extends SparkTestBase {
     "q117_retain_central",
     // the incremental allocator reads max(existing) at construction; its
     // building blocks (scalable two-phase ids) are covered by q07/q08 plans
-    "q69_incremental_dim")
+    "q69_incremental_dim",
+    // composes q123's fuzzy pairs into Components (eager at construction);
+    // the pair-generation plan is guarded through q123/q126
+    "q142_entity_resolution")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
