@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Bloom
+import org.apache.spark.sql.functions._
+
+class BloomStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeBatches(batches: Seq[Seq[String]]): java.nio.file.Path = {
+    val streamDir = java.nio.file.Files.createTempDirectory("bloom-keys")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"bb$i").toString + "/out"
+      rows.toDF("k").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/batch_$i.parquet"))
+    }
+    streamDir
+  }
+
+  test("streamed state equals the one-shot build; seen keys are never re-emitted") {
+    val seedKeys = (1 to 100).map(i => s"seed_$i")
+    val batches = Seq(
+      (1 to 50).map(i => s"b0_$i"),
+      // batch 1 re-delivers half of batch 0 plus fresh keys
+      (1 to 25).map(i => s"b0_$i") ++ (1 to 30).map(i => s"b1_$i"),
+      // batch 2 re-delivers seed keys plus fresh keys
+      (1 to 40).map(i => s"seed_$i") ++ (1 to 20).map(i => s"b2_$i"))
+    val streamDir = writeBatches(batches)
+    val statePath = java.nio.file.Files.createTempDirectory("bloom-state").toString + "/st"
+    val newPath = java.nio.file.Files.createTempDirectory("bloom-new").toString + "/new"
+
+    BloomStream.seed(seedKeys.toDF("k"), statePath, "k", k = 3, mBits = 32768)
+    val schema = batches.head.toDF("k").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    BloomStream.filterNewAvailableNow(stream, statePath, newPath, "k",
+      k = 3, mBits = 32768)
+
+    // final merged state == one-shot build over seed + every batch
+    val streamed = BloomStream.bits(spark, statePath)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val oneShot = Bloom.build((seedKeys ++ batches.flatten).toDF("k"), "k",
+        k = 3, mBits = 32768)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === oneShot)
+
+    // no key is emitted twice, and nothing from the seed or an earlier
+    // batch leaks through (zero false negatives across segments)
+    val emitted = spark.read.option("recursiveFileLookup", "true").parquet(newPath)
+      .collect().map(_.getString(0)).toSeq
+    assert(emitted.distinct.size === emitted.size, "a key was emitted twice")
+    assert(!emitted.exists(_.startsWith("seed_")), "a seeded key leaked through")
+    assert(emitted.count(_.startsWith("b0_")) <= 50, "a re-delivered b0 key leaked")
+
+    // at m=32768 / ~265 keys the FP rate is ~1e-5: every genuinely-new
+    // key should have made it through (held-back FPs would show here)
+    val freshTruth = batches.flatten.distinct.filterNot(seedKeys.contains)
+    assert(emitted.toSet === freshTruth.toSet,
+      s"emitted ${emitted.size} vs ${freshTruth.size} genuinely-new keys")
+  }
+
+  test("unseeded state is refused loudly") {
+    val statePath = java.nio.file.Files.createTempDirectory("bloom-x").toString + "/st"
+    val streamDir = writeBatches(Seq(Seq("a")))
+    val stream = spark.readStream.schema(Seq("a").toDF("k").schema)
+      .parquet(streamDir.toString)
+    val e = intercept[IllegalArgumentException] {
+      BloomStream.filterNewAvailableNow(stream, statePath, statePath + "/n", "k")
+    }
+    assert(e.getMessage.contains("not seeded"))
+  }
+}
