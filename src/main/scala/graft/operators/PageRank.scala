@@ -78,4 +78,62 @@ object PageRank {
     withDeg.unpersist()
     ranks
   }
+
+  /** Personalized PageRank: teleport mass goes ONLY to the seed set —
+    * `r'(v) = (1-d)·t(v) + d · Σ r(u)/deg(u)` with t(v) = 1 for seeds,
+    * 0 otherwise (unnormalized on purpose: rank is then comparable
+    * across seed-set sizes, and the arithmetic replays engine-exactly
+    * without a 1/|S| division). Rank concentrates around the seeds with
+    * graph distance — the trusted-seed expansion signal of a curation
+    * pipeline ("find everything that clusters near this vetted corpus"),
+    * the graph-side analogue of q109's embedding hard-negative mining.
+    *
+    * Same per-iteration shape and determinism doctrine as [[pageRank]]
+    * (edge join + decimal-quantized aggregation, one-generation lineage);
+    * the seed table joins the vertex set once, broadcast-sized.
+    */
+  def personalizedPageRank(edges: DataFrame, aCol: String, bCol: String,
+                           seeds: DataFrame, seedIdCol: String,
+                           iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val base = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+    val directed = base
+      .union(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degrees = directed.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val withDeg = directed.join(degrees, Seq("__src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = directed.select(col("__src").as("id")).distinct()
+      .join(broadcast(seeds.select(col(seedIdCol).as("id")).distinct()
+        .withColumn("__t", lit(1.0))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__t"), lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = teleport.select(col("id"), col("t").as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iterations) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("id", "__src"), Seq("__src"))
+        .select(col("__dst").as("id"),
+          (col("rank") / col("__deg")).cast("decimal(28,9)").as("__c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__c")).cast("double").as("__s"))
+      val next = teleport
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) * col("t")
+            + lit(damping) * coalesce(col("__s"), lit(0.0)), 9).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    directed.unpersist()
+    withDeg.unpersist()
+    teleport.unpersist()
+    ranks
+  }
 }

@@ -624,6 +624,27 @@ object DocQueries {
       .select(col("id").as("doc_id"), col("rank").as("pr"))
       .orderBy("doc_id")
 
+  /** Personalized PageRank from a trusted seed set (PageRank
+    * .personalizedPageRank): teleport mass pinned to the doc_id % 50
+    * seed fence over q27's minhash candidate graph — rank concentrates
+    * around the seeds with graph distance, the trusted-seed expansion
+    * signal of a curation pipeline (the graph-side analogue of q109's
+    * embedding hard-negative mining). Same per-iteration shape as q116:
+    * one edge join + one decimal-quantized map-side-combinable
+    * aggregation; the seed table broadcasts onto the vertex set once.
+    * The oracle replays 3 unrolled iterations hash-exactly.
+    */
+  def q143PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    PageRank.personalizedPageRank(cand, "id_a", "id_b",
+        docs.where(col("doc_id") % 50 === 0).select(col("doc_id")), "doc_id",
+        iterations = 3)
+      .select(col("id").as("doc_id"), col("rank").as("ppr"))
+      .orderBy("doc_id")
+  }
+
   /** Centrality-based canonical retention: q70's keep-one-per-cluster,
     * but the keeper is the cluster's highest-PageRank member (q116's
     * centrality over the SAME confirmed near-dup graph) instead of the

@@ -272,6 +272,33 @@ object OracleSql {
        |SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""".stripMargin
   }
 
+  /** q143: prIter with the teleport term pinned to the seed indicator —
+    * (1−d)·t(v) + d·Σ, same decimal-quantized contribution sum.
+    */
+  private def pprIter(prev: String, cur: String): String =
+    s"""$cur AS (SELECT tp.id,
+       |  round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tp.t
+       |        + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)), 9) AS pr
+       |  FROM tp LEFT JOIN (
+       |    SELECT e.dst AS id,
+       |           CAST(sum(CAST($prev.pr / deg.d AS DECIMAL(28,9))) AS DOUBLE) AS c
+       |    FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+       |    GROUP BY 1) s ON tp.id = s.id)""".stripMargin
+
+  private val personalizedPageRankSql: String =
+    s"""WITH $minhashCandCtes,
+       |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |      UNION ALL SELECT id_b, id_a FROM cand),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |tp AS (SELECT id, CASE WHEN id % 50 = 0 THEN CAST(1.0 AS DOUBLE)
+       |                       ELSE CAST(0.0 AS DOUBLE) END AS t FROM verts),
+       |r0 AS (SELECT id, t AS pr FROM tp),
+       |${pprIter("r0", "r1")},
+       |${pprIter("r1", "r2")},
+       |${pprIter("r2", "r3")}
+       |SELECT id AS doc_id, pr AS ppr FROM r3 ORDER BY doc_id""".stripMargin
+
   /** q117: q70's component chain + q116's PageRank arithmetic over the
     * SAME confirmed near-dup graph, keeping each component's highest-
     * centrality member (pr desc, doc_id tiebreak); singletons keep
@@ -872,6 +899,7 @@ object OracleSql {
 
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q116_pagerank" -> pageRankSql,
+    "q143_personalized_pagerank" -> personalizedPageRankSql,
     "q117_retain_central" -> retainCentralSql,
     "q118_dedup_eval" -> dedupEvalSql,
     "q119_vocab_coverage" -> vocabCoverageSql,

@@ -61,4 +61,52 @@ class PageRankSpec extends SparkTestBase {
     assert(got(2L) === state._2)
     assert(got(3L) === state._3)
   }
+
+  test("personalized: hand-computed path graph, teleport pinned to seed 1") {
+    // path 1-2-3, seed {1}, t = [1,0,0], r0 = t; hand-unrolled:
+    //   r1 = [0.15, 0.85, 0]
+    //   r2 = [0.51125, 0.1275, 0.36125]
+    //   r3 = [0.2041875, 0.741625, 0.0541875]
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = PageRank.personalizedPageRank(path, "a", "b",
+        Seq(1L).toDF("doc_id"), "doc_id", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.2041875)
+    assert(got(2L) === 0.741625)
+    assert(got(3L) === 0.0541875)
+  }
+
+  test("personalized: rank decays with graph distance from the seed") {
+    // path 0-1-2-3-4-5, seed {0}: monotone decay along the path after
+    // enough iterations for mass to reach the far end
+    val path = (0L to 4L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = PageRank.personalizedPageRank(path, "a", "b",
+        Seq(0L).toDF("id"), "id", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 6)
+    assert(got(5L) > 0.0, "mass must reach the far end after 6 iterations")
+    assert(got(1L) > got(3L) && got(3L) > got(5L),
+      s"rank must decay with distance from the seed: $got")
+  }
+
+  test("personalized: a component with no seed drains to zero") {
+    // two disjoint edges; seed only in the first component
+    val g = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val got = PageRank.personalizedPageRank(g, "a", "b",
+        Seq(1L).toDF("id"), "id", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(10L) === 0.0 && got(11L) === 0.0)
+    assert(got(1L) > 0.0 && got(2L) > 0.0)
+  }
+
+  test("personalized: deterministic across repartitioning") {
+    val edges = (1L to 60L).map(i => (i, i % 20)).toDF("a", "b")
+    val seeds = Seq(0L, 7L).toDF("id")
+    val a = PageRank.personalizedPageRank(edges, "a", "b", seeds, "id", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = PageRank.personalizedPageRank(edges.repartition(7), "a", "b",
+        seeds, "id", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
 }
