@@ -72,4 +72,40 @@ object Sketch {
       .groupBy(col("__tok").as("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Per-group KMV (k-minimum-values) distinct-count sketch — q58's
+    * global estimator partitioned: keep each group's k smallest distinct
+    * 60-bit md5 hashes, estimate `(k-1)·2^60 / kth_smallest` (exact
+    * `k_seen` when a group has fewer than k distinct keys).
+    *
+    * Scale shape: the rank filter `row_number() <= k` over
+    * (group, hash-asc) is rewritten by Spark's InferWindowGroupLimit
+    * into a PARTIAL WindowGroupLimit before the exchange and a final one
+    * after — each map task forwards at most k rows per group, so the
+    * shuffle carries ≤ k·groups·partitions rows instead of every
+    * distinct hash: the per-group form of q58's TakeOrderedAndProject
+    * reduce, and exactly how a 100-TB "distinct users per day" sweep
+    * should plan. Returns (groupCol, k_seen, kth_hash, est_nd).
+    */
+  def kmvPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val m = math.pow(2.0, 60) // the 15-hex-char hash range
+    val hashed = df
+      .select(col(groupCol),
+        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__h"))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("__h")).as("kth_hash"), count(lit(1)).as("k_seen"))
+      .select(col(groupCol), col("k_seen"), col("kth_hash"),
+        when(col("k_seen") < k, col("k_seen").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * m / col("kth_hash"), 2))
+          .as("est_nd"))
+  }
 }

@@ -1380,6 +1380,30 @@ object OracleSql {
         |       round(regr_r2(ln(freq), ln(rank)), 6) AS r2
         |FROM ranked""".stripMargin,
 
+    // Sketch.kmvPerGroup replayed: q58's md5 hash family, per-group
+    // row_number rank <= k, the (k-1)*2^60/kth estimate, exact joined back
+    "q144_kmv_per_group" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS grp,
+        |         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+        |kmv AS (SELECT grp, max(h) AS kth_hash, count(*) AS k_seen FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS exact_nd
+        |       FROM lineitem GROUP BY 1)
+        |SELECT kmv.grp AS grp, CAST(k_seen AS BIGINT) AS k_seen, kth_hash,
+        |       CASE WHEN k_seen < 64 THEN CAST(k_seen AS DOUBLE)
+        |            ELSE round(63.0 * 1152921504606846976.0 / kth_hash, 2) END AS est_nd,
+        |       CAST(exact_nd AS BIGINT) AS exact_nd
+        |FROM kmv JOIN ex ON kmv.grp = ex.grp ORDER BY 1""".stripMargin,
+
+    // Privacy.kAnonymityClasses replayed: one aggregation per quasi
+    // combination, verdict at k=10
+    "q145_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS anonymous
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Entity resolution replayed: q123's deletion-variant pair blocking
     // (t=1 confirm), q57's recursive-CTE reachability with min-label
     // components, singleton entities via the left join, and the

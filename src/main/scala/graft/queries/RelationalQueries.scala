@@ -937,6 +937,37 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Per-group KMV distinct-count sketch (Sketch.kmvPerGroup): q58's
+    * estimator partitioned by l_returnflag, exact counts joined back for
+    * the error to be visible in the oracle-checked output. The rank
+    * filter plans as a PARTIAL WindowGroupLimit before the exchange
+    * (plan-pinned in SketchSpec): each map task forwards ≤ k rows per
+    * group, so the shuffle is k·groups·partitions — the "distinct users
+    * per day at 100 TB" shape.
+    */
+  def q144KmvPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val est = graft.operators.Sketch.kmvPerGroup(
+      li.select(col("l_returnflag").as("grp"), col("l_partkey")),
+      "grp", "l_partkey", k = 64)
+    val exact = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+    est.join(exact, Seq("grp")).orderBy("grp")
+  }
+
+  /** k-anonymity audit (Privacy.kAnonymityClasses): every
+    * (nation, market-segment) equivalence class with its size and
+    * verdict at k=10 — the structured-data privacy gate beside q48's
+    * text redaction; one map-side-combinable aggregation bounded by
+    * distinct quasi combinations. Row-level suppression
+    * (Privacy.suppressBelowK) is spec-covered including the null-combo
+    * class an equi-join would miss.
+    */
+  def q145KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymityClasses(
+        Tables(spark, dir).customer, Seq("c_nationkey", "c_mktsegment"), k = 10)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
