@@ -61,8 +61,16 @@ object FuzzyJoin {
     * growth makes deeper thresholds the wrong algorithm (use the q32-style
     * n-gram Jaccard prefilter instead).
     */
-  def editDistanceKJoin(df: DataFrame, strCol: String, idCol: String, t: Int): DataFrame = {
-    require(t >= 1 && t <= 3, s"editDistanceKJoin supports 1 <= t <= 3, got $t")
+  /** The up-to-t-deletion variant table of a corpus — (__id, __s, __vh):
+    * one row per (string, variant-hash), the joinable/storable blocking
+    * index. This IS the "fuzzy index" an incremental pipeline persists
+    * (EntityResolution.resolveIncrement joins tomorrow's increment
+    * against today's stored table instead of re-signing the corpus).
+    * The frontier is DISTINCTED per deletion level before expanding —
+    * see [[editDistanceKJoin]] for why that ordering matters.
+    */
+  def deletionVariants(df: DataFrame, strCol: String, idCol: String, t: Int): DataFrame = {
+    require(t >= 1 && t <= 3, s"deletionVariants supports 1 <= t <= 3, got $t")
     val base = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
     val identity = base.select(col("__id"), col("__s"), col("__s").as("__var"))
@@ -89,18 +97,24 @@ object FuzzyJoin {
       all = all.unionByName(frontier)
       d += 1
     }
+    // hash AFTER the exact string distinct keeps the dedup collision-free;
+    // the 8-byte key keeps every downstream exchange narrow
+    all.select(col("__id"), col("__s"), xxhash64(col("__var")).as("__vh"))
+  }
+
+  def editDistanceKJoin(df: DataFrame, strCol: String, idCol: String, t: Int): DataFrame = {
+    require(t >= 1 && t <= 3, s"editDistanceKJoin supports 1 <= t <= 3, got $t")
     // join on the variant's 8-byte hash, not the string: the exchange
     // carries a fixed-width key instead of len-char text, and exactness
     // survives — equal variants hash equal (no true pair lost), and a
     // hash collision only ADDS a candidate the levenshtein confirm
-    // below removes. Hashing AFTER the exact string distinct keeps the
-    // dedup collision-free.
+    // below removes.
     // persist: BOTH self-join sides read this table — without the cache
     // each side recomputes the whole t-level expansion and its distincts
     // (the exchanges don't canonicalize equal across the a/b aliasing),
     // doubling the dominant cost. Freed by the caller's cache hygiene
     // (Bench clears between queries) or session end.
-    val variants = all.select(col("__id"), col("__s"), xxhash64(col("__var")).as("__vh"))
+    val variants = deletionVariants(df, strCol, idCol, t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = variants.select(col("__id").as("id_a"), col("__s").as("name_a"), col("__vh"))
     val b = variants.select(col("__id").as("id_b"), col("__s").as("name_b"), col("__vh"))

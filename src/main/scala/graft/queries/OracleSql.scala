@@ -1404,6 +1404,35 @@ object OracleSql {
         |       CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS anonymous
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Incremental entity resolution: the oracle is the FULL resolve over
+    // the whole key range (q142's pair+reach chain, no election) — the
+    // engine computes it incrementally from the even-key generation's
+    // stored index + assignments, so a hash match IS the
+    // incremental==full theorem
+    "q146_incremental_entity_resolution" ->
+      """WITH RECURSIVE
+        |base AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |         WHERE c_custkey < 2500 AND c_name IS NOT NULL),
+        |dels AS (SELECT id, s, unnest(generate_series(1, length(s))) AS i FROM base),
+        |vars AS (SELECT id, s, s AS var FROM base
+        |         UNION ALL
+        |         SELECT id, s, substr(s, 1, i - 1) || substr(s, i + 1) AS var FROM dels),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |      FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id
+        |      WHERE levenshtein(a.s, b.s) <= 1),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM ed),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY 1)
+        |SELECT CAST(b.c_custkey AS BIGINT) AS c_custkey,
+        |       CAST(coalesce(c.component, b.c_custkey) AS BIGINT) AS entity
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey < 2500) b
+        |LEFT JOIN comp c ON b.c_custkey = c.id
+        |ORDER BY c_custkey""".stripMargin,
+
     // Entity resolution replayed: q123's deletion-variant pair blocking
     // (t=1 confirm), q57's recursive-CTE reachability with min-label
     // components, singleton entities via the left join, and the

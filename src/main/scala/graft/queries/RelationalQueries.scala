@@ -919,21 +919,36 @@ object RelationalQueries {
     * q126 key subset for the same key-density reason. Oracle: deletion-
     * variant pair replay + recursive-CTE reachability + window election.
     */
-  def q142EntityResolution(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(spark, dir).customer.where(col("c_custkey") < 2500)
-    val pairs = graft.operators.FuzzyJoin
-      .editDistanceKJoin(cust, "c_name", "c_custkey", t = 1)
-      .select(col("id_a"), col("id_b"))
-    val comps = graft.operators.Components
-      .connectedComponents(pairs, "id_a", "id_b")
-    val elect = Window.partitionBy(col("entity"))
-      .orderBy(col("c_acctbal").desc, col("id"))
-    cust.select(col("c_custkey").cast("long").as("id"), col("c_acctbal"))
-      .join(comps, Seq("id"), "left")
-      .withColumn("entity", coalesce(col("component"), col("id")))
-      .withColumn("is_canonical",
-        when(row_number().over(elect) === 1, 1L).otherwise(0L))
+  def q142EntityResolution(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.resolve(
+        Tables(spark, dir).customer.where(col("c_custkey") < 2500),
+        "c_name", "c_custkey", "c_acctbal", t = 1)
       .select(col("id").as("c_custkey"), col("entity"), col("is_canonical"))
+      .orderBy("c_custkey")
+
+  /** Incremental entity resolution (EntityResolution.resolveIncrement):
+    * even-key customers are YESTERDAY'S resolved corpus — its fuzzy
+    * variant index and assignment table already stored — odd keys are
+    * today's batch. Only the increment is variant-expanded; the corpus
+    * contributes its stored index via one hash join, untouched entities
+    * pass through by reference, and touched entities re-label through
+    * one bounded component pass over (new pairs + member stars). The
+    * oracle computes the FULL resolve over the whole key range — a hash
+    * match IS the incremental==full theorem, checked row for row.
+    */
+  def q146IncrementalEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer.where(col("c_custkey") < 2500)
+    val existing = cust.where(col("c_custkey") % 2 === 0)
+    val increment = cust.where(col("c_custkey") % 2 === 1)
+    val existingAssign = graft.operators.EntityResolution
+      .resolve(existing, "c_name", "c_custkey", "c_acctbal", t = 1)
+      .select(col("id"), col("entity"))
+    val existingVariants = graft.operators.FuzzyJoin
+      .deletionVariants(existing, "c_name", "c_custkey", t = 1)
+    graft.operators.EntityResolution
+      .resolveIncrement(existingAssign, existingVariants, increment,
+        "c_name", "c_custkey", t = 1)
+      .select(col("id").as("c_custkey"), col("entity"))
       .orderBy("c_custkey")
   }
 

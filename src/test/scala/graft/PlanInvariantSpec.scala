@@ -55,7 +55,9 @@ class PlanInvariantSpec extends SparkTestBase {
     "q69_incremental_dim",
     // composes q123's fuzzy pairs into Components (eager at construction);
     // the pair-generation plan is guarded through q123/q126
-    "q142_entity_resolution")
+    "q142_entity_resolution",
+    // two component passes at construction (existing resolve + increment)
+    "q146_incremental_entity_resolution")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
