@@ -216,6 +216,50 @@ object MediaCodecs {
     encodePpm(width, height, rgb)
   }
 
+  /** The planted block-pattern bit of [[syntheticBlockPpm]]: block 0 is
+    * forced bright and block 63 forced dark (so both levels always exist
+    * and the aHash threshold sits strictly between them); every other
+    * block takes the low bit of the first hex nibble of
+    * md5("patternId_b") — the engine-independent salted-md5 family, so
+    * an oracle recomputes the expected hash without decoding a pixel.
+    */
+  def blockBit(patternId: Long, b: Int): Int =
+    if (b == 0) 1
+    else if (b == 63) 0
+    else {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${patternId}_$b".getBytes("UTF-8"))
+      (d(0) >> 4) & 1
+    }
+
+  /** Synthesize a 32×32 P6 whose aHash is KNOWN BY CONSTRUCTION: an 8×8
+    * grid of 4×4-pixel blocks, each uniformly bright (200) or dark (50)
+    * per [[blockBit]], with `flips` toggling chosen blocks (a flipped
+    * sibling is a planted near-duplicate at exactly |flips| Hamming
+    * bits). Block means decode to exactly 50/200, so
+    * `aHash64(syntheticBlockPpm(id)) == Σ blockBit(id, b) << b` — the
+    * identity the q147 oracle checks end-to-end through the real codec.
+    */
+  def syntheticBlockPpm(patternId: Long, flips: Seq[Int] = Nil): Array[Byte] = {
+    val (w, h) = (32, 32)
+    val rgb = new Array[Byte](w * h * 3)
+    val flipSet = flips.toSet
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 4) * 8 + (x / 4)
+        val bit = blockBit(patternId, b) ^ (if (flipSet.contains(b)) 1 else 0)
+        val v: Byte = if (bit == 1) 200.toByte else 50.toByte
+        val i = (y * w + x) * 3
+        rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    encodePpm(w, h, rgb)
+  }
+
   // ---- PNG / JPEG via the JDK's javax.imageio (REAL compressed codecs) ----
 
   /** Container sniff by magic bytes: Some("png") / Some("jpeg") / None.
@@ -238,6 +282,75 @@ object MediaCodecs {
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
+
+  /** Integer Rec.601-style gray raster of any decodable payload (raw P6
+    * or PNG/JPEG via ImageIO): (width, height, gray[w·h]) with
+    * gray = (299·r + 587·g + 114·b) / 1000 — all-integer, so every JVM
+    * computes the identical raster. None on undecodable bytes.
+    */
+  private def grayRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def lum(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+    ppmHeader(bytes).map { case (w, h, px) =>
+      val gray = new Array[Int](w * h)
+      var k = 0; var i = px
+      while (k < w * h) {
+        gray(k) = lum(bytes(i) & 0xff, bytes(i + 1) & 0xff, bytes(i + 2) & 0xff)
+        i += 3; k += 1
+      }
+      (w, h, gray)
+    }.orElse(sniffImageFormat(bytes).flatMap(_ => readImage(bytes)).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val gray = new Array[Int](w * h)
+      var k = 0
+      while (k < w * h) {
+        val p = rgb(k)
+        gray(k) = lum((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        k += 1
+      }
+      (w, h, gray)
+    })
+  }
+
+  /** 64-bit average hash (aHash) of an image payload — the perceptual
+    * near-dup signature: decode → integer gray → area-average onto an
+    * 8×8 grid (pixel (x,y) feeds block (⌊8y/h⌋, ⌊8x/w⌋), so every pixel
+    * counts once and every block is non-empty for w,h ≥ 8) → bit b set
+    * iff block b's mean exceeds the mean of the 64 block means, packed
+    * LSB-first (b = row·8 + col). Crops/re-encodes/noise move few bits;
+    * unrelated images differ in ~32 — Hamming distance is the dedup
+    * signal (pair generation: `Multimodal.imageAHashNearDups`). None for
+    * undecodable payloads or rasters smaller than the grid.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    grayRaster(bytes).flatMap { case (w, h, gray) =>
+      if (w < 8 || h < 8) None
+      else {
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val br = (8 * y) / h
+          var x = 0
+          while (x < w) {
+            val b = br * 8 + (8 * x) / w
+            sums(b) += gray(y * w + x)
+            counts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val avgs = Array.tabulate(64)(b => sums(b).toDouble / counts(b))
+        val mean = avgs.sum / 64.0
+        var acc = 0L
+        var b = 0
+        while (b < 64) {
+          if (avgs(b) > mean) acc |= 1L << b
+          b += 1
+        }
+        Some(acc)
+      }
+    }
 
   /** Decode a PNG or JPEG payload into the same raster summary as
     * [[decodePpm]]: real dimensions, per-channel means, Rec.601 luminance,

@@ -375,6 +375,89 @@ object Multimodal {
       }
   }
 
+  /** Sibling ids in [[mediaBlockImages]] live 1e9 above their original —
+    * far past any documents doc_id at every shipped scale factor.
+    */
+  val BlockSiblingOffset = 1000000000L
+
+  /** Planted block-image corpus for the perceptual-hash family: one
+    * 32×32 two-level block PPM per document ([[MediaCodecs
+    * .syntheticBlockPpm]] — aHash known by construction), plus, for
+    * every 10th document, a NEAR-DUPLICATE sibling with blocks 1 and 2
+    * flipped (exactly 2 Hamming bits away) at id + [[BlockSiblingOffset]].
+    */
+  def mediaBlockImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].flatMap { id =>
+      val orig = MediaRecord(id, "image", MediaCodecs.syntheticBlockPpm(id),
+        "image/x-portable-pixmap", Some(32), Some(32), None, None)
+      if (id % 10 == 0)
+        Seq(orig, MediaRecord(id + BlockSiblingOffset, "image",
+          MediaCodecs.syntheticBlockPpm(id, flips = Seq(1, 2)),
+          "image/x-portable-pixmap", Some(32), Some(32), None, None))
+      else Seq(orig)
+    }
+  }
+
+  /** aHash row: decoded=false (hash 0) quarantines undecodable payloads
+    * — the marker-plane doctrine, a consumer never guesses.
+    */
+  case class AHashRow(media_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Per-image 64-bit average hash ([[MediaCodecs.aHash64]]) — the
+    * perceptual signature the image near-dup pipeline keys on. A typed
+    * map over the partition-local decode kernel: per-row pure CPU,
+    * nothing corpus-sized in memory.
+    */
+  def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").map { m =>
+      MediaCodecs.aHash64(m.content) match {
+        case Some(h) => AHashRow(m.media_id, decoded = true, h)
+        case None    => AHashRow(m.media_id, decoded = false, 0L)
+      }
+    }.toDF()
+  }
+
+  /** All (id_a < id_b) image pairs within `maxHamming` aHash bits, via
+    * banded blocking — the simhash pigeonhole (Dedup.simhashNearDupPairs)
+    * applied to the perceptual hash: the 64-bit hash splits into
+    * maxHamming+1 disjoint bands, a pair within the threshold must agree
+    * on at least one whole band, so candidates come from maxHamming+1
+    * equi-joins on (band, value) — shuffle ∝ n·bands, never n² — and the
+    * exact `bit_count(xor)` confirm prunes the over-admits. Returns
+    * (id_a, id_b, hamming).
+    */
+  def imageAHashNearDups(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming must be in [1,7], got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = hashes
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until bands).map { i =>
+          val lo = i * width
+          val w = if (i == bands - 1) 64 - lo else width
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("__h"), lo)
+              .bitwiseAND(lit((1L << w) - 1)).as("v"))
+        }: _*)).as("__b"))
+      .select(col("__id"), col("__h"),
+        col("__b.band").as("band"), col("__b.v").as("v"))
+    val a = banded.select(col("__id").as("id_a"), col("__h").as("__ha"),
+      col("band"), col("v"))
+    val b = banded.select(col("__id").as("id_b"), col("__h").as("__hb"),
+      col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Build a synthetic media table from the documents table: encodes text as
     * the binary payload. This stands in for reading real assets and gives
     * every scale factor a media corpus with knowable contents.

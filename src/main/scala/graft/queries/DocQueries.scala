@@ -1208,6 +1208,37 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image hashing (Multimodal.imageAHash over the planted
+    * block corpus): every asset REALLY decodes through the P6 codec and
+    * hashes through the full gray→8×8-average→threshold kernel — and the
+    * oracle recomputes the expected hash PURELY from the plant formula
+    * (the q130 doctrine: a hash match proves the codec + kernel walked
+    * every pixel to the planted truth, with no image library in the
+    * oracle at all).
+    */
+  def q147ImageAhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(
+        Multimodal.mediaBlockImages(spark, Tables(spark, dir).documents))
+      .select(col("media_id"), col("decoded").cast("long").as("decoded"),
+        col("ahash"))
+      .orderBy("media_id")
+
+  /** Perceptual near-dup pairs (Multimodal.imageAHashNearDups): banded
+    * pigeonhole blocking over the aHash — 4 equi-joins for threshold 3,
+    * shuffle ∝ n·bands, never n² — with the exact bit_count confirm.
+    * The planted siblings (2 flipped blocks) are the ground truth: the
+    * oracle recomputes every hash from the plant formula and runs the
+    * documented O(n²) pair scan, so the banding must find EXACTLY the
+    * true pairs.
+    */
+  def q148ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.imageAHash(
+        Multimodal.mediaBlockImages(spark, Tables(spark, dir).documents))
+      .where(col("decoded"))
+    Multimodal.imageAHashNearDups(hashes, "media_id", "ahash", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -330,4 +330,51 @@ class MultimodalSpec extends SparkTestBase {
     val frameIds = frames.select("media_id").distinct().collect().map(_.getLong(0)).toSet
     assert(frameIds.subsetOf(videoIds))
   }
+
+  test("aHash of a planted block image equals the packed plant bits, through the real codec") {
+    (0L to 20L).foreach { id =>
+      val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+        acc | (MediaCodecs.blockBit(id, b).toLong << b)
+      }
+      val got = MediaCodecs.aHash64(MediaCodecs.syntheticBlockPpm(id))
+      assert(got === Some(expected), s"pattern $id")
+    }
+  }
+
+  test("aHash survives a lossless PNG round-trip bit-for-bit") {
+    // encode the identical raster as PNG: same pixels -> same hash, now
+    // through the javax.imageio decode path instead of the P6 parser
+    val ppm = MediaCodecs.syntheticBlockPpm(7L)
+    val info = MediaCodecs.decodePpm(ppm)
+    assert(info.isDefined)
+    // rebuild raw rgb from the ppm payload (skip the text header)
+    val headerEnd = ppm.length - 32 * 32 * 3
+    val rgb = java.util.Arrays.copyOfRange(ppm, headerEnd, ppm.length)
+    val png = MediaCodecs.encodeImage(32, 32, rgb, "png")
+    assert(MediaCodecs.aHash64(png) === MediaCodecs.aHash64(ppm))
+  }
+
+  test("a flipped sibling is exactly 2 Hamming bits away; corrupt and tiny payloads quarantine") {
+    val a = MediaCodecs.aHash64(MediaCodecs.syntheticBlockPpm(3L)).get
+    val b = MediaCodecs.aHash64(MediaCodecs.syntheticBlockPpm(3L, flips = Seq(1, 2))).get
+    assert(java.lang.Long.bitCount(a ^ b) === 2)
+    assert(MediaCodecs.aHash64("not an image".getBytes) === None)
+    // 4x4 raster is smaller than the 8x8 grid -> refuse, never mis-hash
+    val tiny = MediaCodecs.encodePpm(4, 4, Array.fill(48)(100.toByte))
+    assert(MediaCodecs.aHash64(tiny) === None)
+  }
+
+  test("banded near-dup join finds exactly the planted sibling pairs") {
+    val docs = (0L to 99L).map(i => (i, s"t$i", 2L)).toSeq
+    import spark.implicits._
+    val docsDf = docs.toDF("doc_id", "text", "n_chars")
+    val blocks = Multimodal.mediaBlockImages(spark, docsDf)
+    val hashes = Multimodal.imageAHash(blocks)
+    assert(hashes.where(!col("decoded")).count() === 0)
+    val pairs = Multimodal.imageAHashNearDups(hashes, "media_id", "ahash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val expected = (0L to 99L).filter(_ % 10 == 0)
+      .map(i => (i, i + Multimodal.BlockSiblingOffset, 2L)).sorted
+    assert(pairs.toSeq === expected)
+  }
 }
