@@ -111,6 +111,81 @@ object MediaCodecs {
       if (n > 1) crossings.toDouble / (n - 1) else 0.0))
   }
 
+  /** 64-bit audio fingerprint of a PCM16 WAV payload — the aHash of the
+    * audio modality: decode → 64 equal sample windows (sample i feeds
+    * window ⌊64·i/n⌋) → per-window mean |amplitude| (all-Long integer
+    * sums) → bit b set iff window b's mean exceeds the mean of the 64
+    * window means, LSB-first. Energy envelopes survive re-encoding and
+    * level shifts move few bits — Hamming distance is the near-dup
+    * signal, served by the same banded join as the image hash. None for
+    * undecodable payloads or fewer than 64 mono samples.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var off = 12L
+    var fmtOk = false; var channels = 0
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= bytes.length) {
+      val o = off.toInt
+      val id = tag(bytes, o); val size = le32(bytes, o + 4)
+      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+        channels = le16(bytes, o + 10)
+        fmtOk = le16(bytes, o + 8) == 1 && le16(bytes, o + 22) == 16 &&
+          channels == 1 && le32(bytes, o + 12) > 0
+      } else if (id == "data") {
+        dataOff = o + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong)
+      }
+      off += 8L + size + (size & 1L)
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = (dataLen / 2).toInt
+    if (n < 64) return None
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = le16(bytes, dataOff + 2 * i).toShort.toInt
+      val w = ((64L * i) / n).toInt
+      sums(w) += math.abs(s)
+      counts(w) += 1
+      i += 1
+    }
+    val avgs = Array.tabulate(64)(b => sums(b).toDouble / counts(b))
+    val mean = avgs.sum / 64.0
+    var acc = 0L
+    var b = 0
+    while (b < 64) {
+      if (avgs(b) > mean) acc |= 1L << b
+      b += 1
+    }
+    Some(acc)
+  }
+
+  /** Synthesize a WAV whose [[audioFingerprint64]] is KNOWN BY
+    * CONSTRUCTION — the audio twin of [[syntheticBlockPpm]]: 64 windows
+    * of 250 samples, each a ±amplitude square wave at 16000 (loud) or
+    * 500 (quiet) per [[blockBit]] (window means decode to exactly those
+    * levels), `flips` toggling chosen windows.
+    */
+  def syntheticBlockWav(patternId: Long, flips: Seq[Int] = Nil): Array[Byte] = {
+    val perWindow = 250
+    val samples = new Array[Short](64 * perWindow)
+    val flipSet = flips.toSet
+    var w = 0
+    while (w < 64) {
+      val bit = blockBit(patternId, w) ^ (if (flipSet.contains(w)) 1 else 0)
+      val amp = if (bit == 1) 16000 else 500
+      var i = 0
+      while (i < perWindow) {
+        samples(w * perWindow + i) = (if (i % 2 == 0) amp else -amp).toShort
+        i += 1
+      }
+      w += 1
+    }
+    encodeWavPcm16(samples, 16000)
+  }
+
   /** Encode interleaved RGB bytes as a binary P6 PPM. */
   def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == width * height * 3,
@@ -319,7 +394,7 @@ object MediaCodecs {
     * iff block b's mean exceeds the mean of the 64 block means, packed
     * LSB-first (b = row·8 + col). Crops/re-encodes/noise move few bits;
     * unrelated images differ in ~32 — Hamming distance is the dedup
-    * signal (pair generation: `Multimodal.imageAHashNearDups`). None for
+    * signal (pair generation: `Multimodal.hamming64NearDupPairs`). None for
     * undecodable payloads or rasters smaller than the grid.
     */
   def aHash64(bytes: Array[Byte]): Option[Long] =

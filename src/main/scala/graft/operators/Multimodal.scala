@@ -399,10 +399,43 @@ object Multimodal {
     }
   }
 
+  /** Planted block-audio corpus — the audio twin of [[mediaBlockImages]]:
+    * one 64-window two-level WAV per document ([[MediaCodecs
+    * .syntheticBlockWav]] — fingerprint known by construction), plus a
+    * 2-window-flipped near-dup sibling for every 10th document at
+    * id + [[BlockSiblingOffset]].
+    */
+  def mediaBlockAudio(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].flatMap { id =>
+      val orig = MediaRecord(id, "audio", MediaCodecs.syntheticBlockWav(id),
+        "audio/wav", None, None, Some(16000), Some(1000L))
+      if (id % 10 == 0)
+        Seq(orig, MediaRecord(id + BlockSiblingOffset, "audio",
+          MediaCodecs.syntheticBlockWav(id, flips = Seq(1, 2)),
+          "audio/wav", None, None, Some(16000), Some(1000L)))
+      else Seq(orig)
+    }
+  }
+
   /** aHash row: decoded=false (hash 0) quarantines undecodable payloads
     * — the marker-plane doctrine, a consumer never guesses.
     */
   case class AHashRow(media_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Per-asset 64-bit audio fingerprint ([[MediaCodecs
+    * .audioFingerprint64]]) — the audio near-dup signature, same row
+    * contract as [[imageAHash]].
+    */
+  def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio").map { m =>
+      MediaCodecs.audioFingerprint64(m.content) match {
+        case Some(h) => AHashRow(m.media_id, decoded = true, h)
+        case None    => AHashRow(m.media_id, decoded = false, 0L)
+      }
+    }.toDF()
+  }
 
   /** Per-image 64-bit average hash ([[MediaCodecs.aHash64]]) — the
     * perceptual signature the image near-dup pipeline keys on. A typed
@@ -419,17 +452,18 @@ object Multimodal {
     }.toDF()
   }
 
-  /** All (id_a < id_b) image pairs within `maxHamming` aHash bits, via
-    * banded blocking — the simhash pigeonhole (Dedup.simhashNearDupPairs)
-    * applied to the perceptual hash: the 64-bit hash splits into
+  /** All (id_a < id_b) pairs within `maxHamming` bits of a 64-bit
+    * perceptual hash (image aHash, audio fingerprint), via banded
+    * blocking — the simhash pigeonhole (Dedup.simhashNearDupPairs)
+    * applied to the media hashes: the 64-bit hash splits into
     * maxHamming+1 disjoint bands, a pair within the threshold must agree
     * on at least one whole band, so candidates come from maxHamming+1
     * equi-joins on (band, value) — shuffle ∝ n·bands, never n² — and the
     * exact `bit_count(xor)` confirm prunes the over-admits. Returns
     * (id_a, id_b, hamming).
     */
-  def imageAHashNearDups(hashes: DataFrame, idCol: String, hashCol: String,
-                         maxHamming: Int = 3): DataFrame = {
+  def hamming64NearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming must be in [1,7], got $maxHamming")
     val bands = maxHamming + 1

@@ -1223,7 +1223,7 @@ object DocQueries {
         col("ahash"))
       .orderBy("media_id")
 
-  /** Perceptual near-dup pairs (Multimodal.imageAHashNearDups): banded
+  /** Perceptual near-dup pairs (Multimodal.hamming64NearDupPairs): banded
     * pigeonhole blocking over the aHash — 4 equi-joins for threshold 3,
     * shuffle ∝ n·bands, never n² — with the exact bit_count confirm.
     * The planted siblings (2 flipped blocks) are the ground truth: the
@@ -1235,7 +1235,34 @@ object DocQueries {
     val hashes = Multimodal.imageAHash(
         Multimodal.mediaBlockImages(spark, Tables(spark, dir).documents))
       .where(col("decoded"))
-    Multimodal.imageAHashNearDups(hashes, "media_id", "ahash", maxHamming = 3)
+    Multimodal.hamming64NearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Audio fingerprinting (Multimodal.audioFingerprint over the planted
+    * block-WAV corpus): every asset decodes through the REAL RIFF/PCM16
+    * walk and hashes through the 64-window energy-envelope kernel — a
+    * DIFFERENT codec and kernel from q147's image path, landing on the
+    * same plant-formula truth the oracle recomputes without touching a
+    * sample.
+    */
+  def q149AudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(
+        Multimodal.mediaBlockAudio(spark, Tables(spark, dir).documents))
+      .select(col("media_id"), col("decoded").cast("long").as("decoded"),
+        col("ahash"))
+      .orderBy("media_id")
+
+  /** Audio near-dup pairs: the SAME banded hamming64NearDupPairs join
+    * serving the audio fingerprint — one pair engine for every 64-bit
+    * perceptual hash family; planted 2-window-flipped siblings are the
+    * ground truth, oracle-replayed via the O(n²) xor scan baseline.
+    */
+  def q150AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.audioFingerprint(
+        Multimodal.mediaBlockAudio(spark, Tables(spark, dir).documents))
+      .where(col("decoded"))
+    Multimodal.hamming64NearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
       .orderBy("id_a", "id_b")
   }
 

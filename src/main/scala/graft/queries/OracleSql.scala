@@ -1451,6 +1451,53 @@ object OracleSql {
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
 
+    // Audio fingerprint + near-dup: the SAME plant formula as
+    // q147/q148 (deliberate: two independent codec kernels — PPM pixel
+    // averaging vs PCM energy windows — must land on the identical
+    // planted truth)
+"q149_audio_fingerprint" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS sib FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT media_id, g.b AS b,
+        |         CASE WHEN g.b = 0 THEN 1 WHEN g.b = 63 THEN 0
+        |              WHEN sib = 1 AND g.b IN (1, 2)
+        |                THEN 1 - (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |              ELSE (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |         END AS bit
+        |  FROM m CROSS JOIN range(64) g(b))
+        |SELECT media_id, CAST(1 AS BIGINT) AS decoded,
+        |       CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+        |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin,
+
+    // Perceptual near-dup pairs: plant-formula hashes + the documented
+    // O(n^2) xor/bit_count pair scan as the exact baseline the banded
+    // engine plan must reproduce
+    "q150_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS sib FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT media_id, g.b AS b,
+        |         CASE WHEN g.b = 0 THEN 1 WHEN g.b = 63 THEN 0
+        |              WHEN sib = 1 AND g.b IN (1, 2)
+        |                THEN 1 - (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |              ELSE (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |         END AS bit
+        |  FROM m CROSS JOIN range(64) g(b)),
+        |h AS (
+        |  SELECT media_id,
+        |         CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
     // Incremental entity resolution: the oracle is the FULL resolve over
     // the whole key range (q142's pair+reach chain, no election) — the
     // engine computes it incrementally from the even-key generation's

@@ -364,6 +364,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodecs.aHash64(tiny) === None)
   }
 
+  test("audio fingerprint of a planted block WAV equals the packed plant bits, through the real codec") {
+    (0L to 20L).foreach { id =>
+      val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+        acc | (MediaCodecs.blockBit(id, b).toLong << b)
+      }
+      assert(MediaCodecs.audioFingerprint64(MediaCodecs.syntheticBlockWav(id))
+        === Some(expected), s"pattern $id")
+    }
+    // same planted truth as the image path: two independent kernels agree
+    assert(MediaCodecs.audioFingerprint64(MediaCodecs.syntheticBlockWav(5L))
+      === MediaCodecs.aHash64(MediaCodecs.syntheticBlockPpm(5L)))
+    // sibling distance, quarantine
+    val a = MediaCodecs.audioFingerprint64(MediaCodecs.syntheticBlockWav(3L)).get
+    val b = MediaCodecs.audioFingerprint64(MediaCodecs.syntheticBlockWav(3L, Seq(1, 2))).get
+    assert(java.lang.Long.bitCount(a ^ b) === 2)
+    assert(MediaCodecs.audioFingerprint64("not audio".getBytes) === None)
+    assert(MediaCodecs.audioFingerprint64(
+      MediaCodecs.encodeWavPcm16(Array.fill(10)(100.toShort), 16000)) === None)
+  }
+
+  test("fingerprint is level-shift invariant (the envelope, not the gain)") {
+    // halving every amplitude moves no bits: thresholds scale with the mean
+    val loud = MediaCodecs.syntheticBlockWav(11L)
+    val samples = (0 until 64 * 250).map { i =>
+      val s = ((loud(44 + 2 * i + 1) << 8) | (loud(44 + 2 * i) & 0xff)).toShort
+      (s / 2).toShort
+    }.toArray
+    val half = MediaCodecs.encodeWavPcm16(samples, 16000)
+    assert(MediaCodecs.audioFingerprint64(half) ===
+      MediaCodecs.audioFingerprint64(loud))
+  }
+
   test("banded near-dup join finds exactly the planted sibling pairs") {
     val docs = (0L to 99L).map(i => (i, s"t$i", 2L)).toSeq
     import spark.implicits._
@@ -371,7 +403,7 @@ class MultimodalSpec extends SparkTestBase {
     val blocks = Multimodal.mediaBlockImages(spark, docsDf)
     val hashes = Multimodal.imageAHash(blocks)
     assert(hashes.where(!col("decoded")).count() === 0)
-    val pairs = Multimodal.imageAHashNearDups(hashes, "media_id", "ahash", 3)
+    val pairs = Multimodal.hamming64NearDupPairs(hashes, "media_id", "ahash", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     val expected = (0L to 99L).filter(_ % 10 == 0)
       .map(i => (i, i + Multimodal.BlockSiblingOffset, 2L)).sorted
