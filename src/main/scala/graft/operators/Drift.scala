@@ -113,4 +113,72 @@ object Drift {
     byv.sparkSession.createDataFrame(
       java.util.Arrays.asList(report: _*), out.schema)
   }
+
+  /** Categorical drift between two snapshots of a label column — the
+    * discrete sibling of [[numericDrift]] for event types, languages,
+    * source tags: one row `(n_base, n_cur, n_categories, chi2,
+    * js_divergence)`.
+    *
+    *   - **χ²** over the 2×k contingency table (expected_ij =
+    *     rowTotal_i · colTotal_j / N) — no smoothing needed: every
+    *     category present on either side has a positive expectation.
+    *   - **Jensen–Shannon divergence** between the two category
+    *     distributions (natural log; 0·ln0 ≡ 0, so one-sided categories
+    *     contribute only their present side) — bounded by ln 2,
+    *     symmetric, the standard "how different are these mixtures"
+    *     gauge.
+    *
+    * Scale shape: ONE map-side-combinable aggregation per side bounded
+    * by distinct categories, a category-keyed full-outer join of the two
+    * count tables, and the per-category terms round to 9 decimals before
+    * the decimal sum (ln is transcendental — the PSI doctrine), so the
+    * DuckDB oracle replays both statistics exactly. Null categories form
+    * their own class ("missing" drifting counts as drift).
+    */
+  def categoricalDrift(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val b = base.select(coalesce(col(valueCol).cast("string"), lit("__null__")).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("cb"))
+    val c = cur.select(coalesce(col(valueCol).cast("string"), lit("__null__")).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("cc"))
+    val joined = b.join(c, Seq("__c"), "full_outer")
+      .select(col("__c"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = joined.agg(
+      sum(col("cb")).as("nb"), sum(col("cc")).as("nc"),
+      count(lit(1)).as("k")).persist(StorageLevel.MEMORY_AND_DISK)
+    val withT = joined.crossJoin(broadcast(totals))
+    // chi-square: e_side = (cb+cc) * n_side / (nb+nc)
+    val chi = withT
+      .select(
+        (((col("cb") + col("cc")) * col("nb")).cast("double") /
+          (col("nb") + col("nc")).cast("double")).as("eb"),
+        (((col("cb") + col("cc")) * col("nc")).cast("double") /
+          (col("nb") + col("nc")).cast("double")).as("ec"),
+        col("cb"), col("cc"))
+      .select(round(
+        (col("cb").cast("double") - col("eb")) * (col("cb").cast("double") - col("eb")) / col("eb")
+          + (col("cc").cast("double") - col("ec")) * (col("cc").cast("double") - col("ec")) / col("ec"),
+        9).as("__t"))
+      .agg(round(sum(col("__t").cast("decimal(28,12)")).cast("double"), 9).as("chi2"))
+    // JS: p = cb/nb, q = cc/nc, m = (p+q)/2; 0·ln0 = 0
+    val js = withT
+      .select(
+        (col("cb").cast("double") / col("nb").cast("double")).as("p"),
+        (col("cc").cast("double") / col("nc").cast("double")).as("q"))
+      .select(round(
+        when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / ((col("p") + col("q")) / 2)))
+          .otherwise(0.0)
+          + when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / ((col("p") + col("q")) / 2)))
+          .otherwise(0.0), 9).as("__t"))
+      .agg(round(sum(col("__t").cast("decimal(28,12)")).cast("double"), 9).as("js_divergence"))
+    val out = totals.crossJoin(chi).crossJoin(js)
+      .select(col("nb").as("n_base"), col("nc").as("n_cur"),
+        col("k").as("n_categories"), col("chi2"), col("js_divergence"))
+    val report = out.collect()
+    joined.unpersist(); totals.unpersist()
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(report: _*), out.schema)
+  }
 }

@@ -1380,6 +1380,62 @@ object OracleSql {
         |       round(regr_r2(ln(freq), ln(rank)), 6) AS r2
         |FROM ranked""".stripMargin,
 
+    // Drift.categoricalDrift replayed: per-side category counts,
+    // contingency-table chi-square, JS divergence with 0·ln0=0, per-term
+    // 9-decimal rounds before the decimal sums
+    "q151_categorical_drift" ->
+      """WITH b AS (SELECT coalesce(CAST(p_brand AS VARCHAR), '__null__') AS c, count(*) AS cb
+        |           FROM part WHERE p_partkey % 2 = 0 GROUP BY 1),
+        |c AS (SELECT coalesce(CAST(p_brand AS VARCHAR), '__null__') AS c, count(*) AS cc
+        |      FROM part WHERE p_partkey % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(b.c, c.c) AS c, coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+        |      FROM b FULL OUTER JOIN c ON b.c = c.c),
+        |t AS (SELECT sum(cb) AS nb, sum(cc) AS nc, count(*) AS k FROM j),
+        |chi AS (
+        |  SELECT round(CAST(sum(CAST(round(
+        |    (CAST(cb AS DOUBLE) - CAST((cb + cc) * nb AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+        |      * (CAST(cb AS DOUBLE) - CAST((cb + cc) * nb AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+        |      / (CAST((cb + cc) * nb AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+        |    + (CAST(cc AS DOUBLE) - CAST((cb + cc) * nc AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+        |      * (CAST(cc AS DOUBLE) - CAST((cb + cc) * nc AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+        |      / (CAST((cb + cc) * nc AS DOUBLE) / CAST(nb + nc AS DOUBLE)), 9) AS DECIMAL(28,12)))
+        |    AS DOUBLE), 9) AS chi2
+        |  FROM j, t),
+        |js AS (
+        |  SELECT round(CAST(sum(CAST(round(
+        |    CASE WHEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) > 0
+        |      THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |           * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |                / ((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) + CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) / 2))
+        |      ELSE 0 END
+        |    + CASE WHEN CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) > 0
+        |      THEN 0.5 * (CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |           * ln((CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |                / ((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) + CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) / 2))
+        |      ELSE 0 END, 9) AS DECIMAL(28,12))) AS DOUBLE), 9) AS js_divergence
+        |  FROM j, t)
+        |SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+        |       CAST(k AS BIGINT) AS n_categories, chi2, js_divergence
+        |FROM t, chi, js""".stripMargin,
+
+    // TargetEncode.outOfFold replayed: md5 fold deal, (cat, fold) decimal
+    // sums, global prior, leave-fold-out smoothing per row
+    "q152_target_encoding" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey, coalesce(CAST(o_orderpriority AS VARCHAR), '__null__') AS cat,
+        |         CAST(o_totalprice AS DOUBLE) AS y,
+        |         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) % 5 AS fold
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |bcf AS (SELECT cat, fold, sum(CAST(y AS DECIMAL(28,9))) AS fs, count(*) AS fc
+        |        FROM rows_ GROUP BY 1, 2),
+        |bc AS (SELECT cat, sum(fs) AS cs, sum(fc) AS cc FROM bcf GROUP BY 1),
+        |pr AS (SELECT CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS prior FROM rows_)
+        |SELECT r.o_orderkey, r.cat AS o_orderpriority, CAST(r.fold AS BIGINT) AS fold,
+        |       round((CAST(cs - fs AS DOUBLE) + prior * 20.0)
+        |             / (CAST(cc - fc AS DOUBLE) + 20.0), 9) AS encoded
+        |FROM rows_ r JOIN bcf USING (cat, fold) JOIN bc USING (cat) CROSS JOIN pr
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Sketch.kmvPerGroup replayed: q58's md5 hash family, per-group
     // row_number rank <= k, the (k-1)*2^60/kth estimate, exact joined back
     "q144_kmv_per_group" ->

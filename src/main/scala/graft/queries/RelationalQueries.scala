@@ -983,6 +983,33 @@ object RelationalQueries {
         Tables(spark, dir).customer, Seq("c_nationkey", "c_mktsegment"), k = 10)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Categorical drift (Drift.categoricalDrift): χ² over the 2×k
+    * contingency table + Jensen–Shannon divergence between the p_brand
+    * distributions of the even- and odd-key part halves — the discrete
+    * sibling of q134's numeric drift. One category-bounded aggregation
+    * per side, per-term 9-decimal rounding before the decimal sum; the
+    * oracle replays both statistics.
+    */
+  def q151CategoricalDrift(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir).part
+    graft.operators.Drift.categoricalDrift(
+      p.where(col("p_partkey") % 2 === 0),
+      p.where(col("p_partkey") % 2 === 1), "p_brand")
+  }
+
+  /** Leakage-safe target encoding (TargetEncode.outOfFold): order
+    * priority encoded by the smoothed out-of-fold mean of o_totalprice —
+    * md5 5-fold deal, (category × fold)-bounded statistics, in-plan
+    * global prior, broadcast joins back (the row table never shuffles).
+    * The oracle replays fold hashing, the decimal sums, and the
+    * leave-fold-out smoothing arithmetic row for row.
+    */
+  def q152TargetEncoding(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TargetEncode.outOfFold(
+        Tables(spark, dir).orders, "o_orderpriority", "o_totalprice",
+        "o_orderkey", folds = 5, smoothing = 20.0)
+      .orderBy("o_orderkey")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

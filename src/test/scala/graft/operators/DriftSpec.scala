@@ -69,4 +69,34 @@ class DriftSpec extends SparkTestBase {
       Drift.numericDrift(ra, rb, "l_extendedprice").head.toSeq
     assert(run(a, b) == run(a.repartition(13), b.repartition(7)))
   }
+
+  test("categorical: identical distributions measure zero on both statistics") {
+    import spark.implicits._
+    val side = Seq("a", "a", "b", "c").toDF("x")
+    val r = Drift.categoricalDrift(side, side, "x").head
+    assert(r.getAs[Long]("n_base") === 4L && r.getAs[Long]("n_cur") === 4L)
+    assert(r.getAs[Long]("n_categories") === 3L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    assert(r.getAs[Double]("js_divergence") === 0.0)
+  }
+
+  test("categorical: disjoint supports saturate JS at ln 2; hand-computed chi2") {
+    import spark.implicits._
+    val r = Drift.categoricalDrift(
+      Seq("a", "a").toDF("x"), Seq("b", "b").toDF("x"), "x").head
+    // JS of disjoint distributions = ln 2 (each side's mass halves in m)
+    assert(math.abs(r.getAs[Double]("js_divergence") - math.log(2.0)) < 1e-9)
+    // 2x2 table [[2,0],[0,2]]: every expected cell is 1 -> chi2 = 4
+    assert(r.getAs[Double]("chi2") === 4.0)
+  }
+
+  test("categorical: null categories are their own drifting class") {
+    import spark.implicits._
+    val base = Seq(Some("a"), Some("a"), Some("a"), Some("a")).toDF("x")
+    val cur = Seq(Some("a"), Some("a"), None, None).toDF("x")
+    val r = Drift.categoricalDrift(base, cur, "x").head
+    assert(r.getAs[Long]("n_categories") === 2L)
+    assert(r.getAs[Double]("chi2") > 0.0)
+    assert(r.getAs[Double]("js_divergence") > 0.0)
+  }
 }
