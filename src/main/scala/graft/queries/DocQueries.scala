@@ -1266,6 +1266,48 @@ object DocQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Graph cohesion of the minhash candidate graph
+    * (GraphStats.triangleStats): triangle count via the degree-ordered
+    * orientation (each triangle counted once, wedge fan-out hub-proof),
+    * wedge count from undirected degrees, and the global clustering
+    * coefficient — "do candidate pairs close into genuine duplicate
+    * groups, or is the generator chaining strangers?" The oracle counts
+    * triangles by the id-ordered formulation — a different orientation
+    * that must land on the identical count.
+    */
+  def q153TriangleStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphStats.triangleStats(
+      Dedup.minhashCandidatePairsMd5(Tables(spark, dir).documents, "text", "doc_id",
+        numHashes = 64, bands = 16),
+      "id_a", "id_b")
+
+  /** Media dedup retention — the perceptual hashes made product-facing
+    * (q70's keep-one-per-cluster applied to assets): per modality, an
+    * asset is dropped iff it is within Hamming 3 of a LOWER-id asset,
+    * recording the canonical it duplicates. Image and audio corpora run
+    * through their own codec kernels and the ONE shared banded pair
+    * engine; the oracle replays both modalities from the plant formula.
+    */
+  def q154MediaDedupRetention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def retain(hashes: DataFrame, modality: String): DataFrame = {
+      val pairs = Multimodal.hamming64NearDupPairs(
+        hashes.where(col("decoded")), "media_id", "ahash", maxHamming = 3)
+      val drops = pairs.groupBy(col("id_b").as("media_id"))
+        .agg(min(col("id_a")).as("dup_of"))
+      hashes.where(col("decoded"))
+        .select(lit(modality).as("modality"), col("media_id"))
+        .join(drops, Seq("media_id"), "left")
+        .withColumn("keep", when(col("dup_of").isNull, 1L).otherwise(0L))
+    }
+    retain(Multimodal.imageAHash(Multimodal.mediaBlockImages(spark, docs)), "image")
+      .unionByName(
+        retain(Multimodal.audioFingerprint(Multimodal.mediaBlockAudio(spark, docs)), "audio"))
+      .select(col("modality"), col("media_id"), col("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("modality", "media_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

@@ -285,6 +285,25 @@ object OracleSql {
        |    FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
        |    GROUP BY 1) s ON tp.id = s.id)""".stripMargin
 
+  /** q153: triangle count by the ID-ordered formulation — a different
+    * orientation than the engine's degree-ordered one, same count.
+    */
+  private val triangleStatsSql: String =
+    s"""WITH $minhashCandCtes,
+       |e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM cand WHERE id_a <> id_b),
+       |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
+       |tri AS (SELECT count(*) AS t
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |st AS (SELECT count(*) AS nv, CAST(sum(deg) / 2 AS BIGINT) AS ne,
+       |              CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS nw FROM deg)
+       |SELECT CAST(nv AS BIGINT) AS n_vertices, ne AS n_edges, nw AS n_wedges,
+       |       CAST(t AS BIGINT) AS n_triangles,
+       |       CASE WHEN nw = 0 THEN 0.0 ELSE round(3.0 * t / nw, 9) END AS global_clustering
+       |FROM st, tri""".stripMargin
+
   private val personalizedPageRankSql: String =
     s"""WITH $minhashCandCtes,
        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
@@ -900,6 +919,7 @@ object OracleSql {
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q116_pagerank" -> pageRankSql,
     "q143_personalized_pagerank" -> personalizedPageRankSql,
+    "q153_triangle_stats" -> triangleStatsSql,
     "q117_retain_central" -> retainCentralSql,
     "q118_dedup_eval" -> dedupEvalSql,
     "q119_vocab_coverage" -> vocabCoverageSql,
@@ -1553,6 +1573,38 @@ object OracleSql {
         |FROM h a JOIN h b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // Media dedup retention: plant-formula hashes, the O(n^2) pair-scan
+    // baseline, keep-lowest-id retention with dup_of; both modalities
+    // share the plant so the verdict table doubles under the labels
+    "q154_media_dedup_retention" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS sib FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT media_id, g.b AS b,
+        |         CASE WHEN g.b = 0 THEN 1 WHEN g.b = 63 THEN 0
+        |              WHEN sib = 1 AND g.b IN (1, 2)
+        |                THEN 1 - (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |              ELSE (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |         END AS bit
+        |  FROM m CROSS JOIN range(64) g(b)),
+        |h AS (
+        |  SELECT media_id,
+        |         CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+        |  FROM bits GROUP BY 1),
+        |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+        |      FROM h a JOIN h b ON a.media_id < b.media_id
+        |      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |d AS (SELECT id_b AS media_id, min(id_a) AS dup_of FROM p GROUP BY 1),
+        |r AS (SELECT h.media_id, coalesce(d.dup_of, -1) AS dup_of,
+        |             CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+        |      FROM h LEFT JOIN d USING (media_id))
+        |SELECT md.modality, r.media_id, CAST(keep AS BIGINT) AS keep,
+        |       CAST(dup_of AS BIGINT) AS dup_of
+        |FROM r CROSS JOIN (SELECT unnest(['image', 'audio']) AS modality) md
+        |ORDER BY modality, media_id""".stripMargin,
 
     // Incremental entity resolution: the oracle is the FULL resolve over
     // the whole key range (q142's pair+reach chain, no election) — the

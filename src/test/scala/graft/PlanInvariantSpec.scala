@@ -58,7 +58,9 @@ class PlanInvariantSpec extends SparkTestBase {
     // the pair-generation plan is guarded through q123/q126
     "q142_entity_resolution",
     // two component passes at construction (existing resolve + increment)
-    "q146_incremental_entity_resolution")
+    "q146_incremental_entity_resolution",
+    // triangle/degree aggregates collect at construction (the fit contract)
+    "q153_triangle_stats")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
