@@ -1308,6 +1308,19 @@ object DocQueries {
       .orderBy("modality", "media_id")
   }
 
+  /** Distributed LSA (Lsa.topTermVector): the corpus's dominant latent
+    * topic — top-20 terms of the leading right-singular vector of the
+    * full TF-IDF matrix, two power steps, each half-step one relational
+    * matvec (join + map-side-combinable sum over nnz). No linear-algebra
+    * library, nothing densified; the oracle unrolls both iterations over
+    * the q43 TF-IDF replay.
+    */
+  def q155LsaTopic(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Lsa.topTermVector(
+      TextAnalysis.tfidf(Tables(spark, dir).documents, "text", "doc_id")
+        .select(col("doc_id"), col("term"), col("tfidf")),
+      "doc_id", "term", "tfidf", iterations = 2, k = 20)
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

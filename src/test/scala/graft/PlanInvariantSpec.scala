@@ -60,7 +60,9 @@ class PlanInvariantSpec extends SparkTestBase {
     // two component passes at construction (existing resolve + increment)
     "q146_incremental_entity_resolution",
     // triangle/degree aggregates collect at construction (the fit contract)
-    "q153_triangle_stats")
+    "q153_triangle_stats",
+    // power-iteration generations materialize at construction
+    "q155_lsa_topic")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
