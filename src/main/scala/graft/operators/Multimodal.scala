@@ -462,13 +462,19 @@ object Multimodal {
     * exact `bit_count(xor)` confirm prunes the over-admits. Returns
     * (id_a, id_b, hamming).
     */
-  def hamming64NearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+  /** The maxHamming+1-band decomposition of a 64-bit hash table —
+    * (__id, __h, band, v), the joinable/STORABLE blocking index of the
+    * perceptual-hash family (the fuzzy-join variant-table analogue):
+    * a pair within the threshold must agree on at least one whole band
+    * (pigeonhole), so candidates come from (band, v) equi-joins.
+    */
+  def bandedHashes(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming must be in [1,7], got $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val banded = hashes
+    hashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h"))
       .select(col("__id"), col("__h"),
         explode(array((0 until bands).map { i =>
@@ -480,6 +486,11 @@ object Multimodal {
         }: _*)).as("__b"))
       .select(col("__id"), col("__h"),
         col("__b.band").as("band"), col("__b.v").as("v"))
+  }
+
+  def hamming64NearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val banded = bandedHashes(hashes, idCol, hashCol, maxHamming)
     val a = banded.select(col("__id").as("id_a"), col("__h").as("__ha"),
       col("band"), col("v"))
     val b = banded.select(col("__id").as("id_b"), col("__h").as("__hb"),
@@ -490,6 +501,32 @@ object Multimodal {
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental near-dup pairs: new hashes against a STORED band index
+    * ([[bandedHashes]] of the existing corpus) plus the in-batch unroll —
+    * every pair touching the increment, at O(increment·bands) join
+    * volume; the corpus is never re-banded (the q72 incremental-dedup
+    * doctrine for the media family).
+    */
+  def hamming64NearDupsIncremental(newHashes: DataFrame, index: DataFrame,
+                                   idCol: String, hashCol: String,
+                                   maxHamming: Int = 3): DataFrame = {
+    val inc = bandedHashes(newHashes, idCol, hashCol, maxHamming)
+    val a = inc.select(col("__id").as("id_a"), col("__h").as("__ha"),
+      col("band"), col("v"))
+    val b = index.select(col("__id").as("id_b"), col("__h").as("__hb"),
+      col("band"), col("v"))
+    val cross = a.join(b, Seq("band", "v"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+    cross.unionByName(
+      hamming64NearDupPairs(newHashes, idCol, hashCol, maxHamming))
+      .distinct()
   }
 
   /** Build a synthetic media table from the documents table: encodes text as
