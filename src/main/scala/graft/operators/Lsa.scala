@@ -39,8 +39,35 @@ object Lsa {
     */
   def topTermVector(matrix: DataFrame, rowCol: String, colCol: String,
                     valCol: String, iterations: Int = 2, k: Int = 20): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(k >= 1, s"k must be >= 1, got $k")
+    termVector(matrix, rowCol, colCol, valCol, iterations)
+      .orderBy(col("loading").desc, col("term")).limit(k)
+  }
+
+  /** Fold-in: every row projected onto the topic — score(row) =
+    * Σ value·loading over its nonzeros, ONE more relational matvec.
+    * Returns the top-k rows (row, topic_score), descending with row-id
+    * tiebreak — the serving side ("which documents define this topic?").
+    */
+  def docScores(matrix: DataFrame, rowCol: String, colCol: String,
+                valCol: String, iterations: Int = 2, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = termVector(matrix, rowCol, colCol, valCol, iterations)
+      .withColumnRenamed("term", colCol)
+    matrix.select(col(rowCol), col(colCol), col(valCol).cast("double").as("__v"))
+      .join(v, Seq(colCol))
+      .groupBy(col(rowCol))
+      .agg(round(sum((col("__v") * col("loading")).cast("decimal(28,9)"))
+        .cast("double"), 9).as("topic_score"))
+      .orderBy(col("topic_score").desc, col(rowCol)).limit(k)
+  }
+
+  /** The FULL leading-direction estimate (term, loading) after
+    * `iterations` power steps.
+    */
+  def termVector(matrix: DataFrame, rowCol: String, colCol: String,
+                 valCol: String, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val a = matrix.select(col(rowCol).as("__r"), col(colCol).as("__c"),
         col(valCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
@@ -76,6 +103,5 @@ object Lsa {
     }
     a.unpersist()
     v.select(col("__c").as("term"), col("__x").as("loading"))
-      .orderBy(col("loading").desc, col("term")).limit(k)
   }
 }

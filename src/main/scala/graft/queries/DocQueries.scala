@@ -1321,6 +1321,17 @@ object DocQueries {
         .select(col("doc_id"), col("term"), col("tfidf")),
       "doc_id", "term", "tfidf", iterations = 2, k = 20)
 
+  /** LSA fold-in (Lsa.docScores): the 20 documents that define the
+    * corpus's dominant topic — every doc projected onto q155's direction
+    * by ONE more relational matvec. The oracle extends q155's unrolled
+    * replay with the projection step.
+    */
+  def q156LsaDocScores(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Lsa.docScores(
+      TextAnalysis.tfidf(Tables(spark, dir).documents, "text", "doc_id")
+        .select(col("doc_id"), col("term"), col("tfidf")),
+      "doc_id", "term", "tfidf", iterations = 2, k = 20)
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

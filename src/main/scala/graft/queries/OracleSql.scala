@@ -1605,6 +1605,39 @@ object OracleSql {
         |v2 AS (SELECT c, round(w / nm, 9) AS x FROM w2r, m2)
         |SELECT c AS term, x AS loading FROM v2 ORDER BY loading DESC, term LIMIT 20""".stripMargin,
 
+    // Lsa.docScores replayed: q155's unrolled iteration plus the
+    // fold-in projection matvec and the doc top-20
+"q156_lsa_doc_scores" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |a AS (SELECT tf.doc_id AS r, tf.term AS c,
+        |             round(tf.tf * ln(CAST(nn.n AS DOUBLE) / docfreq.df), 4) AS v
+        |      FROM tf JOIN docfreq USING (term) CROSS JOIN nn),
+        |u1r AS (SELECT r, round(CAST(sum(CAST(v * 1.0 AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+        |        FROM a GROUP BY r),
+        |n1 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u1r),
+        |u1 AS (SELECT r, round(u / nm, 9) AS u FROM u1r, n1),
+        |w1r AS (SELECT c, round(CAST(sum(CAST(a.v * u1.u AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+        |        FROM a JOIN u1 USING (r) GROUP BY c),
+        |m1 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w1r),
+        |v1 AS (SELECT c, round(w / nm, 9) AS x FROM w1r, m1),
+        |u2r AS (SELECT r, round(CAST(sum(CAST(a.v * v1.x AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+        |        FROM a JOIN v1 USING (c) GROUP BY r),
+        |n2 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u2r),
+        |u2 AS (SELECT r, round(u / nm, 9) AS u FROM u2r, n2),
+        |w2r AS (SELECT c, round(CAST(sum(CAST(a.v * u2.u AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+        |        FROM a JOIN u2 USING (r) GROUP BY c),
+        |m2 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w2r),
+        |v2 AS (SELECT c, round(w / nm, 9) AS x FROM w2r, m2),
+        |ds AS (SELECT r, round(CAST(sum(CAST(a.v * v2.x AS DECIMAL(28,9))) AS DOUBLE), 9) AS topic_score
+        |       FROM a JOIN v2 USING (c) GROUP BY r)
+        |SELECT r AS doc_id, topic_score FROM ds
+        |ORDER BY topic_score DESC, doc_id LIMIT 20""".stripMargin,
+
     // Media dedup retention: plant-formula hashes, the O(n^2) pair-scan
     // baseline, keep-lowest-id retention with dup_of; both modalities
     // share the plant so the verdict table doubles under the labels

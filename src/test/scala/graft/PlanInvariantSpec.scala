@@ -62,7 +62,7 @@ class PlanInvariantSpec extends SparkTestBase {
     // triangle/degree aggregates collect at construction (the fit contract)
     "q153_triangle_stats",
     // power-iteration generations materialize at construction
-    "q155_lsa_topic")
+    "q155_lsa_topic", "q156_lsa_doc_scores")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
