@@ -189,6 +189,43 @@ final case class ManifestWarehouse(
     * passes their number; orphans below live collect by age like any
     * other stale generation.
     */
+  /** Small-file compaction — the open-table-format `OPTIMIZE`: rewrite
+    * the LIVE generation's files into ~`targetFileBytes` outputs as a
+    * brand-new generation, committed by the same atomic manifest flip.
+    * Readers mid-compact observe either the old or the new generation,
+    * never a mixture; the old prefix stays immutable until [[vacuum]].
+    * A streaming ingest that lands thousands of tiny per-batch files
+    * (the [[graft.streaming.IncrementalLoad]] shape) runs this on a
+    * schedule — at 100 TB, scan cost tracks file COUNT as much as bytes
+    * (task scheduling + object-store request overhead), so compaction is
+    * a first-class maintenance op, not housekeeping.
+    *
+    * Output file count = ceil(live bytes / targetFileBytes), applied via
+    * repartition before the standard write path (partitioned tables
+    * compact within each partition directory). Returns
+    * (filesBefore, filesAfter, bytes).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val (_, dir, schema) = currentManifest(name).getOrElse(
+      sys.error(s"table $name has no committed generation under $root"))
+    val src = Paths.get(tableDir(name), dir)
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: java.nio.file.Path) = Files.walk(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+      .toList
+    val before = parquetFiles(src)
+    val bytes = before.map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(src.toString)
+      .select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    write(name, df.repartition(nFiles))
+    val (_, newDir, _) = currentManifest(name).get
+    val after = parquetFiles(Paths.get(tableDir(name), newDir))
+    (before.size.toLong, after.size.toLong, bytes)
+  }
+
   def vacuum(name: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     currentManifest(name).foreach { case (liveGen, _, _) =>
