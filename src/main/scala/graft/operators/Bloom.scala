@@ -46,7 +46,11 @@ object Bloom {
     */
   def build(df: DataFrame, keyCol: String, k: Int = 3, mBits: Int = 8192): DataFrame = {
     require(k >= 1 && mBits >= 2, s"bad bloom shape: k=$k m=$mBits")
-    df.select(explode(positions(col(keyCol).cast("string"), k, mBits)).as("pos"))
+    // null keys are dropped on BOTH build and probe (a null never hashes,
+    // so it would otherwise plant a spurious null `pos` row here and
+    // probe as perpetually-new downstream)
+    df.where(col(keyCol).isNotNull)
+      .select(explode(positions(col(keyCol).cast("string"), k, mBits)).as("pos"))
       .distinct()
   }
 
@@ -69,7 +73,7 @@ object Bloom {
     */
   def probe(bits: DataFrame, probes: DataFrame, keyCol: String,
             k: Int = 3, mBits: Int = 8192): DataFrame = {
-    val fan = probes.select(col(keyCol)).distinct()
+    val fan = probes.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
       .select(col(keyCol),
         explode(positions(col(keyCol).cast("string"), k, mBits)).as("pos"))
     fan.join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left")

@@ -55,10 +55,13 @@ object GraphStats {
     val closing = oriented.select(col("src").as("v1"), col("dst").as("v2"))
     val nTriangles = openWedges.join(closing, Seq("v1", "v2"))
       .agg(count(lit(1)).as("n")).head.getLong(0)
+    // coalesce: on an EMPTY graph the sums come back null (ansi off) and
+    // a bare getLong would NPE — an empty pair table is a legal input
     val stats = deg.agg(
       count(lit(1)).as("n_vertices"),
-      (sum(col("deg")) / 2).cast("long").as("n_edges"),
-      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")).head
+      coalesce((sum(col("deg")) / 2).cast("long"), lit(0L)).as("n_edges"),
+      coalesce(sum(col("deg") * (col("deg") - 1) / 2).cast("long"), lit(0L))
+        .as("n_wedges")).head
     base.unpersist(); deg.unpersist(); oriented.unpersist()
     val spark = pairs.sparkSession
     import spark.implicits._

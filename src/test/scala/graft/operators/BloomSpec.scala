@@ -53,6 +53,15 @@ class BloomSpec extends SparkTestBase {
     assert(unpacked === original)
   }
 
+  test("null keys are dropped on both sides, never planted or probed") {
+    val withNull = (built :+ null.asInstanceOf[String]).toDF("k")
+    val bits = Bloom.build(withNull, "k", k = 3, mBits = 4096)
+    assert(bits.where(col("pos").isNull).count() === 0)
+    assert(bits.count() ===
+      Bloom.build(built.toDF("k"), "k", k = 3, mBits = 4096).count())
+    assert(Bloom.probe(bits, withNull, "k", k = 3, mBits = 4096).count() === 200)
+  }
+
   test("deterministic across repartitioning") {
     val df = built.toDF("k")
     val a = Bloom.build(df, "k", k = 3, mBits = 4096).collect().map(_.getLong(0)).sorted.toSeq

@@ -42,6 +42,11 @@ class GraphStatsSpec extends SparkTestBase {
     assert(a(3) === 1L) // still exactly one triangle
   }
 
+  test("an empty pair table reports all-zero stats, never an NPE") {
+    val r = stats(Seq.empty)
+    assert(r.toSeq === Seq(0L, 0L, 0L, 0L, 0.0))
+  }
+
   test("bowtie: two triangles sharing a vertex — the shared hub closes nothing extra") {
     val r = stats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)))
     assert(r.getAs[Long]("n_triangles") === 2L)
