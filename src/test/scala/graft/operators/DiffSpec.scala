@@ -82,4 +82,19 @@ class DiffSpec extends SparkTestBase {
       Seq("o_orderkey"), Seq("o_totalprice"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("schema drift classifies added/removed/retyped/unchanged columns") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a", 2.5)).toDF("id", "name", "v")
+    val newDf = Seq((1L, 3, true)).toDF("id", "v", "fresh")
+    val got = Diff.schemaDrift(oldDf, newDf)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(got("id") === (("unchanged", "bigint", "bigint")))
+    assert(got("name") === (("removed", "string", "")))
+    assert(got("v") === (("retyped", "double", "int")))
+    assert(got("fresh") === (("added", "", "boolean")))
+    // identical schemas: all unchanged
+    assert(Diff.schemaDrift(oldDf, oldDf)
+      .where(col("status") =!= "unchanged").count() === 0)
+  }
 }
