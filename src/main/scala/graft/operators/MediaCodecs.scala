@@ -298,12 +298,17 @@ object MediaCodecs {
     * md5("patternId_b") — the engine-independent salted-md5 family, so
     * an oracle recomputes the expected hash without decoding a pixel.
     */
+  // one digest instance per task thread: getInstance per (id, block) call
+  // costs more than the hash itself at corpus scale (64 calls per asset),
+  // and digest() resets the instance so reuse is safe
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   def blockBit(patternId: Long, b: Int): Int =
     if (b == 0) 1
     else if (b == 63) 0
     else {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${patternId}_$b".getBytes("UTF-8"))
+      val d = md5Local.get().digest(s"${patternId}_$b".getBytes("UTF-8"))
       (d(0) >> 4) & 1
     }
 
