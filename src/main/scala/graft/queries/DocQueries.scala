@@ -1332,6 +1332,41 @@ object DocQueries {
         .select(col("doc_id"), col("term"), col("tfidf")),
       "doc_id", "term", "tfidf", iterations = 2, k = 20)
 
+  /** Incremental media retention — q154's verdict table computed at
+    * O(increment): originals are YESTERDAY'S corpus (band index + keep
+    * verdicts stored), the sibling batch arrives today and matches
+    * against the STORED index only (Multimodal
+    * .hamming64NearDupsIncremental). Because increment ids sit above
+    * every existing id, existing verdicts are immutable under the
+    * keep-lowest-id rule, so the update is pass-through ∪ increment
+    * verdicts. The oracle computes the FULL retention — a hash match is
+    * the incremental==full theorem for the media family (the q146
+    * doctrine).
+    */
+  def q157IncrementalMediaRetention(spark: SparkSession, dir: String): DataFrame = {
+    val all = Multimodal.imageAHash(
+        Multimodal.mediaBlockImages(spark, Tables(spark, dir).documents))
+      .where(col("decoded"))
+    val existing = all.where(col("media_id") < Multimodal.BlockSiblingOffset)
+    val increment = all.where(col("media_id") >= Multimodal.BlockSiblingOffset)
+    def verdicts(assets: DataFrame, pairs: DataFrame): DataFrame =
+      assets.select(col("media_id"))
+        .join(pairs.groupBy(col("id_b").as("media_id"))
+          .agg(min(col("id_a")).as("dup_of")), Seq("media_id"), "left")
+        .withColumn("keep", when(col("dup_of").isNull, 1L).otherwise(0L))
+        .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+    val existingVerdicts = verdicts(existing,
+      Multimodal.hamming64NearDupPairs(existing, "media_id", "ahash", 3))
+    val index = Multimodal.bandedHashes(existing, "media_id", "ahash", 3)
+    val incPairs = Multimodal.hamming64NearDupsIncremental(
+      increment, index, "media_id", "ahash", 3)
+    existingVerdicts
+      .unionByName(verdicts(increment,
+        incPairs.where(col("id_b") >= Multimodal.BlockSiblingOffset)))
+      .select(col("media_id"), col("keep"), col("dup_of"))
+      .orderBy("media_id")
+  }
+
   /** Multimodal metadata projection over binary payloads: byte length +
     * digest per media asset (the oracle-checkable slice of the media
     * pipeline; decode stubs are exercised in MultimodalSpec).

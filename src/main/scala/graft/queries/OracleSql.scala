@@ -1638,6 +1638,37 @@ object OracleSql {
         |SELECT r AS doc_id, topic_score FROM ds
         |ORDER BY topic_score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Incremental media retention: the oracle is the FULL retention
+    // (q154's image half) — the engine answers from stored index +
+    // stored verdicts + an O(increment) join; a hash match is the
+    // incremental==full theorem for the media family
+    "q157_incremental_media_retention" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS sib FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT media_id, g.b AS b,
+        |         CASE WHEN g.b = 0 THEN 1 WHEN g.b = 63 THEN 0
+        |              WHEN sib = 1 AND g.b IN (1, 2)
+        |                THEN 1 - (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |              ELSE (CAST(concat('0x', substr(md5(base || '_' || g.b), 1, 1)) AS INT) % 2)
+        |         END AS bit
+        |  FROM m CROSS JOIN range(64) g(b)),
+        |h AS (
+        |  SELECT media_id,
+        |         CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+        |  FROM bits GROUP BY 1),
+        |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+        |      FROM h a JOIN h b ON a.media_id < b.media_id
+        |      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |d AS (SELECT id_b AS media_id, min(id_a) AS dup_of FROM p GROUP BY 1)
+        |SELECT h.media_id,
+        |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+        |FROM h LEFT JOIN d USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
     // Media dedup retention: plant-formula hashes, the O(n^2) pair-scan
     // baseline, keep-lowest-id retention with dup_of; both modalities
     // share the plant so the verdict table doubles under the labels
