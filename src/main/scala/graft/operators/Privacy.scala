@@ -39,6 +39,24 @@ object Privacy {
     * alone (every surviving class still has its full ≥ k members, so no
     * class shrinks below k by the filter itself).
     */
+  /** Distinct l-diversity audit — k-anonymity's necessary complement: a
+    * class can hold k rows yet leak the sensitive attribute completely
+    * if all k share one value (the homogeneity attack). One row per
+    * quasi combination: class size, distinct sensitive values, and the
+    * verdict at `l`. Same single-aggregation scale shape as
+    * [[kAnonymityClasses]]; the distinct count plans as Catalyst's
+    * two-phase partial-distinct Expand.
+    */
+  def lDiversityClasses(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", when(col("n_sensitive") >= l, 1L).otherwise(0L))
+  }
+
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     val classes = kAnonymityClasses(df, quasiCols, k)
       .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("anonymous").as("__keep"): _*)

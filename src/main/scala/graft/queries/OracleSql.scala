@@ -1473,6 +1473,14 @@ object OracleSql {
         |       CAST(exact_nd AS BIGINT) AS exact_nd
         |FROM kmv JOIN ex ON kmv.grp = ex.grp ORDER BY 1""".stripMargin,
 
+    // Privacy.lDiversityClasses replayed: class size + distinct
+    // sensitive values per quasi combination, verdict at l=3
+    "q158_l_diversity" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Privacy.kAnonymityClasses replayed: one aggregation per quasi
     // combination, verdict at k=10
     "q145_k_anonymity" ->

@@ -1010,6 +1010,16 @@ object RelationalQueries {
         "o_orderkey", folds = 5, smoothing = 20.0)
       .orderBy("o_orderkey")
 
+  /** l-diversity audit (Privacy.lDiversityClasses): per nation, does the
+    * market-segment attribute stay diverse (≥3 distinct values) — the
+    * homogeneity-attack gate k-anonymity alone misses. One aggregation
+    * bounded by quasi combinations; distinct via the two-phase Expand.
+    */
+  def q158LDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversityClasses(
+        Tables(spark, dir).customer, Seq("c_nationkey"), "c_mktsegment", l = 3)
+      .orderBy("c_nationkey")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

@@ -48,6 +48,22 @@ class PrivacySpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Long]("__keep") === 0L))
   }
 
+  test("l-diversity flags the homogeneous class k-anonymity would pass") {
+    // ("US","A") x 5 all share sensitive "x" — k-anonymous at k=3 but
+    // NOT 2-diverse; ("FR","A") x 3 carries two sensitive values
+    val df = (
+      (1 to 5).map(i => (i, "US", "A", "x")) ++
+      Seq((8, "FR", "A", "x"), (9, "FR", "A", "y"), (10, "FR", "A", "y"))
+    ).toDF("id", "country", "segment", "sensitive")
+    val kOk = Privacy.kAnonymityClasses(df, Seq("country", "segment"), k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(kOk("US") === 1L && kOk("FR") === 1L)
+    val lv = Privacy.lDiversityClasses(df, Seq("country", "segment"), "sensitive", l = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(lv("US") === ((1L, 0L)), "homogeneous class must fail diversity")
+    assert(lv("FR") === ((2L, 1L)))
+  }
+
   test("single quasi column and k=1 degenerate cases") {
     val classes = Privacy.kAnonymityClasses(fixture, Seq("country"), k = 1)
     assert(classes.where(col("anonymous") === 0L).count() === 0)
