@@ -143,6 +143,10 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     Sessions.release(spark, owned)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$nRuns,"sf":"$sfDir"}""")
+    // Totals-only last line (<1KB): with 158 per-query entries the line is
+    // ~5KB and the driver's 2000-char stdout tail head-truncates it, so
+    // `parsed` came back null in rounds 7 AND 8. Per-query detail lives in
+    // the full record written above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$nRuns,"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

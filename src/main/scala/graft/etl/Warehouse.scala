@@ -211,16 +211,32 @@ final case class ManifestWarehouse(
       sys.error(s"table $name has no committed generation under $root"))
     val src = Paths.get(tableDir(name), dir)
     import scala.jdk.CollectionConverters._
-    def parquetFiles(p: java.nio.file.Path) = Files.walk(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
-      .toList
+    // Files.walk holds directory handles until closed — a long-lived
+    // driver running scheduled compactions would leak descriptors without
+    // the Using wrap.
+    def parquetFiles(p: java.nio.file.Path) =
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+          .toList
+      }
     val before = parquetFiles(src)
     val bytes = before.map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(src.toString)
       .select(schema.fields.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-    write(name, df.repartition(nFiles))
+    // Partitioned tables must repartition BY the partition columns: a
+    // global repartition(n) gives each task rows of many partition values,
+    // so the partitioned write would emit up to n × nValues files — more
+    // fragmentation than before the compact. Hashing on the partition
+    // columns puts each value wholly in one task → ≤1 file per value.
+    val repartitioned = partitionCols.get(name) match {
+      case Some(cols) if cols.forall(df.columns.contains) =>
+        df.repartition(nFiles, cols.map(org.apache.spark.sql.functions.col): _*)
+      case _ => df.repartition(nFiles)
+    }
+    write(name, repartitioned)
     val (_, newDir, _) = currentManifest(name).get
     val after = parquetFiles(Paths.get(tableDir(name), newDir))
     (before.size.toLong, after.size.toLong, bytes)
@@ -232,15 +248,18 @@ final case class ManifestWarehouse(
       import scala.jdk.CollectionConverters._
       val dir = Paths.get(tableDir(name))
       if (Files.isDirectory(dir)) {
-        val stale = Files.list(dir).iterator().asScala
-          .filter { p =>
-            Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-") &&
-              p.getFileName.toString.stripPrefix("gen-").toLongOption
-                .exists(_ <= liveGen - keepLast)
-          }
-          .toList
+        val stale = scala.util.Using.resource(Files.list(dir)) { st =>
+          st.iterator().asScala
+            .filter { p =>
+              Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-") &&
+                p.getFileName.toString.stripPrefix("gen-").toLongOption
+                  .exists(_ <= liveGen - keepLast)
+            }
+            .toList
+        }
         stale.foreach { p =>
-          Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.delete)
+          scala.util.Using.resource(Files.walk(p))(_.iterator().asScala.toList)
+            .reverse.foreach(Files.delete)
         }
       }
     }

@@ -136,6 +136,11 @@ object Drift {
     * their own class ("missing" drifting counts as drift).
     */
   def categoricalDrift(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    // An accidentally-empty snapshot must fail loudly: with nb or nc = 0
+    // the chi-square expectations and p = cb/nb divide by zero and the
+    // audit would silently report NaN/null statistics.
+    require(!base.isEmpty, s"categoricalDrift: base snapshot has no rows (column $valueCol)")
+    require(!cur.isEmpty, s"categoricalDrift: current snapshot has no rows (column $valueCol)")
     val b = base.select(coalesce(col(valueCol).cast("string"), lit("__null__")).as("__c"))
       .groupBy("__c").agg(count(lit(1)).as("cb"))
     val c = cur.select(coalesce(col(valueCol).cast("string"), lit("__null__")).as("__c"))

@@ -1332,6 +1332,20 @@ object DocQueries {
         .select(col("doc_id"), col("term"), col("tfidf")),
       "doc_id", "term", "tfidf", iterations = 2, k = 20)
 
+  /** Multi-topic LSA (Lsa.topTopicVectors): the corpus's top TWO latent
+    * topics by deflated power iteration — topic 1 is q155's direction,
+    * topic 2 re-iterates with each column iterate orthogonalized against
+    * topic 1 (Hotelling deflation in the iterate; the sparse matrix is
+    * never densified). Top-10 terms per topic. The oracle unrolls BOTH
+    * topics' two iterations, including the two broadcast dot-product
+    * deflation steps, over the q43 TF-IDF replay.
+    */
+  def q159LsaTopics(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Lsa.topTopicVectors(
+      TextAnalysis.tfidf(Tables(spark, dir).documents, "text", "doc_id")
+        .select(col("doc_id"), col("term"), col("tfidf")),
+      "doc_id", "term", "tfidf", iterations = 2, nTopics = 2, k = 10)
+
   /** Incremental media retention — q154's verdict table computed at
     * O(increment): originals are YESTERDAY'S corpus (band index + keep
     * verdicts stored), the sibling batch arrives today and matches

@@ -1082,7 +1082,9 @@ object OracleSql {
          |SELECT
          |  round(CASE WHEN p > 0 AND nn > 0 THEN
          |    CAST(rs2 - p * (p + 1) AS DOUBLE) / (2.0 * CAST(p * nn AS DOUBLE)) END, 9) AS auc,
-         |  p AS n_pos, nn AS n_neg, tp, fp, p - tp AS fn, nn - fp AS tn,
+         |  CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(p - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
          |  round(CASE WHEN tp + fp > 0 THEN
          |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 9) AS precision,
          |  round(CASE WHEN p > 0 THEN
@@ -1595,23 +1597,86 @@ object OracleSql {
         |a AS (SELECT tf.doc_id AS r, tf.term AS c,
         |             round(tf.tf * ln(CAST(nn.n AS DOUBLE) / docfreq.df), 4) AS v
         |      FROM tf JOIN docfreq USING (term) CROSS JOIN nn),
-        |u1r AS (SELECT r, round(CAST(sum(CAST(v * 1.0 AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+        |u1r AS (SELECT r, CAST(round(sum(CAST(v AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
         |        FROM a GROUP BY r),
         |n1 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u1r),
         |u1 AS (SELECT r, round(u / nm, 9) AS u FROM u1r, n1),
-        |w1r AS (SELECT c, round(CAST(sum(CAST(a.v * u1.u AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+        |w1r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(u1.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
         |        FROM a JOIN u1 USING (r) GROUP BY c),
         |m1 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w1r),
         |v1 AS (SELECT c, round(w / nm, 9) AS x FROM w1r, m1),
-        |u2r AS (SELECT r, round(CAST(sum(CAST(a.v * v1.x AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+        |u2r AS (SELECT r, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(v1.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
         |        FROM a JOIN v1 USING (c) GROUP BY r),
         |n2 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u2r),
         |u2 AS (SELECT r, round(u / nm, 9) AS u FROM u2r, n2),
-        |w2r AS (SELECT c, round(CAST(sum(CAST(a.v * u2.u AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+        |w2r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(u2.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
         |        FROM a JOIN u2 USING (r) GROUP BY c),
         |m2 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w2r),
         |v2 AS (SELECT c, round(w / nm, 9) AS x FROM w2r, m2)
         |SELECT c AS term, x AS loading FROM v2 ORDER BY loading DESC, term LIMIT 20""".stripMargin,
+
+    // Lsa.topTopicVectors replayed: q155's unrolled topic-1 chain, then
+    // topic 2 — same all-ones start (so u1r/w1r reuse verbatim), with the
+    // Hotelling deflation (broadcast dot against topic 1's FINAL v2, then
+    // the rounded subtraction) applied to each raw column iterate before
+    // its normalization, exactly as Lsa.powerIterate orders the steps
+    "q159_lsa_topics" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |a AS (SELECT tf.doc_id AS r, tf.term AS c,
+        |             round(tf.tf * ln(CAST(nn.n AS DOUBLE) / docfreq.df), 4) AS v
+        |      FROM tf JOIN docfreq USING (term) CROSS JOIN nn),
+        |u1r AS (SELECT r, CAST(round(sum(CAST(v AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
+        |        FROM a GROUP BY r),
+        |n1 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u1r),
+        |u1 AS (SELECT r, round(u / nm, 9) AS u FROM u1r, n1),
+        |w1r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(u1.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
+        |        FROM a JOIN u1 USING (r) GROUP BY c),
+        |m1 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w1r),
+        |v1 AS (SELECT c, round(w / nm, 9) AS x FROM w1r, m1),
+        |u2r AS (SELECT r, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(v1.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
+        |        FROM a JOIN v1 USING (c) GROUP BY r),
+        |n2 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u2r),
+        |u2 AS (SELECT r, round(u / nm, 9) AS u FROM u2r, n2),
+        |w2r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(u2.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
+        |        FROM a JOIN u2 USING (r) GROUP BY c),
+        |m2 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w2r),
+        |v2 AS (SELECT c, round(w / nm, 9) AS x FROM w2r, m2),
+        |d11 AS (SELECT CAST(round(sum(CAST(w1r.w AS DECIMAL(20,9)) * CAST(v2.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS d
+        |        FROM w1r JOIN v2 USING (c)),
+        |bw1 AS (SELECT w1r.c AS c,
+        |               CAST(round(CAST(w1r.w AS DECIMAL(20,9))
+        |                 - CAST(d11.d AS DECIMAL(20,9)) * CAST(v2.x AS DECIMAL(10,9)), 9) AS DOUBLE) AS w
+        |        FROM w1r JOIN v2 USING (c), d11),
+        |bm1 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM bw1),
+        |bv1 AS (SELECT c, round(w / nm, 9) AS x FROM bw1, bm1),
+        |bu2r AS (SELECT r, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(bv1.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
+        |         FROM a JOIN bv1 USING (c) GROUP BY r),
+        |bn2 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM bu2r),
+        |bu2 AS (SELECT r, round(u / nm, 9) AS u FROM bu2r, bn2),
+        |bw2r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(bu2.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
+        |         FROM a JOIN bu2 USING (r) GROUP BY c),
+        |d21 AS (SELECT CAST(round(sum(CAST(bw2r.w AS DECIMAL(20,9)) * CAST(v2.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS d
+        |        FROM bw2r JOIN v2 USING (c)),
+        |bw2 AS (SELECT bw2r.c AS c,
+        |               CAST(round(CAST(bw2r.w AS DECIMAL(20,9))
+        |                 - CAST(d21.d AS DECIMAL(20,9)) * CAST(v2.x AS DECIMAL(10,9)), 9) AS DOUBLE) AS w
+        |        FROM bw2r JOIN v2 USING (c), d21),
+        |bm2 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM bw2),
+        |bv2 AS (SELECT c, round(w / nm, 9) AS x FROM bw2, bm2),
+        |uni AS (
+        |  SELECT CAST(1 AS BIGINT) AS topic, c AS term, x AS loading FROM v2
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), c, x FROM bv2),
+        |rk AS (SELECT topic, term, loading,
+        |              row_number() OVER (PARTITION BY topic ORDER BY loading DESC, term) AS rnk
+        |       FROM uni)
+        |SELECT topic, term, loading FROM rk WHERE rnk <= 10
+        |ORDER BY topic, loading DESC, term""".stripMargin,
 
     // Lsa.docScores replayed: q155's unrolled iteration plus the
     // fold-in projection matvec and the doc top-20
@@ -1625,23 +1690,23 @@ object OracleSql {
         |a AS (SELECT tf.doc_id AS r, tf.term AS c,
         |             round(tf.tf * ln(CAST(nn.n AS DOUBLE) / docfreq.df), 4) AS v
         |      FROM tf JOIN docfreq USING (term) CROSS JOIN nn),
-        |u1r AS (SELECT r, round(CAST(sum(CAST(v * 1.0 AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+        |u1r AS (SELECT r, CAST(round(sum(CAST(v AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
         |        FROM a GROUP BY r),
         |n1 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u1r),
         |u1 AS (SELECT r, round(u / nm, 9) AS u FROM u1r, n1),
-        |w1r AS (SELECT c, round(CAST(sum(CAST(a.v * u1.u AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+        |w1r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(u1.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
         |        FROM a JOIN u1 USING (r) GROUP BY c),
         |m1 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w1r),
         |v1 AS (SELECT c, round(w / nm, 9) AS x FROM w1r, m1),
-        |u2r AS (SELECT r, round(CAST(sum(CAST(a.v * v1.x AS DECIMAL(28,9))) AS DOUBLE), 9) AS u
+        |u2r AS (SELECT r, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(v1.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
         |        FROM a JOIN v1 USING (c) GROUP BY r),
         |n2 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u2r),
         |u2 AS (SELECT r, round(u / nm, 9) AS u FROM u2r, n2),
-        |w2r AS (SELECT c, round(CAST(sum(CAST(a.v * u2.u AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+        |w2r AS (SELECT c, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(u2.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
         |        FROM a JOIN u2 USING (r) GROUP BY c),
         |m2 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w2r),
         |v2 AS (SELECT c, round(w / nm, 9) AS x FROM w2r, m2),
-        |ds AS (SELECT r, round(CAST(sum(CAST(a.v * v2.x AS DECIMAL(28,9))) AS DOUBLE), 9) AS topic_score
+        |ds AS (SELECT r, CAST(round(sum(CAST(a.v AS DECIMAL(18,4)) * CAST(v2.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS topic_score
         |       FROM a JOIN v2 USING (c) GROUP BY r)
         |SELECT r AS doc_id, topic_score FROM ds
         |ORDER BY topic_score DESC, doc_id LIMIT 20""".stripMargin,

@@ -42,6 +42,29 @@ object BloomStream {
     spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$statePath/bits").distinct()
 
+  /** Bit state as of (strictly before) `batchId`: seed plus batch_<i>
+    * segments with i < batchId ONLY. The in-batch read MUST use this, not
+    * [[bits]]: under at-least-once replay a failed batch may have already
+    * written its own `bits/batch_<id>` segment before the checkpoint
+    * committed, and a whole-directory read would then see the batch's own
+    * bits — every batch key would probe as member and the retry would
+    * overwrite `newPath/batch_<id>` with an EMPTY set, silently losing
+    * that batch's output. Excluding the current-and-later segments makes
+    * the retry read exactly the state the first attempt read, so the
+    * rewrite is byte-identical (spec: BloomStreamSpec retry case).
+    */
+  def bitsBefore(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                 batchId: Long): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$statePath/bits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(dir).map(_.getPath).filter { p =>
+      val n = p.getName
+      n == "seed" || (n.startsWith("batch_") &&
+        scala.util.Try(n.stripPrefix("batch_").toLong).toOption.exists(_ < batchId))
+    }.map(_.toString)
+    spark.read.parquet(segs.toIndexedSeq: _*).distinct()
+  }
+
   /** Run an AvailableNow filtering pass over `newKeys` (a streaming
     * DataFrame carrying `keyCol`): per batch, write the batch's
     * never-seen keys under `newPath/batch_<id>` and append the batch's
@@ -64,7 +87,7 @@ object BloomStream {
         java.nio.file.Files.createTempDirectory("ckpt-bloom-stream").toString))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val state = bits(spark, statePath)
+        val state = bitsBefore(spark, statePath, batchId)
         val fresh = Bloom.probe(state, batch.select(col(keyCol)), keyCol, k, mBits)
           .where(!col("member"))
           .select(col(keyCol))

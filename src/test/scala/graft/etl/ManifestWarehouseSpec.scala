@@ -127,6 +127,24 @@ class ManifestWarehouseSpec extends SparkTestBase {
     assert(wh.read("t").count() === 5000L)
   }
 
+  test("compacting a PARTITIONED table lands ≤1 file per partition value, not nFiles × nValues") {
+    val root = tmp("mwh-compact-part")
+    val wh = ManifestWarehouse(spark, root, partitionCols = Map("t" -> Seq("year")))
+    val rows = (1L to 4000L).map(i => (i, 2020 + (i % 4).toInt, s"name_$i"))
+    // fragmented write: every task holds rows of all 4 partition values,
+    // so the initial layout is ~32×4 files
+    wh.write("t", rows.toDF("id", "year", "name").repartition(32))
+    val (nBefore, nAfter, _) = wh.compact("t", targetFileBytes = 1L << 30)
+    assert(nBefore > 100L, s"expected a fragmented starting layout, saw $nBefore")
+    // one target file total → repartition(1, year) still writes one file
+    // per partition DIRECTORY, never nFiles × nValues
+    assert(nAfter === 4L, s"expected exactly 1 file per partition value, saw $nAfter")
+    val after = wh.read("t")
+    assert(after.count() === 4000L)
+    assert(after.orderBy("id").collect().toSeq ===
+      rows.toDF("id", "year", "name").orderBy("id").collect().toSeq)
+  }
+
   test("SriPipeline runs unchanged against the manifest warehouse; golden counts hold") {
     val root = tmp("mwh-sri")
     val wh = ManifestWarehouse(spark, root,

@@ -90,6 +90,21 @@ class DriftSpec extends SparkTestBase {
     assert(r.getAs[Double]("chi2") === 4.0)
   }
 
+  test("categorical: an empty snapshot is refused loudly, not NaN'd") {
+    import spark.implicits._
+    val some = Seq("a", "b").toDF("x")
+    val none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], some.schema)
+    val e1 = intercept[IllegalArgumentException] {
+      Drift.categoricalDrift(none, some, "x")
+    }
+    assert(e1.getMessage.contains("base snapshot has no rows"))
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.categoricalDrift(some, none, "x")
+    }
+    assert(e2.getMessage.contains("current snapshot has no rows"))
+  }
+
   test("categorical: null categories are their own drifting class") {
     import spark.implicits._
     val base = Seq(Some("a"), Some("a"), Some("a"), Some("a")).toDF("x")

@@ -37,4 +37,59 @@ class LsaSpec extends SparkTestBase {
     assert(a.size === 5)
     assert(a === run(m.repartition(7)))
   }
+
+  test("topicVectors recovers both planted topics of a two-block corpus") {
+    // Block A: docs 1-10 over terms a0..a3; block B: docs 11-18 over
+    // b0..b3. The blocks share NO terms, so AᵀA is block-diagonal: its
+    // top two eigenvectors live one per block. Block A carries far more
+    // mass (λA = 4·10·10² = 4000 vs λB = 4·8·1² = 32, ratio 0.008 per
+    // iteration → residual ~5e-7 after 3) → topic 1; deflation must
+    // then surface block B as topic 2 instead of a second copy of A.
+    val blockA = for (r <- 1L to 10L; j <- 0 to 3) yield (r, s"a$j", 10.0)
+    val blockB = for (r <- 11L to 18L; j <- 0 to 3) yield (r, s"b$j", 1.0)
+    val m = (blockA ++ blockB).toDF("r", "c", "v")
+    val topics = Lsa.topicVectors(m, "r", "c", "v", iterations = 3, nTopics = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val t1 = topics.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    val t2 = topics.filter(_._1 == 2L).map(t => t._2 -> t._3).toMap
+    // topic 1: all mass on block A (each of the 4 symmetric terms = 0.5)
+    (0 to 3).foreach { j =>
+      assert(math.abs(t1(s"a$j") - 0.5) < 1e-6, s"t1 a$j -> ${t1(s"a$j")}")
+      assert(math.abs(t1(s"b$j")) < 1e-6, s"t1 b$j -> ${t1(s"b$j")}")
+    }
+    // topic 2: deflation removed A, so all mass on block B
+    (0 to 3).foreach { j =>
+      assert(math.abs(t2(s"b$j") - 0.5) < 1e-6, s"t2 b$j -> ${t2(s"b$j")}")
+      assert(math.abs(t2(s"a$j")) < 1e-6, s"t2 a$j -> ${t2(s"a$j")}")
+    }
+  }
+
+  test("topic 1 of topicVectors equals termVector; topics are orthogonal") {
+    val m = (1L to 200L).map(i => (i % 23, s"t${i % 11}", (i % 5) + 1.0))
+      .toDF("r", "c", "v")
+    val single = Lsa.termVector(m, "r", "c", "v", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val topics = Lsa.topicVectors(m, "r", "c", "v", iterations = 2, nTopics = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val t1 = topics.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    val t2 = topics.filter(_._1 == 2L).map(t => t._2 -> t._3).toMap
+    assert(t1 === single)
+    val dot = t1.keys.map(k => t1(k) * t2(k)).sum
+    assert(math.abs(dot) < 1e-4, s"topics not orthogonal: dot=$dot")
+  }
+
+  test("topTopicVectors bounds each topic to k with the rank window") {
+    val m = (1L to 300L).map(i => (i % 30, s"t${i % 17}", (i % 7) + 1.0))
+      .toDF("r", "c", "v")
+    val out = Lsa.topTopicVectors(m, "r", "c", "v",
+        iterations = 2, nTopics = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.count(_._1 == 1L) === 5)
+    assert(out.count(_._1 == 2L) === 5)
+    // per-topic descending-loading order with term tiebreak
+    Seq(1L, 2L).foreach { t =>
+      val loads = out.filter(_._1 == t).map(_._3).toSeq
+      assert(loads === loads.sorted.reverse)
+    }
+  }
 }

@@ -62,6 +62,35 @@ class BloomStreamSpec extends SparkTestBase {
       s"emitted ${emitted.size} vs ${freshTruth.size} genuinely-new keys")
   }
 
+  test("a replayed batch whose own segment is pre-written rewrites identical output") {
+    // the at-least-once retry hole: batch N fails AFTER writing its
+    // bits/batch_N segment but BEFORE the checkpoint commit. The re-run
+    // must read the state as of BEFORE batch N (bitsBefore), or every
+    // batch key probes as member and newPath/batch_N is overwritten empty.
+    val statePath = java.nio.file.Files.createTempDirectory("bloom-rt").toString + "/st"
+    val newPath = java.nio.file.Files.createTempDirectory("bloom-rtn").toString + "/new"
+    BloomStream.seed((1 to 50).map(i => s"seed_$i").toDF("k"), statePath, "k",
+      k = 3, mBits = 32768)
+    val batch = ((1 to 20).map(i => s"seed_$i") ++ (1 to 30).map(i => s"new_$i")).toDF("k")
+    def runBody(id: Long): Unit = {
+      // the foreachBatch body, inlined
+      val state = BloomStream.bitsBefore(spark, statePath, id)
+      Bloom.probe(state, batch.select(col("k")), "k", 3, 32768)
+        .where(!col("member")).select(col("k"))
+        .write.mode("overwrite").parquet(s"$newPath/batch_$id")
+      Bloom.build(batch.select(col("k")), "k", 3, 32768)
+        .write.mode("overwrite").parquet(s"$statePath/bits/batch_$id")
+    }
+    runBody(0L)
+    val first = spark.read.parquet(s"$newPath/batch_0")
+      .collect().map(_.getString(0)).toSet
+    assert(first === (1 to 30).map(i => s"new_$i").toSet)
+    runBody(0L) // retry: bits/batch_0 already exists
+    val retry = spark.read.parquet(s"$newPath/batch_0")
+      .collect().map(_.getString(0)).toSet
+    assert(retry === first, "retry with pre-written segment lost the batch's output")
+  }
+
   test("unseeded state is refused loudly") {
     val statePath = java.nio.file.Files.createTempDirectory("bloom-x").toString + "/st"
     val streamDir = writeBatches(Seq(Seq("a")))

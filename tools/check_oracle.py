@@ -7,8 +7,14 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# --strict mirrors the driver's exact gate: no dtype coercion, no float
+# tolerance — a dtype difference (e.g. DuckDB HUGEINT -> pandas float64
+# vs Spark int64) or any value repr difference is a FAIL, exactly like
+# the driver's type-sensitive hash. Run strict before claiming a round.
+strict = "--strict" in sys.argv
+argv = [a for a in sys.argv if a != "--strict"]
+sfdir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
+outdir = argv[2] if len(argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -42,22 +48,33 @@ for name, sql in sorted(oracle.items()):
         continue
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
-    # normalize dtypes for compare
-    for c in o.columns:
-        if o[c].dtype != s[c].dtype:
-            try:
-                s[c] = s[c].astype(o[c].dtype)
-            except Exception:
-                pass
     diffs = []
-    for c in o.columns:
-        if o[c].dtype == "float64":
-            eq = ((o[c] - s[c]).abs() < 1e-9) | (o[c].isna() & s[c].isna())
-        else:
+    if strict:
+        # driver-equivalent: dtype and exact value-repr must match
+        for c in o.columns:
+            if str(o[c].dtype) != str(s[c].dtype):
+                diffs.append(f"col {c}: dtype oracle={o[c].dtype} spark={s[c].dtype}")
+                continue
             eq = (o[c] == s[c]) | (o[c].isna() & s[c].isna())
-        if not eq.all():
-            bad = (~eq).idxmax()
-            diffs.append(f"col {c} row {bad}: oracle={o[c][bad]!r} spark={s[c][bad]!r}")
+            if not eq.all():
+                bad = (~eq).idxmax()
+                diffs.append(f"col {c} row {bad}: oracle={o[c][bad]!r} spark={s[c][bad]!r}")
+    else:
+        # normalize dtypes for compare
+        for c in o.columns:
+            if o[c].dtype != s[c].dtype:
+                try:
+                    s[c] = s[c].astype(o[c].dtype)
+                except Exception:
+                    pass
+        for c in o.columns:
+            if o[c].dtype == "float64":
+                eq = ((o[c] - s[c]).abs() < 1e-9) | (o[c].isna() & s[c].isna())
+            else:
+                eq = (o[c] == s[c]) | (o[c].isna() & s[c].isna())
+            if not eq.all():
+                bad = (~eq).idxmax()
+                diffs.append(f"col {c} row {bad}: oracle={o[c][bad]!r} spark={s[c][bad]!r}")
     if diffs:
         print(f"FAIL {name}: {('; '.join(diffs[:3]))}")
         fail += 1
