@@ -57,6 +57,85 @@ object Privacy {
       .withColumn("diverse", when(col("n_sensitive") >= l, 1L).otherwise(0L))
   }
 
+  /** t-closeness audit — the distributional gate l-diversity misses: a
+    * class can hold l distinct sensitive values yet still leak (a 99/1
+    * skew against a 50/50 corpus tells the attacker plenty). Per
+    * equivalence class, the Earth-Mover's Distance between the class's
+    * sensitive-value distribution and the corpus distribution must stay
+    * ≤ t (Li, Li & Venkatasubramanian, ICDE 2007). For ORDERED values
+    * with interchange distance |i−j|/(m−1) the 1-D EMD reduces to the
+    * prefix-sum of distribution differences over the sorted value table
+    * (the q134 ECDF shape):  EMD = Σᵢ |Σ_{j≤i} (p_j − q_j)| / (m−1).
+    * The equal-distance (categorical) EMD — total variation,
+    * ½ Σ|p_v − q_v| — falls out of the same grid for free; both emit.
+    *
+    * Determinism doctrine — STRONGER than the round-to-9 family: the
+    * ratios never materialize. p_j − q_j = cnt_cv/n_c − cnt_v/n scales
+    * by n_c·n to the exact integer cnt_cv·n − cnt_v·n_c, prefixes and
+    * their |·| sums stay exact integers (DECIMAL(38,0): counts ≤ 1e12
+    * keep products ≤ 1e24 and sums ≤ ~1e28), and the ONLY floating
+    * step is one final unrounded division of exact integers — IEEE-
+    * identical in every engine, no half-grid tie exists to straddle.
+    * The verdict never touches doubles at all: close ⇔
+    * emd_int ≤ t · n_c·n·(m−1), compared in exact decimal.
+    *
+    * Scale shape: three aggregations bounded by classes, values, and
+    * classes×values (never rows²); the corpus value table broadcasts
+    * (sensitive cardinality ≪ rows — quantize first if not, as q160
+    * does with acctbal bands); the prefix window partitions by class and
+    * is value-bounded. Null sensitive values are excluded from both
+    * distributions (they carry no attribute to disclose); null quasi
+    * combos are their own class, as in [[kAnonymityClasses]].
+    *
+    * Returns one row per class: quasi cols, `n` (non-null-sensitive
+    * class size), `m` (corpus distinct values), `emd` (ordered),
+    * `tvd` (categorical), `close` (1 iff ordered EMD ≤ t).
+    */
+  def tClosenessClasses(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t <= 1, s"t must be in (0, 1], got $t")
+    val nonNull = df.where(col(sensitiveCol).isNotNull)
+    require(!nonNull.isEmpty,
+      s"tClosenessClasses: no non-null $sensitiveCol rows to audit")
+    val corpus = nonNull.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt_v"))
+    val total = nonNull.agg(count(lit(1)).as("__n"))
+    val classCnt = nonNull.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n_c"))
+    val classVal = nonNull
+      .groupBy(quasiCols.map(col) :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt_cv"))
+    // full classes × values grid (absent combos count 0 — they still
+    // shift mass in the prefix), corpus table + total broadcast
+    val grid = classCnt
+      .crossJoin(broadcast(corpus)).crossJoin(broadcast(total))
+      .join(classVal, quasiCols :+ "__v", "left")
+      .withColumn("__cnt_cv", coalesce(col("__cnt_cv"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+    val tDec = lit(t).cast("decimal(10,9)")
+    grid
+      .withColumn("__diff",
+        col("__cnt_cv").cast("decimal(19,0)") * col("__n")
+          - col("__cnt_v").cast("decimal(19,0)") * col("__n_c"))
+      .withColumn("__prefix", sum(col("__diff")).over(w))
+      .groupBy(quasiCols.map(col) :+ col("__n_c") :+ col("__n"): _*)
+      .agg(count(lit(1)).as("m"),
+        sum(abs(col("__prefix"))).as("__emd_int"),
+        sum(abs(col("__diff"))).as("__tvd_int"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("__n_c").as("n"), col("m"),
+        when(col("m") > 1, col("__emd_int").cast("double")
+            / (col("__n_c") * col("__n") * (col("m") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("emd"),
+        (col("__tvd_int").cast("double")
+          / (lit(2L) * col("__n_c") * col("__n")).cast("double")).as("tvd"),
+        when(col("__emd_int").cast("decimal(38,0)").cast("decimal(38,9)")
+            <= tDec * (col("__n_c") * col("__n") * (col("m") - 1)).cast("decimal(28,0)"),
+          1L).otherwise(0L).as("close")): _*)
+  }
+
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     val classes = kAnonymityClasses(df, quasiCols, k)
       .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("anonymous").as("__keep"): _*)

@@ -1483,6 +1483,35 @@ object OracleSql {
         |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Privacy.tClosenessClasses replayed: the all-integer prefix-sum EMD
+    // (cnt_cv*n - cnt_v*n_c over the classes x bands grid), one unrounded
+    // double division, verdict via the exact integer compare
+    // 20*emd_int <= 1*n_c*n*(m-1)  (t = 0.05 = 1/20)
+    "q160_t_closeness" ->
+      """WITH nn AS (
+        |  SELECT c_nationkey AS q, CAST(floor(c_acctbal/1000) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |corpus AS (SELECT v, count(*) AS cv FROM nn GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM nn),
+        |cls AS (SELECT q, count(*) AS nc FROM nn GROUP BY 1),
+        |cv2 AS (SELECT q, v, count(*) AS ccv FROM nn GROUP BY 1, 2),
+        |grid AS (SELECT cls.q, corpus.v, cls.nc, corpus.cv, tot.n,
+        |                coalesce(cv2.ccv, 0) AS ccv
+        |         FROM cls CROSS JOIN corpus CROSS JOIN tot
+        |         LEFT JOIN cv2 ON cv2.q = cls.q AND cv2.v = corpus.v),
+        |pre AS (SELECT q, nc, n, v, ccv*n - cv*nc AS d,
+        |               sum(ccv*n - cv*nc) OVER (PARTITION BY q ORDER BY v) AS pfx
+        |        FROM grid),
+        |agg AS (SELECT q, nc, n, count(*) AS m,
+        |               sum(abs(pfx)) AS emd_int, sum(abs(d)) AS tvd_int
+        |        FROM pre GROUP BY 1, 2, 3)
+        |SELECT q AS c_nationkey, CAST(nc AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+        |       CASE WHEN m > 1 THEN CAST(emd_int AS DOUBLE) / CAST(nc*n*(m-1) AS DOUBLE)
+        |            ELSE 0.0 END AS emd,
+        |       CAST(tvd_int AS DOUBLE) / CAST(2*nc*n AS DOUBLE) AS tvd,
+        |       CAST(CASE WHEN 20*emd_int <= nc*n*(m-1) THEN 1 ELSE 0 END AS BIGINT) AS close
+        |FROM agg ORDER BY 1""".stripMargin,
+
     // Privacy.kAnonymityClasses replayed: one aggregation per quasi
     // combination, verdict at k=10
     "q145_k_anonymity" ->

@@ -1020,6 +1020,22 @@ object RelationalQueries {
         Tables(spark, dir).customer, Seq("c_nationkey"), "c_mktsegment", l = 3)
       .orderBy("c_nationkey")
 
+  /** t-closeness audit (Privacy.tClosenessClasses): per nation, the
+    * ordered Earth-Mover's Distance between the class's account-balance
+    * band distribution (floor(acctbal/1000), 11 ordered bands) and the
+    * corpus distribution, verdict at t=0.05 — the distributional gate
+    * completing the privacy family (q145 k-anonymity, q158 l-diversity).
+    * All-integer prefix arithmetic (cnt_cv·n − cnt_v·n_c), one unrounded
+    * double division at the end, verdict compared in exact decimal — no
+    * rounding tie exists anywhere for the engines to straddle.
+    */
+  def q160TCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tClosenessClasses(
+        Tables(spark, dir).customer
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey"), "bal_band", t = 0.05)
+      .orderBy("c_nationkey")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

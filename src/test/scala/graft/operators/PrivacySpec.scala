@@ -64,6 +64,50 @@ class PrivacySpec extends SparkTestBase {
     assert(lv("FR") === ((2L, 1L)))
   }
 
+  test("t-closeness: hand-computed ordered EMD, TVD, and verdicts") {
+    // corpus values {1,2,3} uniform (2 each, n=6, m=3)
+    //   class A [1,1,2,2]: p=(1/2,1/2,0), prefixes 1/6,1/3,0 -> EMD=1/4, TVD=1/3
+    //   class B [3,3]:     p=(0,0,1),     prefixes -1/3,-2/3,0 -> EMD=1/2, TVD=2/3
+    val df = Seq(
+      ("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 3L), ("B", 3L)).toDF("grp", "v")
+    val out = Privacy.tClosenessClasses(df, Seq("grp"), "v", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("m"), r.getAs[Double]("emd"),
+          r.getAs[Double]("tvd"), r.getAs[Long]("close")))).toMap
+    assert(out("A") === ((4L, 3L, 0.25, 1.0 / 3.0, 1L)))
+    assert(out("B") === ((2L, 3L, 0.5, 2.0 / 3.0, 0L)))
+  }
+
+  test("t-closeness: ordered EMD sees distance where TVD cannot") {
+    // both classes concentrate ALL mass on one value, so TVD is equal —
+    // but the edge value is farther from the uniform corpus than the
+    // middle value, and only the ordered prefix metric notices
+    val df = Seq(
+      ("edge", 1L), ("edge", 1L), ("mid", 2L), ("mid", 2L),
+      ("pad", 1L), ("pad", 2L), ("pad", 3L), ("pad", 3L), ("pad", 3L)
+    ).toDF("grp", "v") // corpus uniform: 3 of each value, n=9
+    val rows = Privacy.tClosenessClasses(df, Seq("grp"), "v", t = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("emd"), r.getAs[Double]("tvd")))).toMap
+    assert(rows("edge")._2 === rows("mid")._2, "TVD blind to value order")
+    assert(rows("edge")._1 > rows("mid")._1, "ordered EMD is not")
+  }
+
+  test("t-closeness: null sensitive values are excluded; m=1 degenerates to close") {
+    val withNull = Seq(("A", java.lang.Long.valueOf(1L)),
+      ("A", null.asInstanceOf[java.lang.Long]), ("B", java.lang.Long.valueOf(1L)))
+      .toDF("grp", "v")
+    val out = Privacy.tClosenessClasses(withNull, Seq("grp"), "v", t = 0.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("m"), r.getAs[Double]("emd"),
+          r.getAs[Long]("close")))).toMap
+    // the null row drops from class A's size; single corpus value => m=1,
+    // every class trivially close with emd 0
+    assert(out("A") === ((1L, 1L, 0.0, 1L)))
+    assert(out("B") === ((1L, 1L, 0.0, 1L)))
+  }
+
   test("single quasi column and k=1 degenerate cases") {
     val classes = Privacy.kAnonymityClasses(fixture, Seq("country"), k = 1)
     assert(classes.where(col("anonymous") === 0L).count() === 0)
