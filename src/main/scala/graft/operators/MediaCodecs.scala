@@ -10,8 +10,10 @@ package graft.operators
   *   - MP4 CONTAINER demux is a byte-walk over the ISO BMFF box tree
   *     (ISO/IEC 14496-12): mvhd timescale/duration, tkhd dimensions,
   *     track count — real metadata from real parsing.
-  *   - Motion-JPEG video decodes END-TO-END: the AVI RIFF walk demuxes
-  *     '00dc' samples and every frame runs through the real JPEG kernel
+  *   - Motion-JPEG video decodes END-TO-END in BOTH containers: the AVI
+  *     RIFF walk demuxes '00dc' samples, the MP4 sample-table walk
+  *     (stco × stsc × stsz under a 'jpeg' stsd entry) resolves absolute
+  *     sample ranges, and every frame runs through the real JPEG kernel
   *     (frame count, per-frame luma, temporal motion). Only H.264/H.265
   *     FRAME decode stays out of scope — no decoder for those codecs
   *     exists in the JDK.
@@ -603,6 +605,252 @@ object MediaCodecs {
     }
     if (!sawBmff || timescale <= 0 || duration < 0) None
     else Some(Mp4Info(duration * 1000L / timescale, timescale, width, height, nTracks))
+  }
+
+  // ---- Motion-JPEG in MP4 (ISO BMFF) — REAL video FRAME decode ----
+  //
+  // The sample-table walk AVI doesn't need: MP4 samples live at absolute
+  // file offsets resolved through stco (chunk offsets) × stsc (samples
+  // per chunk, run-length encoded) × stsz (per-sample sizes), under an
+  // stsd entry whose format fourcc names the codec. 'jpeg'-coded tracks
+  // decode through the same javax.imageio kernel as AVI '00dc' samples;
+  // H.264/H.265 remain out of scope (no JDK decoder exists) — for those,
+  // container demux ([[decodeMp4Meta]]) is the honest ceiling.
+
+  /** Demux an MP4 payload's FIRST 'jpeg'-coded track: (media timescale,
+    * media duration in timescale units, the raw bytes of every sample in
+    * table order). None for non-BMFF bytes, a missing/foreign-codec
+    * track, or ANY sample whose stco/stsz-resolved range leaves the
+    * buffer — a truncated or hostile file quarantines whole (the AVI
+    * rule: a partial sample list would silently understate duration).
+    */
+  def demuxMp4Jpeg(bytes: Array[Byte]): Option[(Long, Long, Seq[Array[Byte]])] = {
+    if (bytes.length < 16) return None
+    var sawBmff = false
+    var timescale = 0L; var duration = 0L
+    var isJpeg = false; var done = false
+    var sizes: Array[Long] = null
+    var chunkOffsets: Array[Long] = null
+    var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      if (t == "ftyp") sawBmff = true
+      else if (t == "moov" && !done) {
+        sawBmff = true
+        walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+          if (t2 == "trak" && !done) {
+            var ts = 0L; var dur = 0L; var jpeg = false
+            var sz: Array[Long] = null; var co: Array[Long] = null
+            var sc: Array[(Long, Long)] = null
+            walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+                if (t4 == "mdhd" && e4 - s4 >= 24 && (bytes(s4) & 0xff) == 0) {
+                  ts = be32(bytes, s4 + 12); dur = be32(bytes, s4 + 16)
+                } else if (t4 == "mdhd" && e4 - s4 >= 36 && (bytes(s4) & 0xff) == 1) {
+                  ts = be32(bytes, s4 + 20); dur = be64(bytes, s4 + 24)
+                } else if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "stsd" && e6 - s6 >= 24) {
+                      // first sample entry's format fourcc at +8+4+4+4
+                      jpeg = boxType(bytes, s6 + 8) == "jpeg"
+                    } else if (t6 == "stsz" && e6 - s6 >= 12) {
+                      val fixed = be32(bytes, s6 + 4); val n = be32(bytes, s6 + 8).toInt
+                      if (n >= 0 && n < 1000000 &&
+                          (fixed != 0 || s6 + 12 + 4L * n <= e6))
+                        sz = Array.tabulate(n)(i =>
+                          if (fixed != 0) fixed else be32(bytes, s6 + 12 + 4 * i))
+                    } else if (t6 == "stco" && e6 - s6 >= 8) {
+                      val n = be32(bytes, s6 + 4).toInt
+                      if (n >= 0 && n < 1000000 && s6 + 8 + 4L * n <= e6)
+                        co = Array.tabulate(n)(i => be32(bytes, s6 + 8 + 4 * i))
+                    } else if (t6 == "stsc" && e6 - s6 >= 8) {
+                      val n = be32(bytes, s6 + 4).toInt
+                      if (n >= 0 && n < 1000000 && s6 + 8 + 12L * n <= e6)
+                        sc = Array.tabulate(n)(i => (be32(bytes, s6 + 8 + 12 * i),
+                          be32(bytes, s6 + 12 + 12 * i)))
+                    }
+                  }
+                }
+              }
+            }
+            if (jpeg && sz != null && co != null && sc != null) {
+              isJpeg = true; timescale = ts; duration = dur
+              sizes = sz; chunkOffsets = co; stsc = sc; done = true
+            }
+          }
+        }
+      }
+    }
+    if (!sawBmff || !isJpeg || timescale <= 0) return None
+    // resolve sample ranges: stsc entry i covers chunks first_i ..
+    // first_{i+1}-1; within a chunk, samples are consecutive from its
+    // absolute offset. Any resolved range off the buffer poisons the asset.
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sample = 0
+    var ci = 0
+    while (ci < chunkOffsets.length && sample < sizes.length) {
+      val entry = stsc.lastIndexWhere(_._1 <= ci + 1)
+      if (entry < 0) return None
+      val perChunk = stsc(entry)._2
+      var off = chunkOffsets(ci)
+      var j = 0L
+      while (j < perChunk && sample < sizes.length) {
+        val sz = sizes(sample)
+        if (off < 0 || sz < 0 || off + sz > bytes.length) return None
+        out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+        off += sz; sample += 1; j += 1
+      }
+      ci += 1
+    }
+    if (sample != sizes.length) None // table promised more samples than chunks hold
+    else Some((timescale, duration, out.toSeq))
+  }
+
+  /** Decode an MJPEG-in-MP4 END-TO-END: resolve every sample through the
+    * sample tables, run each through the real JPEG kernel, aggregate the
+    * same statistics as [[decodeAviMjpeg]]. Quarantine (None) on a
+    * malformed tree, zero samples, or ANY sample failing to decode.
+    */
+  def decodeMp4Mjpeg(bytes: Array[Byte]): Option[MjpegInfo] =
+    demuxMp4Jpeg(bytes).flatMap { case (timescale, duration, frames) =>
+      if (frames.isEmpty) None
+      else {
+        val decoded = frames.map(decodeCompressedImage)
+        if (decoded.exists(_.isEmpty)) None
+        else {
+          val infos = decoded.map(_.get)
+          val n = infos.size
+          val meanLuma = infos.map(_.meanLuma).sum / n
+          val motion =
+            if (n < 2) 0.0
+            else infos.sliding(2).map { case Seq(a, b) => math.abs(b.meanLuma - a.meanLuma) }
+              .sum / (n - 1)
+          val fps = if (duration > 0) timescale.toDouble * n / duration else 0.0
+          Some(MjpegInfo(infos.head.width, infos.head.height, n, fps, meanLuma, motion))
+        }
+      }
+    }
+
+  /** Encode JPEG frames as a REAL MJPEG-in-MP4 in faststart order
+    * (ftyp, moov, mdat — the streaming layout, which also makes tail
+    * truncation sever SAMPLES rather than metadata): full sample tables
+    * with media timescale = fps (stts delta 1), and — when there are ≥3
+    * frames — a genuinely run-length stsc (first chunk holds 2 samples,
+    * the rest 1 each) so the demux's table walk is exercised, not just
+    * the degenerate one-chunk case.
+    */
+  def encodeMp4Mjpeg(frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame required")
+    require(fps > 0, "fps must be positive")
+    val n = frames.size
+    // chunk plan: [2, 1, 1, ...] for n >= 3, else one chunk of n
+    val chunkSamples: Seq[Int] =
+      if (n >= 3) 2 +: Seq.fill(n - 2)(1) else Seq(n)
+    val nChunks = chunkSamples.size
+    val stscEntries: Seq[(Int, Int)] =
+      if (n >= 3) Seq((1, 2), (2, 1)) else Seq((1, n))
+    val stsdSize = 8 + 4 + 4 + 86
+    val sttsSize = 24
+    val stscSize = 16 + 12 * stscEntries.size
+    val stszSize = 20 + 4 * n
+    val stcoSize = 16 + 4 * nChunks
+    val stblSize = 8 + stsdSize + sttsSize + stscSize + stszSize + stcoSize
+    val vmhdSize = 20; val dinfSize = 36
+    val minfSize = 8 + vmhdSize + dinfSize + stblSize
+    val mdhdSize = 32; val hdlrSize = 33
+    val mdiaSize = 8 + mdhdSize + hdlrSize + minfSize
+    val tkhdSize = 92
+    val trakSize = 8 + tkhdSize + mdiaSize
+    val mvhdSize = 108
+    val moovSize = 8 + mvhdSize + trakSize
+    val mdatPayload = frames.map(_.length).sum
+    val mdatStart = 16 + moovSize // ftyp(16) + moov
+    val buf = java.nio.ByteBuffer.allocate(mdatStart + 8 + mdatPayload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = buf.putInt(v.toInt)
+    // ftyp
+    u32(16); fourcc("ftyp"); fourcc("isom"); u32(0)
+    // moov > mvhd (v0): movie timescale 1000, duration in ms
+    u32(moovSize); fourcc("moov")
+    u32(mvhdSize); fourcc("mvhd"); u32(0)
+    u32(0); u32(0); u32(1000); u32(n * 1000L / fps)
+    u32(0x00010000); buf.putShort(0x0100.toShort); buf.putShort(0); u32(0); u32(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
+    (0 until 6).foreach(_ => u32(0)); u32(2) // pre_defined, next track id
+    // trak > tkhd (v0, flags 7): track 1, width/height 16.16
+    u32(trakSize); fourcc("trak")
+    u32(tkhdSize); fourcc("tkhd"); u32(7)
+    u32(0); u32(0); u32(1); u32(0); u32(n * 1000L / fps)
+    u32(0); u32(0); buf.putShort(0); buf.putShort(0); buf.putShort(0); buf.putShort(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
+    u32(width.toLong << 16); u32(height.toLong << 16)
+    // mdia > mdhd (v0): media timescale = fps, duration = n (stts delta 1)
+    u32(mdiaSize); fourcc("mdia")
+    u32(mdhdSize); fourcc("mdhd"); u32(0)
+    u32(0); u32(0); u32(fps); u32(n)
+    buf.putShort(0x55c4.toShort); buf.putShort(0) // language 'und'
+    // hdlr 'vide'
+    u32(hdlrSize); fourcc("hdlr"); u32(0); u32(0); fourcc("vide")
+    u32(0); u32(0); u32(0); buf.put(0.toByte)
+    // minf > vmhd + dinf{dref{url}} + stbl
+    u32(minfSize); fourcc("minf")
+    u32(vmhdSize); fourcc("vmhd"); u32(1); u32(0); u32(0)
+    u32(dinfSize); fourcc("dinf")
+    u32(28); fourcc("dref"); u32(0); u32(1)
+    u32(12); fourcc("url "); u32(1) // flag 1: data in this file
+    u32(stblSize); fourcc("stbl")
+    // stsd: one 'jpeg' VisualSampleEntry
+    u32(stsdSize); fourcc("stsd"); u32(0); u32(1)
+    u32(86); fourcc("jpeg")
+    (0 until 6).foreach(_ => buf.put(0.toByte)); buf.putShort(1) // data_ref_index
+    buf.putShort(0); buf.putShort(0); u32(0); u32(0); u32(0)     // pre_defined/reserved
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    u32(0x00480000); u32(0x00480000); u32(0); buf.putShort(1)    // 72 dpi, frame_count
+    (0 until 32).foreach(_ => buf.put(0.toByte))                 // compressorname
+    buf.putShort(24); buf.putShort(-1)                           // depth, pre_defined
+    // stts: n samples, delta 1
+    u32(sttsSize); fourcc("stts"); u32(0); u32(1); u32(n); u32(1)
+    // stsc
+    u32(stscSize); fourcc("stsc"); u32(0); u32(stscEntries.size)
+    stscEntries.foreach { case (first, per) => u32(first); u32(per); u32(1) }
+    // stsz: per-sample sizes
+    u32(stszSize); fourcc("stsz"); u32(0); u32(0); u32(n)
+    frames.foreach(f => u32(f.length))
+    // stco: absolute chunk offsets into mdat's payload
+    u32(stcoSize); fourcc("stco"); u32(0); u32(nChunks)
+    var off = mdatStart + 8L
+    var idx = 0
+    chunkSamples.foreach { per =>
+      u32(off)
+      (0 until per).foreach { _ => off += frames(idx).length; idx += 1 }
+    }
+    // mdat
+    u32(8L + mdatPayload); fourcc("mdat")
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Deterministic REAL MJPEG-in-MP4 synthesis — the exact per-frame
+    * raster formula of [[syntheticAviMjpeg]] (rotate seed by frame index,
+    * brighten by 8·f) through the JPEG encoder, packed by
+    * [[encodeMp4Mjpeg]] — so both containers plant the SAME decodable
+    * frame content and one oracle formula covers either.
+    */
+  def syntheticMp4Mjpeg(seedBytes: Array[Byte], width: Int, height: Int,
+                        nFrames: Int, fps: Int = 10): Array[Byte] = {
+    val n = width * height * 3
+    val m = math.max(seedBytes.length, 1)
+    val frames = (0 until nFrames).map { f =>
+      val rgb = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        rgb(i) = if (seedBytes.isEmpty) (f * 8).toByte
+          else (((seedBytes((i + f) % m) & 0xff) + f * 8) & 0xff).toByte
+        i += 1
+      }
+      encodeImage(width, height, rgb, "jpeg")
+    }
+    encodeMp4Mjpeg(frames, width, height, fps)
   }
 
   // ---- Motion-JPEG in AVI (RIFF) — REAL video FRAME decode ----

@@ -280,6 +280,47 @@ object Multimodal {
       }.toDF("media_id", "decoded", "n_frames", "width", "height", "fps")
   }
 
+  /** [[mjpegFrameStats]]'s MP4 twin: one row per video/mp4 asset with the
+    * frame count / dimensions / fps REALLY resolved through the ISO-BMFF
+    * sample tables (stco × stsc × stsz) and JPEG-decoded per sample —
+    * same schema, same quarantine contract (decoded=false, −1 stats).
+    */
+  def mp4FrameStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.mime_type == "video/mp4")
+      .map { m =>
+        MediaCodecs.decodeMp4Mjpeg(m.content) match {
+          case Some(i) => (m.media_id, true, i.nFrames.toLong, i.width.toLong, i.height.toLong, i.fps)
+          case None    => (m.media_id, false, -1L, -1L, -1L, -1.0)
+        }
+      }.toDF("media_id", "decoded", "n_frames", "width", "height", "fps")
+  }
+
+  /** Planted MJPEG-in-MP4 corpus — [[mediaRealAssets]]'s video slice in
+    * the OTHER container: one real faststart MP4 per doc_id ≡ 2 (mod 3),
+    * 3 + id%5 JPEG frames at 32×24, 10 fps, frame rasters from the same
+    * rotate-and-brighten formula as the AVI plant. Every 5th such asset
+    * (id % 5 == 4) ships TAIL-TRUNCATED by 10 bytes — faststart order
+    * puts mdat last, so the cut severs the final SAMPLE and the
+    * stco/stsz bounds check must quarantine the whole asset (never a
+    * silently shorter video).
+    */
+  def mediaMp4Videos(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(_._1 % 3 == 2)
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (w, h) = (32, 24)
+          val nFrames = (3 + id % 5).toInt
+          val full = MediaCodecs.syntheticMp4Mjpeg(text.getBytes("UTF-8"), w, h, nFrames, 10)
+          val payload = if (id % 5 == 4) full.dropRight(10) else full
+          MediaRecord(id, "video", payload, "video/mp4",
+            Some(w), Some(h), None, Some(nFrames * 100L))
+        }
+      }
+  }
+
   /** STUB video frame sampling for codecs the JVM cannot decode
     * (H.264/H.265): emits every `everyNth` byte-window as a "frame"
     * record. MJPEG assets get the REAL [[sampleMjpegFrames]] path.

@@ -1084,6 +1084,20 @@ object DocQueries {
         Multimodal.mediaRealAssets(spark, Tables(spark, dir).documents))
       .orderBy("media_id")
 
+  /** REAL MP4 frame decode (Multimodal.mp4FrameStats): every MJPEG-in-MP4
+    * asset resolves its samples through the ISO-BMFF tables
+    * (stco × stsc × stsz under a 'jpeg' stsd entry) and JPEG-decodes each
+    * one — the q130 doctrine in the other container. The corpus
+    * tail-truncates every id%5==4 asset, severing the final sample
+    * (faststart order puts mdat last), so the oracle's decoded=false rows
+    * prove the bounds check quarantines truncation while the green rows
+    * prove every surviving sample chain resolved and decoded.
+    */
+  def q161Mp4FrameStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mp4FrameStats(
+        Multimodal.mediaMp4Videos(spark, Tables(spark, dir).documents))
+      .orderBy("media_id")
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

@@ -1046,6 +1046,20 @@ object OracleSql {
         |WHERE doc_id % 3 = 2 AND (doc_id // 3) % 2 = 0
         |ORDER BY media_id""".stripMargin,
 
+    // MJPEG-in-MP4 plant formula: id%3==2 docs get 3+id%5 frames at
+    // 32x24/10fps; id%5==4 assets are tail-truncated (final sample
+    // severed) and MUST quarantine as decoded=false with -1 stats
+    "q161_mp4_frame_stats" ->
+      """SELECT doc_id AS media_id,
+        |       doc_id % 5 <> 4 AS decoded,
+        |       CAST(CASE WHEN doc_id % 5 <> 4 THEN 3 + doc_id % 5 ELSE -1 END AS BIGINT) AS n_frames,
+        |       CAST(CASE WHEN doc_id % 5 <> 4 THEN 32 ELSE -1 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN doc_id % 5 <> 4 THEN 24 ELSE -1 END AS BIGINT) AS height,
+        |       CASE WHEN doc_id % 5 <> 4 THEN 10.0 ELSE -1.0 END AS fps
+        |FROM documents
+        |WHERE doc_id % 3 = 2
+        |ORDER BY media_id""".stripMargin,
+
     // mini-batch GD replay: 2 epochs × 2 md5-bucket batches = 4 unrolled
     // steps, each gradient CTE filtered to its deterministic batch
     "q128_logreg_minibatch" ->

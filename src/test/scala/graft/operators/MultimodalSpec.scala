@@ -293,6 +293,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodecs.demuxAviMjpeg(avi).get._2.size === 3)
   }
 
+  test("MP4 MJPEG codec: sample-table roundtrip recovers exact frame count, dims, fps, motion") {
+    val mp4 = MediaCodecs.syntheticMp4Mjpeg("seedbytes".getBytes("UTF-8"), 32, 24,
+      nFrames = 5, fps = 10)
+    val info = MediaCodecs.decodeMp4Mjpeg(mp4).get
+    assert(info.nFrames === 5, "stco x stsc x stsz resolved every sample")
+    assert(info.width === 32 && info.height === 24,
+      "dimensions come from the DECODED rasters, not headers")
+    assert(info.fps === 10.0)
+    assert(info.motion > 0.0, "rotated-seed frames genuinely differ")
+    // the SAME plant formula as the AVI container: identical per-frame
+    // rasters, so identical decoded statistics across containers
+    val avi = MediaCodecs.decodeAviMjpeg(
+      MediaCodecs.syntheticAviMjpeg("seedbytes".getBytes("UTF-8"), 32, 24, 5, 10)).get
+    assert(info.meanLuma === avi.meanLuma && info.motion === avi.motion)
+    // the run-length stsc (chunk 1 holds 2 samples, the rest 1) really is
+    // in the file: 2 entries, 4 chunks for 5 frames
+    val (ts, dur, samples) = MediaCodecs.demuxMp4Jpeg(mp4).get
+    assert(ts === 10 && dur === 5 && samples.size === 5)
+    // container metadata demux still reads the same tree
+    val meta = MediaCodecs.decodeMp4Meta(mp4).get
+    assert(meta.durationMs === 500 && meta.width === 32 && meta.height === 24)
+    // single- and two-frame files take the one-chunk stsc path
+    assert(MediaCodecs.decodeMp4Mjpeg(
+      MediaCodecs.syntheticMp4Mjpeg("x".getBytes, 16, 12, 1, 10)).get.nFrames === 1)
+    assert(MediaCodecs.decodeMp4Mjpeg(
+      MediaCodecs.syntheticMp4Mjpeg("x".getBytes, 16, 12, 2, 10)).get.nFrames === 2)
+  }
+
+  test("MP4 MJPEG quarantine: truncation, hostile tables, and corrupt samples all yield None") {
+    val mp4 = MediaCodecs.syntheticMp4Mjpeg("x".getBytes("UTF-8"), 16, 12, 3, 10)
+    // faststart layout: tail truncation severs the LAST SAMPLE (moov is
+    // intact) — the stco/stsz bounds check must quarantine whole
+    assert(MediaCodecs.decodeMp4Mjpeg(java.util.Arrays.copyOf(mp4, mp4.length - 10)).isEmpty,
+      "sample range past the buffer must quarantine, not read out of bounds")
+    // metadata-only MP4 (no jpeg track at all) is not a decodable video
+    assert(MediaCodecs.decodeMp4Mjpeg(MediaCodecs.syntheticMp4(1000, 32, 24)).isEmpty)
+    // corrupt sample payload: valid tables, first sample not a JPEG
+    val (_, _, samples) = MediaCodecs.demuxMp4Jpeg(mp4).get
+    val firstSampleOff = { // locate the first sample's bytes (mdat holds them verbatim)
+      var i = 0
+      while (!(i + samples.head.length <= mp4.length &&
+        java.util.Arrays.equals(java.util.Arrays.copyOfRange(mp4, i, i + samples.head.length),
+          samples.head))) i += 1
+      i
+    }
+    val bad = mp4.clone(); bad(firstSampleOff) = 0 // JPEG magic destroyed
+    assert(MediaCodecs.decodeMp4Mjpeg(bad).isEmpty,
+      "an undecodable sample poisons the asset — never a shorter video")
+    // non-BMFF bytes
+    assert(MediaCodecs.decodeMp4Mjpeg("RIFFxxxxAVI ....".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("mediaMp4Videos corpus: plant formula holds and truncated assets quarantine") {
+    val docs = spark.range(0, 60).selectExpr("id AS doc_id", "repeat('t', 40) AS text")
+    val stats = Multimodal.mp4FrameStats(Multimodal.mediaMp4Videos(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(stats.keySet === (0L until 60L).filter(_ % 3 == 2).toSet)
+    stats.foreach { case (id, (decoded, n, w, h, fps)) =>
+      if (id % 5 == 4) assert(!decoded && n === -1L && w === -1L && h === -1L && fps === -1.0)
+      else assert(decoded && n === 3 + id % 5 && w === 32L && h === 24L && fps === 10.0)
+    }
+  }
+
   test("MJPEG frame sampling: real decoded frames with real thumbnails, stride honored") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
