@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Scale-proof measurement harnesses (ScaleProof*.scala mains) live under
+// src/tools so src/main LoC measures the ENGINE; they stay on the Compile
+// classpath, so `sbt "runMain graft.ScaleProofR8"` works unchanged.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"
 // Pass the forked JVM's stdout straight through instead of routing it via
 // sbt's logger: the bench/verify harness parses the one JSON line Bench
 // prints, and the default logger's "[info] " prefix breaks that parse.
