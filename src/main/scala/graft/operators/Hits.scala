@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HITS (hubs & authorities, Kleinberg JACM 1999) over a DIRECTED edge
+  * list — the centrality pair PageRank's single score can't express: a
+  * good hub points at good authorities, a good authority is pointed at
+  * by good hubs. On a bipartite interaction graph (customer→part,
+  * user→document, query→url) the two sides get separately meaningful
+  * scores, which is the curation signal for "power consumers" vs
+  * "canonical items".
+  *
+  * Mutual-reinforcement iteration, fixed count:
+  *   a(d) = Σ_{s→d} h(s)   then L1-normalize,
+  *   h(s) = Σ_{s→d} a(d)   then L1-normalize.
+  *
+  * L1 (sum) normalization instead of the textbook L2 — deliberately:
+  * scores live on a 9-decimal grid, so every Σ h and Σ a is EXACT in
+  * decimal (partition-order-invariant), and the normalizer Σ a_raw is
+  * itself an exact decimal sum — no squared terms to round (the L2
+  * norm's x² either quantizes in double, which hits rounding ties, or
+  * overflows DECIMAL(38) once raw sums exceed ~1e9). The only float
+  * step per half-iteration is ONE division of two exactly-cast decimals
+  * rounded to 9 — not grid-aligned, so the .5e-9 tie the LSA doctrine
+  * hardened against structurally cannot occur. The DuckDB oracle
+  * (q162) replays the unrolled iterations hash-exactly.
+  *
+  * Scale shape (the PageRank contract): one edge-keyed equi-join + one
+  * map-side-combinable exact-decimal aggregation per half-iteration —
+  * shuffle ∝ edges, never vertices²; the normalizer is a broadcast
+  * 1-row frame; each generation localCheckpoints (lineage one step
+  * deep) and the edge list is checkpointed once up front.
+  */
+object Hits {
+
+  /** Run `iterations` hub/authority rounds over the directed edge list
+    * `(srcCol, dstCol)` (duplicate edges collapse first — multiplicity
+    * is not signal in HITS). Returns (kind: hub|authority, id, score);
+    * a node appearing on both sides of edges gets one row per kind.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+    var h = e.select(col("__s")).distinct().withColumn("__h", lit(1.0))
+      .localCheckpoint(true)
+    var a: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val aRaw = e.join(h, Seq("__s"))
+        .groupBy(col("__d"))
+        .agg(sum(col("__h").cast("decimal(20,9)")).as("__ar"))
+      val aNorm = aRaw.agg(sum(col("__ar")).as("__n"))
+      val aNext = aRaw.crossJoin(broadcast(aNorm))
+        .select(col("__d"),
+          round(col("__ar").cast("double") / col("__n").cast("double"), 9).as("__a"))
+        .localCheckpoint(true)
+      if (a != null) a.unpersist()
+      a = aNext
+      val hRaw = e.join(a, Seq("__d"))
+        .groupBy(col("__s"))
+        .agg(sum(col("__a").cast("decimal(20,9)")).as("__hr"))
+      val hNorm = hRaw.agg(sum(col("__hr")).as("__n"))
+      val hNext = hRaw.crossJoin(broadcast(hNorm))
+        .select(col("__s"),
+          round(col("__hr").cast("double") / col("__n").cast("double"), 9).as("__h"))
+        .localCheckpoint(true)
+      h.unpersist()
+      h = hNext
+      i += 1
+    }
+    h.select(lit("hub").as("kind"), col("__s").as("id"), col("__h").as("score"))
+      .unionByName(
+        a.select(lit("authority").as("kind"), col("__d").as("id"), col("__a").as("score")))
+  }
+}

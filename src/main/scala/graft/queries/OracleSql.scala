@@ -1497,6 +1497,35 @@ object OracleSql {
         |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Hits.hits replayed: 2 unrolled mutual-reinforcement rounds over the
+    // distinct customer→part purchase edges — exact decimal sums of
+    // 9-decimal-grid scores, L1 normalizer as an exact decimal sum, one
+    // rounded double division per half-step
+    "q162_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS s, l_partkey AS d
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM e),
+        |a1r AS (SELECT d, sum(CAST(h AS DECIMAL(20,9))) AS ar
+        |        FROM e JOIN h0 USING (s) GROUP BY d),
+        |a1n AS (SELECT sum(ar) AS n FROM a1r),
+        |a1 AS (SELECT d, round(CAST(ar AS DOUBLE) / CAST(n AS DOUBLE), 9) AS a FROM a1r, a1n),
+        |h1r AS (SELECT s, sum(CAST(a AS DECIMAL(20,9))) AS hr
+        |        FROM e JOIN a1 USING (d) GROUP BY s),
+        |h1n AS (SELECT sum(hr) AS n FROM h1r),
+        |h1 AS (SELECT s, round(CAST(hr AS DOUBLE) / CAST(n AS DOUBLE), 9) AS h FROM h1r, h1n),
+        |a2r AS (SELECT d, sum(CAST(h AS DECIMAL(20,9))) AS ar
+        |        FROM e JOIN h1 USING (s) GROUP BY d),
+        |a2n AS (SELECT sum(ar) AS n FROM a2r),
+        |a2 AS (SELECT d, round(CAST(ar AS DOUBLE) / CAST(n AS DOUBLE), 9) AS a FROM a2r, a2n),
+        |h2r AS (SELECT s, sum(CAST(a AS DECIMAL(20,9))) AS hr
+        |        FROM e JOIN a2 USING (d) GROUP BY s),
+        |h2n AS (SELECT sum(hr) AS n FROM h2r),
+        |h2 AS (SELECT s, round(CAST(hr AS DOUBLE) / CAST(n AS DOUBLE), 9) AS h FROM h2r, h2n)
+        |SELECT 'hub' AS kind, s AS id, h AS score FROM h2
+        |UNION ALL
+        |SELECT 'authority', d, a FROM a2
+        |ORDER BY kind, id""".stripMargin,
+
     // Privacy.tClosenessClasses replayed: the all-integer prefix-sum EMD
     // (cnt_cv*n - cnt_v*n_c over the classes x bands grid), one unrounded
     // double division, verdict via the exact integer compare

@@ -1036,6 +1036,22 @@ object RelationalQueries {
         Seq("c_nationkey"), "bal_band", t = 0.05)
       .orderBy("c_nationkey")
 
+  /** HITS hubs & authorities (Hits.hits): two mutual-reinforcement
+    * rounds over the customer→part purchase graph (distinct edges from
+    * lineitem⋈orders) — customers score as hubs, parts as authorities,
+    * the two-sided centrality PageRank's single score can't express.
+    * Per half-iteration: one edge join + one exact-decimal aggregation
+    * (shuffle ∝ edges) and a broadcast 1-row L1 normalizer; the oracle
+    * replays both unrolled iterations hash-exactly.
+    */
+  def q162Hits(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.Hits.hits(edges, "o_custkey", "l_partkey", iterations = 2)
+      .orderBy("kind", "id")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

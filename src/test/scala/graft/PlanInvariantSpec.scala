@@ -36,7 +36,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q119_vocab_coverage",  // 1-row corpus-total broadcast-crossed into the coverage curve, as q58/q88's bounds
     "q129_hybrid_serving",  // composes q99's constants cross join + q25's 1-row query-vector broadcast, as q96
     "q133_calibration",     // 1-row brier/log-loss/n_total scalar table broadcast-crossed onto the bin rows, as q58/q88
-    "q152_target_encoding"  // 1-row global-prior table broadcast-crossed onto the rows, as q43
+    "q152_target_encoding", // 1-row global-prior table broadcast-crossed onto the rows, as q43
+    "q160_t_closeness"      // the classes × values audit grid IS the operator (both sides aggregation-bounded, value table + 1-row total broadcast), as q88's bounds
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
