@@ -1098,6 +1098,25 @@ object DocQueries {
         Multimodal.mediaMp4Videos(spark, Tables(spark, dir).documents))
       .orderBy("media_id")
 
+  /** Semi-supervised label propagation (LabelProp.propagate): the lang
+    * labels of the doc_id % 20 audited seed slice spread 3 synchronous
+    * rounds over q27's minhash candidate graph — majority vote among
+    * labeled neighbors, smallest-label tiebreak, seeds clamped, labels
+    * carried where no vote arrives. Fully discrete (no floats anywhere),
+    * so the oracle replays the unrolled rounds with no rounding doctrine;
+    * per round one edge join + a (node, label)-bounded argmax window.
+    */
+  def q163LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    graft.operators.LabelProp.propagate(cand, "id_a", "id_b",
+        docs.where(col("doc_id") % 20 === 0).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", iterations = 3)
+      .select(col("id").as("doc_id"), col("label"), col("is_seed"))
+      .orderBy("doc_id")
+  }
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

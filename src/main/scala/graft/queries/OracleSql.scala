@@ -304,6 +304,40 @@ object OracleSql {
        |       CASE WHEN nw = 0 THEN 0.0 ELSE round(3.0 * t / nw, 9) END AS global_clustering
        |FROM st, tri""".stripMargin
 
+  /** q163: 3 unrolled clamped label-propagation rounds over the minhash
+    * candidate graph — majority vote among labeled neighbors with the
+    * smallest-label tiebreak (row_number over count desc, label asc),
+    * seeds clamped, previous label carried when no vote arrives. Fully
+    * discrete: no rounding doctrine needed anywhere.
+    */
+  private def lpIter(prev: String, cur: String): String =
+    s"""${cur}w AS (
+       |  SELECT id, label FROM (
+       |    SELECT e.dst AS id, p.label, count(*) AS v,
+       |           row_number() OVER (PARTITION BY e.dst
+       |                              ORDER BY count(*) DESC, p.label) AS rn
+       |    FROM e JOIN $prev p ON e.src = p.id
+       |    WHERE p.label IS NOT NULL
+       |    GROUP BY e.dst, p.label) WHERE rn = 1),
+       |$cur AS (SELECT l.id, coalesce(s.sl, w.label, l.label) AS label
+       |         FROM $prev l LEFT JOIN ${cur}w w USING (id)
+       |         LEFT JOIN seeds s USING (id))""".stripMargin
+
+  private val labelPropSql: String =
+    s"""WITH $minhashCandCtes,
+       |base AS (SELECT DISTINCT id_a AS s, id_b AS d FROM cand),
+       |e AS (SELECT s AS src, d AS dst FROM base UNION ALL SELECT d, s FROM base),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |seeds AS (SELECT doc_id AS id, min(lang) AS sl FROM documents
+       |          WHERE doc_id % 20 = 0 AND lang IS NOT NULL GROUP BY 1),
+       |l0 AS (SELECT v.id, s.sl AS label FROM verts v LEFT JOIN seeds s USING (id)),
+       |${lpIter("l0", "l1")},
+       |${lpIter("l1", "l2")},
+       |${lpIter("l2", "l3")}
+       |SELECT l3.id AS doc_id, l3.label,
+       |       CAST(CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+       |FROM l3 LEFT JOIN seeds s USING (id) ORDER BY doc_id""".stripMargin
+
   private val personalizedPageRankSql: String =
     s"""WITH $minhashCandCtes,
        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
@@ -919,6 +953,7 @@ object OracleSql {
     "q27_minhash_pairs" -> minhashPairsMd5Sql,
     "q116_pagerank" -> pageRankSql,
     "q143_personalized_pagerank" -> personalizedPageRankSql,
+    "q163_label_prop" -> labelPropSql,
     "q153_triangle_stats" -> triangleStatsSql,
     "q117_retain_central" -> retainCentralSql,
     "q118_dedup_eval" -> dedupEvalSql,
