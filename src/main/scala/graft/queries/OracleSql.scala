@@ -1532,6 +1532,39 @@ object OracleSql {
         |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Scd2.initial + merge replayed: one full-outer key join, the four
+    // categories as filtered unions, validity dates as strings
+    "q164_scd2" ->
+      """WITH s1 AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |            FROM customer WHERE c_custkey % 2 = 0),
+        |s2 AS (SELECT c_custkey AS k,
+        |              CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+        |              c_acctbal AS bal
+        |       FROM customer WHERE c_custkey % 13 <> 0),
+        |j AS (SELECT s1.k AS ok, s1.seg AS oseg, s1.bal AS obal,
+        |             s2.k AS sk, s2.seg AS sseg, s2.bal AS sbal
+        |      FROM s1 FULL JOIN s2 ON s1.k = s2.k),
+        |merged AS (
+        |  SELECT ok AS k, oseg AS seg, obal AS bal, '2026-01-01' AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to, 1 AS is_current
+        |  FROM j WHERE ok IS NOT NULL AND sk IS NOT NULL
+        |    AND oseg IS NOT DISTINCT FROM sseg AND obal IS NOT DISTINCT FROM sbal
+        |  UNION ALL
+        |  SELECT ok, oseg, obal, '2026-01-01', '2026-02-01', 0
+        |  FROM j WHERE ok IS NOT NULL AND sk IS NOT NULL
+        |    AND NOT (oseg IS NOT DISTINCT FROM sseg AND obal IS NOT DISTINCT FROM sbal)
+        |  UNION ALL
+        |  SELECT sk, sseg, sbal, '2026-02-01', NULL, 1
+        |  FROM j WHERE ok IS NOT NULL AND sk IS NOT NULL
+        |    AND NOT (oseg IS NOT DISTINCT FROM sseg AND obal IS NOT DISTINCT FROM sbal)
+        |  UNION ALL
+        |  SELECT sk, sseg, sbal, '2026-02-01', NULL, 1 FROM j WHERE ok IS NULL
+        |  UNION ALL
+        |  SELECT ok, oseg, obal, '2026-01-01', '2026-02-01', 0 FROM j WHERE sk IS NULL)
+        |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+        |       valid_from, valid_to, CAST(is_current AS BIGINT) AS is_current
+        |FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+
     // Hits.hits replayed: 2 unrolled mutual-reinforcement rounds over the
     // distinct customer→part purchase edges — exact decimal sums of
     // 9-decimal-grid scores, L1 normalizer as an exact decimal sum, one

@@ -1052,6 +1052,35 @@ object RelationalQueries {
       .orderBy("kind", "id")
   }
 
+  /** SCD Type-2 dimension maintenance (etl.Scd2): the half-corpus
+    * customer dim loaded 2026-01-01, then a full snapshot merged
+    * 2026-02-01 in which every 10th key changed segment and every 13th
+    * key disappeared — exercising all four merge categories (unchanged
+    * pass-through, close+reopen, new key, close-missing) in one run.
+    * One full-outer key join of the OPEN generation vs the snapshot;
+    * history never joins. Validity dates project as strings at the
+    * query layer (dtype-stable across engines).
+    */
+  def q164Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val snap1 = c.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val snap2 = c.where(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("c_acctbal"))
+    val d1 = graft.etl.Scd2.initial(snap1, Seq("c_custkey"),
+      Seq("c_mktsegment", "c_acctbal"), "2026-01-01")
+    graft.etl.Scd2.merge(d1, snap2, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"), "2026-02-01")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        col("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer
