@@ -697,4 +697,61 @@ object TextAnalysis {
         col("__n").as("n_alpha"),
         round(log(col("__n").cast("double")) -
           col("__clnc").cast("double") / col("__n").cast("double"), 4).as("char_entropy"))
+
+  /** Windowed PMI co-occurrence — the word-association statistic
+    * (Church & Hanks, CL 1990) that seeds collocation mining, phrase
+    * detection and embedding-training diagnostics:
+    *
+    *   pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )
+    *            = ln( n_ab·n_t² / (n_p·n_a·n_b) )
+    *
+    * over unordered token pairs within `window` positions of each other
+    * (every positional pair counts — the standard sliding-window corpus
+    * count). All counts are exact integers; the single ln's argument is
+    * the same left-associated double product in the engine and the
+    * DuckDB oracle, and the result rounds to 9 (the q71 ln doctrine).
+    *
+    * Scale shape: pair generation is a pure PROJECTION — a codegen'd
+    * array-HOF over each document's token array (fan-out ≤ window per
+    * token, zero exchange until the count) — then one (a,b)-bounded
+    * aggregation, one vocabulary-bounded aggregation, two equi-joins of
+    * the pair table against the vocabulary table, and the two corpus
+    * totals as in-plan 1-row broadcasts. Nothing is corpus² anywhere.
+    * Low-count pairs drop at `minPairCount` BEFORE the joins.
+    */
+  def pmiCooccurrence(df: DataFrame, textCol: String, idCol: String,
+                      window: Int = 3, minPairCount: Int = 5): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(split(trim(lower(col(textCol))), "\\s+").as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairs from positions i < j <= i+window, canonically unordered —
+    // sequence() steps DOWNWARD when start > stop, so the size<2 case
+    // must short-circuit to an empty array rather than trust the bounds
+    val pairs = toks.select(explode(expr(
+        s"""CASE WHEN size(__toks) >= 2 THEN
+           |  flatten(transform(sequence(0, size(__toks) - 2), i ->
+           |    transform(sequence(i + 1, least(i + $window, size(__toks) - 1)), j ->
+           |      struct(least(__toks[i], __toks[j]) AS a,
+           |             greatest(__toks[i], __toks[j]) AS b))))
+           |ELSE array() END""".stripMargin)).as("__p"))
+      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val pairCounts = pairs.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("__toks")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val nTok = uni.agg(sum(col("__n")).as("__nt"))
+    val nPair = pairCounts.agg(sum(col("n_pair")).as("__np"))
+    val out = pairCounts.where(col("n_pair") >= minPairCount)
+      .join(uni.select(col("__tok").as("__a"), col("__n").as("__na")), Seq("__a"))
+      .join(uni.select(col("__tok").as("__b"), col("__n").as("__nb")), Seq("__b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("__a").as("term_a"), col("__b").as("term_b"), col("n_pair"),
+        round(log(
+          col("n_pair").cast("double") * col("__nt") * col("__nt")
+            / (col("__np").cast("double") * col("__na") * col("__nb"))), 9).as("pmi"))
+    out
+  }
 }

@@ -1117,6 +1117,20 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** Windowed PMI co-occurrence (TextAnalysis.pmiCooccurrence): the
+    * corpus's 100 strongest word associations within a ±3 window at
+    * support ≥ 10 — collocation mining over the documents table. Pair
+    * generation is a zero-exchange array-HOF projection; counts are
+    * exact integers; the single ln rounds to 9 (the q71 doctrine). The
+    * oracle replays tokenization, window pairing, both count tables and
+    * the PMI arithmetic.
+    */
+  def q165Pmi(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCooccurrence(Tables(spark, dir).documents, "text", "doc_id",
+        window = 3, minPairCount = 10)
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(100)
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

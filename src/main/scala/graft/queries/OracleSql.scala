@@ -1532,6 +1532,31 @@ object OracleSql {
         |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // TextAnalysis.pmiCooccurrence replayed: same tokenization, window
+    // pairing by positions i < j <= i+3, unordered least/greatest
+    // canonicalization, exact integer counts, one left-associated ln
+    // rounded to 9
+    "q165_pmi" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+        |         FROM words),
+        |pairs AS (SELECT least(t1.tok, t2.tok) AS a, greatest(t1.tok, t2.tok) AS b
+        |          FROM toks t1 JOIN toks t2
+        |          ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos AND t2.pos <= t1.pos + 3),
+        |pc AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        |uc AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt FROM toks),
+        |ptot AS (SELECT count(*) AS np FROM pairs)
+        |SELECT a AS term_a, b AS term_b, CAST(n_ab AS BIGINT) AS n_pair,
+        |       round(ln(CAST(n_ab AS DOUBLE) * nt * nt
+        |                / (CAST(np AS DOUBLE) * ua.n * ub.n)), 9) AS pmi
+        |FROM pc JOIN uc ua ON pc.a = ua.tok JOIN uc ub ON pc.b = ub.tok
+        |CROSS JOIN tot CROSS JOIN ptot
+        |WHERE n_ab >= 10
+        |ORDER BY pmi DESC, term_a, term_b LIMIT 100""".stripMargin,
+
     // Scd2.initial + merge replayed: one full-outer key join, the four
     // categories as filtered unions, validity dates as strings
     "q164_scd2" ->
