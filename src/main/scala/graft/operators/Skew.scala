@@ -41,4 +41,50 @@ object Skew {
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Key-skew diagnostics — the audit that decides WHEN [[saltedJoin]] /
+    * AQE skew handling is needed, run before shipping a shuffle join at
+    * scale: the `topK` heaviest keys with their row share, plus the
+    * key-frequency Gini coefficient (0 = perfectly uniform keys, →1 =
+    * one key owns the table) and global counts on every row. Gini over
+    * ascending-sorted counts c_1..c_m:
+    *
+    *   G = 2·Σ i·c_i / (m·Σc) − (m+1)/m
+    *
+    * All sums are exact integers (rank·count in DECIMAL(38,0)); the two
+    * final divisions are single unrounded-then-rounded double ops
+    * written identically in the DuckDB oracle. Null keys count as their
+    * own key (a null-key hotspot is still a hotspot).
+    *
+    * Scale shape: ONE map-side-combinable count aggregation (shuffle
+    * bounded by distinct keys); the rank windows run over the
+    * DISTINCT-KEY table, not rows — global windows, but |keys|-bounded
+    * (the q92 audit contract); the 1-row summary broadcasts back onto
+    * the topK rows. Returns (rank, key, n, share, n_keys, n_rows, gini).
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = counts.withColumn("__r",
+      row_number().over(Window.orderBy(col("n"), col("key"))))
+    val summary = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      sum((col("__r") * col("n")).cast("decimal(38,0)")).as("__s1"))
+    val top = counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("key"))))
+      .where(col("rank") <= topK)
+    top.crossJoin(broadcast(summary))
+      .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
+        round(col("n").cast("double") / col("n_rows").cast("double"), 9).as("share"),
+        col("n_keys"), col("n_rows"),
+        round(lit(2.0) * col("__s1").cast("double")
+            / (col("n_keys").cast("double") * col("n_rows").cast("double"))
+          - (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"), 9)
+          .as("gini"))
+      .orderBy("rank")
+  }
 }

@@ -1532,6 +1532,25 @@ object OracleSql {
         |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Skew.keySkewReport replayed: count per key, ascending rank-weighted
+    // Gini (exact integer S1), top-10 with shares, identical double
+    // expression shapes
+    "q166_key_skew" ->
+      """WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        |                FROM events GROUP BY 1),
+        |asc_r AS (SELECT key, n, row_number() OVER (ORDER BY n, key) AS r FROM counts),
+        |summ AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |                CAST(sum(n) AS BIGINT) AS n_rows,
+        |                sum(r * n) AS s1 FROM asc_r),
+        |top AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM counts)
+        |SELECT CAST(rank AS BIGINT) AS rank, key, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE), 9) AS share,
+        |       n_keys, n_rows,
+        |       round(2.0 * CAST(s1 AS DOUBLE)
+        |               / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+        |             - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 9) AS gini
+        |FROM top CROSS JOIN summ WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // TextAnalysis.pmiCooccurrence replayed: same tokenization, window
     // pairing by positions i < j <= i+3, unordered least/greatest
     // canonicalization, exact integer counts, one left-associated ln

@@ -1081,6 +1081,16 @@ object RelationalQueries {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Key-skew diagnostics (Skew.keySkewReport): the 10 heaviest event
+    * users with row shares plus the key-frequency Gini — the audit run
+    * before shipping a shuffle join at scale (its mitigation sibling,
+    * Skew.saltedJoin, is spec-covered). One count aggregation bounded by
+    * distinct keys; rank windows over the distinct-key table only.
+    */
+  def q166KeySkew(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.keySkewReport(
+      Tables(spark, dir).events, "user_id", topK = 10)
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

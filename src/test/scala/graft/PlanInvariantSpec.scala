@@ -37,7 +37,9 @@ class PlanInvariantSpec extends SparkTestBase {
     "q129_hybrid_serving",  // composes q99's constants cross join + q25's 1-row query-vector broadcast, as q96
     "q133_calibration",     // 1-row brier/log-loss/n_total scalar table broadcast-crossed onto the bin rows, as q58/q88
     "q152_target_encoding", // 1-row global-prior table broadcast-crossed onto the rows, as q43
-    "q160_t_closeness"      // the classes × values audit grid IS the operator (both sides aggregation-bounded, value table + 1-row total broadcast), as q88's bounds
+    "q160_t_closeness",     // the classes × values audit grid IS the operator (both sides aggregation-bounded, value table + 1-row total broadcast), as q88's bounds
+    "q165_pmi",             // 1-row corpus totals (n_tokens, n_pairs) broadcast-crossed onto the pair table, as q89's constants
+    "q166_key_skew"         // 1-row summary (n_keys, n_rows, gini) broadcast-crossed onto the topK rows, as q58
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline

@@ -24,6 +24,34 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("keySkewReport: hand-computed shares and Gini, null key is its own key") {
+    // counts: a=4, b=2, null=2 → asc order (b,2),(null,2)?? ordering of
+    // null in the rank window: Spark sorts NULLS FIRST ascending — pin
+    // the fixture so null's count is unique and order is forced by n
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)(null))
+      .map(Tuple1(_)).toSeq.toDF("k")
+    val out = Skew.keySkewReport(df, "k", topK = 2).collect()
+    // asc ranks by (n, key): (b,2)→1, (null,3)→2, (a,4)→3
+    // S1 = 1·2 + 2·3 + 3·4 = 20; G = 2·20/(3·9) − 4/3 = 40/27 − 36/27 = 4/27
+    val gini = BigDecimal(4.0 / 27.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length === 2)
+    val r1 = out(0)
+    assert(r1.getLong(0) === 1L && r1.getString(1) === "a" && r1.getLong(2) === 4L)
+    assert(r1.getDouble(3) === BigDecimal(4.0 / 9.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getLong(4) === 3L && r1.getLong(5) === 9L && r1.getDouble(6) === gini)
+    assert(out(1).getString(1) === null, "the null key ranks second by count")
+  }
+
+  test("keySkewReport: uniform keys score Gini 0; a single key scores 0") {
+    val uniform = spark.range(0, 100).select((col("id") % 10).as("k"))
+    val g = Skew.keySkewReport(uniform, "k", 3).head.getDouble(6)
+    // m=10 equal counts: G = 2·(55·10)/(10·100) − 11/10 = 1.1 − 1.1 = 0
+    assert(g === 0.0)
+    val single = spark.range(0, 50).select(lit("hot").as("k"))
+    val s = Skew.keySkewReport(single, "k", 3).head
+    assert(s.getDouble(6) === 0.0 && s.getDouble(3) === 1.0)
+  }
+
   test("salt is deterministic and spans the factor range") {
     val df = spark.range(0, 1000).select(Skew.salt(col("id"), 8).as("s"))
     val values = df.distinct().collect().map(_.getInt(0)).toSet
