@@ -719,6 +719,92 @@ object TextAnalysis {
     * totals as in-plan 1-row broadcasts. Nothing is corpus² anywhere.
     * Low-count pairs drop at `minPairCount` BEFORE the joins.
     */
+  /** Collocation merge — the word2phrase retokenization step (Mikolov et
+    * al., NIPS 2013 §4): adjacent token pairs whose PMI and support clear
+    * the thresholds become single `a_b` tokens, so downstream vocabulary /
+    * embedding / packing stages treat "new york" as one unit.
+    *
+    * Merging is GREEDY LEFTMOST NON-OVERLAPPING — the sequential scan
+    * semantics ("a b c" with both (a,b) and (b,c) phrases merges (a,b)
+    * and leaves c) — expressed relationally: candidate positions group
+    * into maximal consecutive runs (pos − row_number is constant within
+    * a run — the gaps-and-islands identity), and within each run exactly
+    * the even offsets merge. Deterministic on any partitioning; no
+    * sequential per-doc code anywhere.
+    *
+    * Plan shape: the phrase inventory is [[pmiCooccurrence]]-style
+    * counts over ADJACENT ORDERED pairs (zero-exchange lead projection),
+    * thresholded BEFORE anything joins; docs explode to (id, pos, tok),
+    * join the inventory on the ordered bigram (inventory ≪ vocab² —
+    * broadcastable), two doc-partitioned windows resolve the runs, and
+    * one ordered string_agg rebuilds each document (the q122 rebuild
+    * shape). Shuffle ∝ tokens, bounded fan-out everywhere.
+    *
+    * Returns (idCol, n_tokens, n_merged, text) — n_merged counts merges
+    * performed (each removes one token).
+    */
+  def mergeCollocations(df: DataFrame, textCol: String, idCol: String,
+                        minPairCount: Int = 5, minPmi: Double = 2.0): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("__pos", "__tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ORDERED adjacent-bigram inventory (direction matters for rewrite,
+    // unlike pmiCooccurrence's unordered statistics)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = toks
+      .withColumn("__next", lead(col("__tok"), 1).over(w))
+      .where(col("__next").isNotNull)
+    val pairCounts = bigrams.groupBy(col("__tok").as("__a"), col("__next").as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val uni = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val nTok = uni.agg(sum(col("__n")).as("__nt"))
+    val nPair = pairCounts.agg(sum(col("__nab")).as("__np"))
+    val inventory = pairCounts.where(col("__nab") >= minPairCount)
+      .join(uni.select(col("__tok").as("__a"), col("__n").as("__na")), Seq("__a"))
+      .join(uni.select(col("__tok").as("__b"), col("__n").as("__nb")), Seq("__b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .where(round(log(
+        col("__nab").cast("double") * col("__nt") * col("__nt")
+          / (col("__np").cast("double") * col("__na") * col("__nb"))), 9) >= minPmi)
+      .select(col("__a"), col("__b"))
+    // candidate positions → runs → greedy even offsets
+    val cand = bigrams
+      .join(inventory, col("__tok") === col("__a") && col("__next") === col("__b"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val runs = cand.withColumn("__grp",
+        col("__pos") - row_number().over(w))
+      .withColumn("__off", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("__grp")).orderBy(col("__pos"))) - 1)
+      .where(col("__off") % 2 === 0)
+      .select(col(idCol), col("__pos").as("__mstart"))
+    // rebuild: a merge start emits "a_b"; the merged-away successor drops.
+    // runs re-aliases its columns first — it descends from toks, and a
+    // raw join would trip Spark's ambiguous-self-join detection.
+    val starts = runs.select(col(idCol).as("__rid"), col("__mstart"))
+      .withColumn("__m", lit(1))
+    val marked = toks
+      .join(starts,
+        col(idCol) === col("__rid") && col("__pos") === col("__mstart"), "left")
+      .select(col(idCol), col("__pos"), col("__tok"), col("__m"))
+      .withColumn("__prev_m", lag(col("__m"), 1).over(w))
+      .withColumn("__next_tok", lead(col("__tok"), 1).over(w))
+      .where(col("__prev_m").isNull) // drop tokens consumed by a merge
+      .withColumn("__out",
+        when(col("__m") === 1, concat(col("__tok"), lit("_"), col("__next_tok")))
+          .otherwise(col("__tok")))
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        sum(coalesce(col("__m"), lit(0))).as("n_merged"),
+        concat_ws(" ", sort_array(collect_list(
+          struct(col("__pos"), col("__out")))).getField("__out")).as("text"))
+      .select(col(idCol), (col("__kept") + col("n_merged")).cast("long").as("n_tokens"),
+        col("n_merged").cast("long").as("n_merged"), col("text"))
+  }
+
   def pmiCooccurrence(df: DataFrame, textCol: String, idCol: String,
                       window: Int = 3, minPairCount: Int = 5): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")

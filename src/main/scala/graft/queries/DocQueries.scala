@@ -1131,6 +1131,18 @@ object DocQueries {
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
       .limit(100)
 
+  /** Collocation merge (TextAnalysis.mergeCollocations): the word2phrase
+    * retokenization — adjacent pairs clearing support ≥ 10 and PMI ≥ 2
+    * become single `a_b` tokens under greedy leftmost non-overlapping
+    * semantics (runs resolved relationally via the gaps-and-islands
+    * identity, even offsets merge). The oracle replays inventory
+    * construction, run resolution and the ordered rebuild end-to-end.
+    */
+  def q167MergeCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mergeCollocations(Tables(spark, dir).documents, "text", "doc_id",
+        minPairCount = 10, minPmi = 2.0)
+      .orderBy("doc_id")
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

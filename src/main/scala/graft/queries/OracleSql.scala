@@ -1532,6 +1532,55 @@ object OracleSql {
         |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // TextAnalysis.mergeCollocations replayed: ordered-bigram inventory
+    // (support + rounded-PMI gates), gaps-and-islands run resolution with
+    // even-offset greedy merges, ordered string_agg rebuild. Positions
+    // are 1-based here vs Spark's 0-based posexplode — the run identity
+    // pos - row_number() is shift-invariant, so the replay is exact.
+    "q167_merge_collocations" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+        |         FROM words),
+        |bg AS (SELECT doc_id, pos, tok,
+        |              lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |       FROM toks),
+        |pc AS (SELECT tok AS a, nxt AS b, count(*) AS nab
+        |       FROM bg WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |uc AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt FROM toks),
+        |ptot AS (SELECT sum(nab) AS np FROM pc),
+        |inv AS (SELECT a, b FROM pc
+        |        JOIN uc ua ON pc.a = ua.tok JOIN uc ub ON pc.b = ub.tok
+        |        CROSS JOIN tot CROSS JOIN ptot
+        |        WHERE nab >= 10
+        |          AND round(ln(CAST(nab AS DOUBLE) * nt * nt
+        |                       / (CAST(np AS DOUBLE) * ua.n * ub.n)), 9) >= 2.0),
+        |cand AS (SELECT bg.doc_id, bg.pos FROM bg
+        |         JOIN inv ON bg.tok = inv.a AND bg.nxt = inv.b),
+        |runs AS (SELECT doc_id, pos,
+        |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |         FROM cand),
+        |starts AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) - 1 AS off
+        |  FROM runs) WHERE off % 2 = 0),
+        |marked AS (SELECT t.doc_id, t.pos, t.tok,
+        |                  CASE WHEN s.pos IS NOT NULL THEN 1 END AS m,
+        |                  lag(CASE WHEN s.pos IS NOT NULL THEN 1 END)
+        |                    OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS prev_m,
+        |                  lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS nxt
+        |           FROM toks t LEFT JOIN starts s
+        |           ON t.doc_id = s.doc_id AND t.pos = s.pos),
+        |kept AS (SELECT doc_id, pos,
+        |                CASE WHEN m = 1 THEN tok || '_' || nxt ELSE tok END AS outtok,
+        |                coalesce(m, 0) AS m
+        |         FROM marked WHERE prev_m IS NULL)
+        |SELECT doc_id, CAST(count(*) + sum(m) AS BIGINT) AS n_tokens,
+        |       CAST(sum(m) AS BIGINT) AS n_merged,
+        |       string_agg(outtok, ' ' ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Skew.keySkewReport replayed: count per key, ascending rank-weighted
     // Gini (exact integer S1), top-10 with shares, identical double
     // expression shapes

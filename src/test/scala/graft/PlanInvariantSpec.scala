@@ -39,7 +39,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q152_target_encoding", // 1-row global-prior table broadcast-crossed onto the rows, as q43
     "q160_t_closeness",     // the classes × values audit grid IS the operator (both sides aggregation-bounded, value table + 1-row total broadcast), as q88's bounds
     "q165_pmi",             // 1-row corpus totals (n_tokens, n_pairs) broadcast-crossed onto the pair table, as q89's constants
-    "q166_key_skew"         // 1-row summary (n_keys, n_rows, gini) broadcast-crossed onto the topK rows, as q58
+    "q166_key_skew",        // 1-row summary (n_keys, n_rows, gini) broadcast-crossed onto the topK rows, as q58
+    "q167_merge_collocations" // composes q165's 1-row corpus-total cross joins into the phrase inventory
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
