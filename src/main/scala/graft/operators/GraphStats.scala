@@ -71,4 +71,62 @@ object GraphStats {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles", "global_clustering")
   }
+
+  /** k-core extraction by FIXED-ROUND peeling — the dense-cohesion
+    * filter of graph curation (Seidman, Social Networks 1983): repeat
+    * `rounds` times, drop every vertex whose degree in the surviving
+    * subgraph is < k. The fixpoint of this peel is the k-core; a fixed
+    * round count keeps the computation exactly replayable in unrolled
+    * SQL (a data-dependent loop count could not be), and the emitted
+    * `converged` flag — round R's survivor count equals round R−1's —
+    * says whether the fixpoint was reached; callers re-run with more
+    * rounds when it is 0. Each round is one semi-join of the edge list
+    * against the survivor set + one degree aggregation: shuffle ∝
+    * surviving edges, monotonically shrinking.
+    *
+    * Fully discrete (degrees, counts) — no rounding doctrine exists.
+    * Returns survivors after `rounds` peels: (id, degree) in the
+    * surviving subgraph, plus `converged` (same 0/1 on every row).
+    */
+  def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__a"),
+        greatest(col("__a"), col("__b")).as("__b"))
+      .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var edges = base
+    var deg: DataFrame = null
+    var prevCount = -1L
+    var lastCount = -1L
+    var i = 0
+    while (i < rounds) {
+      val und = edges.select(col("__a").as("__v"))
+        .unionAll(edges.select(col("__b").as("__v")))
+      val d = und.groupBy(col("__v")).agg(count(lit(1)).as("degree"))
+      val survivors = d.where(col("degree") >= k)
+        .localCheckpoint(true)
+      prevCount = lastCount
+      lastCount = survivors.count()
+      deg = survivors
+      val sa = survivors.select(col("__v").as("__a"))
+      val sb = survivors.select(col("__v").as("__b"))
+      edges = edges.join(sa, Seq("__a"), "left_semi")
+        .join(sb, Seq("__b"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    // degrees restricted to the FINAL surviving subgraph (round R's edge
+    // set), not the degrees that justified survival — re-derive once
+    val finalDeg = edges.select(col("__a").as("__v"))
+      .unionAll(edges.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("degree"))
+    deg.select(col("__v").as("id"))
+      .join(finalDeg.withColumnRenamed("__v", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"),
+        lit(if (prevCount == lastCount) 1L else 0L).as("converged"))
+  }
 }

@@ -128,4 +128,49 @@ object Profile {
         round(first(col("__lo")), 4).as("lo_fence"),
         round(first(col("__hi")), 4).as("hi_fence"))
   }
+
+  /** Robust scaling — median/MAD standardization, the outlier-immune
+    * sibling of z-scoring (mean/stddev move arbitrarily far under a
+    * single corrupted value; median and MAD have breakdown point 0.5):
+    *
+    *   z = (x − median(x)) / MAD,  MAD = median(|x − median(x)|)
+    *
+    * the feature-normalization gate of a curation pipeline (quality
+    * scores, lengths, perplexities all have heavy tails where plain
+    * z-scores saturate). Raw MAD scaling — consumers multiplying by
+    * 1.4826 for normal-consistency do so downstream; the operator does
+    * not bake a distributional assumption in.
+    *
+    * Rows with |z| > `fence` flag as outliers. A zero MAD (over half
+    * the values identical) yields null z and outlier = 0 — a degenerate
+    * column fails visibly rather than dividing by zero.
+    *
+    * Determinism: both medians are Spark's exact interpolated
+    * `percentile` == DuckDB `quantile_cont` (the q19/q92 identity); z
+    * rounds to 9 (interpolated medians are not grid-aligned — no tie
+    * class exists). Plan shape: two percentile aggregations (the second
+    * over |x − med| needs the first's 1-row result — an inherent
+    * two-pass dependency), each a 1-row broadcast back onto the scan;
+    * classification is a pure projection. At 100 TB swap
+    * percentile_approx into both passes (same plan, bounded state).
+    */
+  def robustScale(df: DataFrame, idCol: String, valueCol: String,
+                  fence: Double = 3.5): DataFrame = {
+    require(fence > 0, s"fence must be > 0, got $fence")
+    val v = col(valueCol).cast("double")
+    val quoted = valueCol.replace("`", "``")
+    val base = df.where(v.isNotNull)
+    val med = base.agg(
+      expr(s"percentile(CAST(`$quoted` AS DOUBLE), 0.5)").as("__med"))
+    val withMed = base.crossJoin(broadcast(med))
+    val mad = withMed.agg(
+      expr("percentile(abs(CAST(`" + quoted + "` AS DOUBLE) - __med), 0.5)").as("__mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col(idCol), v.as("value"),
+        when(col("__mad") =!= 0.0,
+          round((v - col("__med")) / col("__mad"), 9)).as("z"),
+        when(col("__mad") =!= 0.0 &&
+            abs((v - col("__med")) / col("__mad")) > fence, 1L)
+          .otherwise(0L).as("outlier"))
+  }
 }

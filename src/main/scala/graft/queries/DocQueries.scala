@@ -1143,6 +1143,21 @@ object DocQueries {
         minPairCount = 10, minPmi = 2.0)
       .orderBy("doc_id")
 
+  /** k-core extraction (GraphStats.kCorePeel): 3 fixed peel rounds at
+    * k=2 over the minhash candidate graph — the dense-cohesion filter
+    * (pendant near-dup chains drop, genuinely clustered groups stay);
+    * fixed rounds keep the peel exactly replayable in unrolled SQL and
+    * the converged flag certifies the fixpoint. Per round one survivor
+    * semi-join + one degree aggregation over a shrinking edge set.
+    */
+  def q169KCore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphStats.kCorePeel(
+        Dedup.minhashCandidatePairsMd5(Tables(spark, dir).documents, "text", "doc_id",
+          numHashes = 64, bands = 16),
+        "id_a", "id_b", k = 2, rounds = 3)
+      .select(col("id").as("doc_id"), col("degree"), col("converged"))
+      .orderBy("doc_id")
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

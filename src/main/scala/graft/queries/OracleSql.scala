@@ -338,6 +338,36 @@ object OracleSql {
        |       CAST(CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_seed
        |FROM l3 LEFT JOIN seeds s USING (id) ORDER BY doc_id""".stripMargin
 
+  /** q169: 3 unrolled k=2 peel rounds over the minhash candidate graph —
+    * fully discrete, convergence certified by comparing the last two
+    * survivor counts.
+    */
+  // every CTE MATERIALIZED: each round references its predecessor three
+  // times (degree union + two IN subqueries) — inlined, the minhash chain
+  // would re-evaluate 3^rounds times and the replay would take minutes
+  private def kcoreRound(prevEdges: String, d: String, s: String, e: String): String =
+    s"""$d AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+       |  SELECT a AS v FROM $prevEdges UNION ALL SELECT b FROM $prevEdges) GROUP BY 1),
+       |$s AS MATERIALIZED (SELECT v FROM $d WHERE deg >= 2),
+       |$e AS MATERIALIZED (SELECT a, b FROM $prevEdges
+       |       WHERE a IN (SELECT v FROM $s) AND b IN (SELECT v FROM $s))""".stripMargin
+
+  private val kcoreSql: String =
+    s"""WITH $minhashCandCtes,
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |       FROM cand WHERE id_a <> id_b),
+       |${kcoreRound("e0", "d1", "s1", "e1")},
+       |${kcoreRound("e1", "d2", "s2", "e2")},
+       |${kcoreRound("e2", "d3", "s3", "e3")},
+       |fin AS (SELECT v, count(*) AS degree FROM (
+       |  SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+       |conv AS (SELECT CASE WHEN (SELECT count(*) FROM s2) = (SELECT count(*) FROM s3)
+       |                     THEN 1 ELSE 0 END AS c)
+       |SELECT s3.v AS doc_id, CAST(coalesce(fin.degree, 0) AS BIGINT) AS degree,
+       |       CAST(conv.c AS BIGINT) AS converged
+       |FROM s3 LEFT JOIN fin ON s3.v = fin.v CROSS JOIN conv
+       |ORDER BY doc_id""".stripMargin
+
   private val personalizedPageRankSql: String =
     s"""WITH $minhashCandCtes,
        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
@@ -954,6 +984,7 @@ object OracleSql {
     "q116_pagerank" -> pageRankSql,
     "q143_personalized_pagerank" -> personalizedPageRankSql,
     "q163_label_prop" -> labelPropSql,
+    "q169_kcore" -> kcoreSql,
     "q153_triangle_stats" -> triangleStatsSql,
     "q117_retain_central" -> retainCentralSql,
     "q118_dedup_eval" -> dedupEvalSql,
@@ -1580,6 +1611,19 @@ object OracleSql {
         |       CAST(sum(m) AS BIGINT) AS n_merged,
         |       string_agg(outtok, ' ' ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Profile.robustScale replayed: two quantile_cont passes (the q19
+    // identity), z rounded to 9, the UNROUNDED |z| drives the fence
+    // compare exactly as the engine computes it
+    "q168_robust_scale" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v
+        |              FROM orders WHERE o_totalprice IS NOT NULL),
+        |med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
+        |mad AS (SELECT quantile_cont(abs(v - m), 0.5) AS d FROM base, med)
+        |SELECT o_orderkey, v AS value,
+        |       CASE WHEN d <> 0 THEN round((v - m) / d, 9) END AS z,
+        |       CAST(CASE WHEN d <> 0 AND abs((v - m) / d) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+        |FROM base, med, mad ORDER BY o_orderkey""".stripMargin,
 
     // Skew.keySkewReport replayed: count per key, ascending rank-weighted
     // Gini (exact integer S1), top-10 with shares, identical double

@@ -1091,6 +1091,18 @@ object RelationalQueries {
     graft.operators.Skew.keySkewReport(
       Tables(spark, dir).events, "user_id", topK = 10)
 
+  /** Robust scaling (Profile.robustScale): order totals standardized by
+    * median/MAD — the outlier-immune normalization for heavy-tailed
+    * feature columns; two exact-percentile passes (== DuckDB
+    * quantile_cont), each a 1-row broadcast back onto the scan,
+    * classification a pure projection. percentile_approx is the
+    * documented 100-TB swap-in.
+    */
+  def q168RobustScale(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.robustScale(
+        Tables(spark, dir).orders, "o_orderkey", "o_totalprice", fence = 2.0)
+      .orderBy("o_orderkey")
+
   /** P7/P8 (ref :537,720-721): CASE-bucketed aggregation. */
   def q15CaseBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer

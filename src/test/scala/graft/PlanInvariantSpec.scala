@@ -40,7 +40,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q160_t_closeness",     // the classes × values audit grid IS the operator (both sides aggregation-bounded, value table + 1-row total broadcast), as q88's bounds
     "q165_pmi",             // 1-row corpus totals (n_tokens, n_pairs) broadcast-crossed onto the pair table, as q89's constants
     "q166_key_skew",        // 1-row summary (n_keys, n_rows, gini) broadcast-crossed onto the topK rows, as q58
-    "q167_merge_collocations" // composes q165's 1-row corpus-total cross joins into the phrase inventory
+    "q167_merge_collocations", // composes q165's 1-row corpus-total cross joins into the phrase inventory
+    "q168_robust_scale"     // 1-row median then 1-row MAD broadcast-crossed onto the scan, as q88's bounds
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
@@ -66,7 +67,10 @@ class PlanInvariantSpec extends SparkTestBase {
     // triangle/degree aggregates collect at construction (the fit contract)
     "q153_triangle_stats",
     // power-iteration generations materialize at construction
-    "q155_lsa_topic", "q156_lsa_doc_scores")
+    "q155_lsa_topic", "q156_lsa_doc_scores",
+    // deflated power iteration + HITS + label prop + k-core peel rounds
+    // all localCheckpoint at construction
+    "q159_lsa_topics", "q162_hits", "q163_label_prop", "q169_kcore")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned

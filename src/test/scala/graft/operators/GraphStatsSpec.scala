@@ -54,4 +54,33 @@ class GraphStatsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_wedges") === 10L)
     assert(r.getAs[Double]("global_clustering") === 0.6)
   }
+
+  test("kCorePeel: triangle survives 2-core, pendant peels, convergence flags") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphStats.kCorePeel(edges, "a", "b", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))),
+      "the triangle is the 2-core; degree excludes the peeled pendant edge")
+  }
+
+  test("kCorePeel: a chain cascades away round by round; unconverged flags 0") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r1 = GraphStats.kCorePeel(chain, "a", "b", 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(r1.keySet === Set(2L, 3L), "one peel keeps the middle")
+    assert(r1.values.forall(_ === 0L), "rounds=1 cannot certify convergence")
+    val r2 = GraphStats.kCorePeel(chain, "a", "b", 2, 2).collect()
+    assert(r2.isEmpty, "the second peel empties the chain")
+  }
+
+  test("kCorePeel: duplicate and self edges collapse; partition invariance") {
+    import spark.implicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L), (1L, 2L))
+      .toDF("a", "b")
+    val a = GraphStats.kCorePeel(messy.repartition(5), "a", "b", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
 }

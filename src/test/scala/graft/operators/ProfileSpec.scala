@@ -96,4 +96,30 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getAs[Double]("lo_fence") === 1.75)
     assert(r.getAs[Double]("hi_fence") === 3.25)
   }
+
+  test("robustScale: hand-computed median/MAD z-scores; the outlier cannot move them") {
+    // [1..9, 1000]: med = 5.5, MAD = 2.5 → z(1000) = 397.8, z(1) = -1.8
+    val df = ((1L to 9L).map(i => (i, i.toDouble)) ++ Seq((10L, 1000.0)))
+      .toDF("id", "v")
+    val out = Profile.robustScale(df, "id", "v", fence = 3.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getAs[java.lang.Double]("z"), r.getLong(3)))).toMap
+    assert(out(10L) === ((1000.0, 397.8, 1L)))
+    assert(out(1L) === ((1.0, -1.8, 0L)))
+    assert(out(9L) === ((9.0, 1.4, 0L)))
+    assert(out.values.count(_._3 == 1L) === 1, "only the planted outlier flags")
+  }
+
+  test("robustScale: zero MAD yields null z and no flags; nulls are excluded") {
+    def d(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val df = Seq((1L, d(5.0)), (2L, d(5.0)), (3L, d(5.0)), (4L, d(1.0)),
+      (5L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "v")
+    val out = Profile.robustScale(df, "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[java.lang.Double]("z"), r.getLong(3)))).toMap
+    assert(out.size === 4, "the null row drops")
+    assert(out.values.forall { case (z, f) => z == null && f == 0L },
+      "degenerate MAD=0 fails visibly, never divides")
+  }
 }
