@@ -72,6 +72,57 @@ object GraphStats {
       .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles", "global_clustering")
   }
 
+  /** Degree assortativity — Newman's r (PRL 2002): the Pearson
+    * correlation of endpoint degrees over every directed edge
+    * orientation. Positive = hubs attach to hubs (social shape),
+    * negative = hubs attach to leaves (star/broadcast shape) — the
+    * one-number diagnosis of whether a near-dup graph is clustered
+    * communities or hub-and-spoke template explosions.
+    *
+    * Determinism: every moment (Σx, Σxy, Σx², n) is an exact integer
+    * sum in DECIMAL(38,0) (degrees are integers); the final Pearson
+    * expression computes once from exactly-cast doubles, identically
+    * written in the oracle, rounded to 9. A degree-regular graph has
+    * zero variance → null r (degenerate, not NaN).
+    *
+    * Scale shape: one degree aggregation + one edge-keyed join per
+    * endpoint (shuffle ∝ edges) + one scalar aggregation. Returns one
+    * row: (n_vertices, n_edges, assortativity).
+    */
+  def assortativity(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__a"),
+        greatest(col("__a"), col("__b")).as("__b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = base.unionAll(
+      base.select(col("__b").as("__a"), col("__a").as("__b")))
+    val deg = directed.groupBy(col("__a").as("__v"))
+      .agg(count(lit(1)).as("__d"))
+    val xy = directed
+      .join(deg.select(col("__v").as("__a"), col("__d").as("__x")), Seq("__a"))
+      .join(deg.select(col("__v").as("__b"), col("__d").as("__y")), Seq("__b"))
+    val m = xy.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+    val nV = deg.count()
+    val nE = base.count()
+    base.unpersist()
+    val n = col("__n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("__sx").cast("double"),
+      col("__sy").cast("double"), col("__sxy").cast("double"),
+      col("__sxx").cast("double"), col("__syy").cast("double"))
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    m.select(lit(nV).as("n_vertices"), lit(nE).as("n_edges"),
+      when(den > 0.0,
+        round((n * sxy - sx * sy) / sqrt(den), 9)).as("assortativity"))
+  }
+
   /** k-core extraction by FIXED-ROUND peeling — the dense-cohesion
     * filter of graph curation (Seidman, Social Networks 1983): repeat
     * `rounds` times, drop every vertex whose degree in the surviving

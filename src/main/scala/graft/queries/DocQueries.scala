@@ -1158,6 +1158,18 @@ object DocQueries {
       .select(col("id").as("doc_id"), col("degree"), col("converged"))
       .orderBy("doc_id")
 
+  /** Degree assortativity (GraphStats.assortativity): Newman's r over
+    * the minhash candidate graph — positive means clustered communities,
+    * negative means hub-and-spoke template explosions; all Pearson
+    * moments exact integer sums, one final rounded expression replayed
+    * identically by the oracle.
+    */
+  def q170Assortativity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphStats.assortativity(
+      Dedup.minhashCandidatePairsMd5(Tables(spark, dir).documents, "text", "doc_id",
+        numHashes = 64, bands = 16),
+      "id_a", "id_b")
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

@@ -368,6 +368,31 @@ object OracleSql {
        |FROM s3 LEFT JOIN fin ON s3.v = fin.v CROSS JOIN conv
        |ORDER BY doc_id""".stripMargin
 
+  /** q170: Newman degree assortativity over the minhash graph — exact
+    * integer Pearson moments, one final rounded double expression
+    * written identically to the engine's.
+    */
+  private val assortativitySql: String =
+    s"""WITH $minhashCandCtes,
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |       FROM cand WHERE id_a <> id_b),
+       |dir AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |deg AS MATERIALIZED (SELECT a AS v, count(*) AS d FROM dir GROUP BY 1),
+       |xy AS (SELECT da.d AS x, db.d AS y FROM dir
+       |       JOIN deg da ON dir.a = da.v JOIN deg db ON dir.b = db.v),
+       |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+       |             sum(x*x) AS sxx, sum(y*y) AS syy FROM xy),
+       |nv AS (SELECT count(*) AS c FROM deg),
+       |ne AS (SELECT count(*) AS c FROM e0)
+       |SELECT CAST(nv.c AS BIGINT) AS n_vertices, CAST(ne.c AS BIGINT) AS n_edges,
+       |       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+       |            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+       |       END AS assortativity
+       |FROM m, nv, ne""".stripMargin
+
   private val personalizedPageRankSql: String =
     s"""WITH $minhashCandCtes,
        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
@@ -985,6 +1010,7 @@ object OracleSql {
     "q143_personalized_pagerank" -> personalizedPageRankSql,
     "q163_label_prop" -> labelPropSql,
     "q169_kcore" -> kcoreSql,
+    "q170_assortativity" -> assortativitySql,
     "q153_triangle_stats" -> triangleStatsSql,
     "q117_retain_central" -> retainCentralSql,
     "q118_dedup_eval" -> dedupEvalSql,

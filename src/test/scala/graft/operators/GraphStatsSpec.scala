@@ -55,6 +55,23 @@ class GraphStatsSpec extends SparkTestBase {
     assert(r.getAs[Double]("global_clustering") === 0.6)
   }
 
+  test("assortativity: star is perfectly disassortative, cycle degenerate, mixed hand value") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val s = GraphStats.assortativity(star, "a", "b").head
+    assert(s.getLong(0) === 4L && s.getLong(1) === 3L && s.getDouble(2) === -1.0)
+    // a cycle is degree-regular: zero variance → null, never NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(GraphStats.assortativity(cycle, "a", "b").head.isNullAt(2))
+    // triangle + pendant: r = -20/28 = -0.714285714 by hand
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphStats.assortativity(mixed, "a", "b").head.getDouble(2) === -0.714285714)
+    // duplicate/reversed/self edges collapse first
+    val messy = mixed.unionByName(Seq((2L, 1L), (3L, 3L)).toDF("a", "b"))
+    assert(GraphStats.assortativity(messy.repartition(5), "a", "b").head.getDouble(2)
+      === -0.714285714)
+  }
+
   test("kCorePeel: triangle survives 2-core, pendant peels, convergence flags") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
