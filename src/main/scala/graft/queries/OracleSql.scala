@@ -310,8 +310,11 @@ object OracleSql {
     * seeds clamped, previous label carried when no vote arrives. Fully
     * discrete: no rounding doctrine needed anywhere.
     */
+  // every CTE MATERIALIZED: each round references its predecessor twice
+  // (vote join + carry) — inlined, the minhash chain would re-evaluate
+  // 2^rounds times (the kcoreSql lesson)
   private def lpIter(prev: String, cur: String): String =
-    s"""${cur}w AS (
+    s"""${cur}w AS MATERIALIZED (
        |  SELECT id, label FROM (
        |    SELECT e.dst AS id, p.label, count(*) AS v,
        |           row_number() OVER (PARTITION BY e.dst
@@ -319,18 +322,18 @@ object OracleSql {
        |    FROM e JOIN $prev p ON e.src = p.id
        |    WHERE p.label IS NOT NULL
        |    GROUP BY e.dst, p.label) WHERE rn = 1),
-       |$cur AS (SELECT l.id, coalesce(s.sl, w.label, l.label) AS label
+       |$cur AS MATERIALIZED (SELECT l.id, coalesce(s.sl, w.label, l.label) AS label
        |         FROM $prev l LEFT JOIN ${cur}w w USING (id)
        |         LEFT JOIN seeds s USING (id))""".stripMargin
 
   private val labelPropSql: String =
     s"""WITH $minhashCandCtes,
-       |base AS (SELECT DISTINCT id_a AS s, id_b AS d FROM cand),
-       |e AS (SELECT s AS src, d AS dst FROM base UNION ALL SELECT d, s FROM base),
+       |base AS MATERIALIZED (SELECT DISTINCT id_a AS s, id_b AS d FROM cand),
+       |e AS MATERIALIZED (SELECT s AS src, d AS dst FROM base UNION ALL SELECT d, s FROM base),
        |verts AS (SELECT DISTINCT src AS id FROM e),
-       |seeds AS (SELECT doc_id AS id, min(lang) AS sl FROM documents
+       |seeds AS MATERIALIZED (SELECT doc_id AS id, min(lang) AS sl FROM documents
        |          WHERE doc_id % 20 = 0 AND lang IS NOT NULL GROUP BY 1),
-       |l0 AS (SELECT v.id, s.sl AS label FROM verts v LEFT JOIN seeds s USING (id)),
+       |l0 AS MATERIALIZED (SELECT v.id, s.sl AS label FROM verts v LEFT JOIN seeds s USING (id)),
        |${lpIter("l0", "l1")},
        |${lpIter("l1", "l2")},
        |${lpIter("l2", "l3")}
