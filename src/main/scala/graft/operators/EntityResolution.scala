@@ -120,7 +120,9 @@ object EntityResolution {
         when(col("ia") < col("ib"), col("sa")).otherwise(col("sb")).as("name_a"),
         when(col("ia") < col("ib"), col("sb")).otherwise(col("sa")).as("name_b"))
       .distinct()
-      .where(levenshtein(col("name_a"), col("name_b")) <= t)
+      // banded threshold levenshtein (early exit above t) — the
+      // FuzzyJoin confirm doctrine
+      .where(levenshtein(col("name_a"), col("name_b"), t) >= 0)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // entities whose membership the new pairs can change

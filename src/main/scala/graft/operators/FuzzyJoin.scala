@@ -122,7 +122,13 @@ object FuzzyJoin {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
       .distinct()
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .where(col("edit_dist") <= t)
+      // the 3-arg (threshold) levenshtein runs the BANDED O(t·len) DP
+      // with early exit instead of the full O(len²) table — at a confirm
+      // threshold of 1-3 that is the difference between touching ~3·len
+      // cells and len² per candidate pair; it returns -1 above the
+      // threshold, so survivors still carry their true distance
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), t).cast("long"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= t)
   }
 }
