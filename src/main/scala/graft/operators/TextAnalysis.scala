@@ -719,6 +719,43 @@ object TextAnalysis {
     * totals as in-plan 1-row broadcasts. Nothing is corpus² anywhere.
     * Low-count pairs drop at `minPairCount` BEFORE the joins.
     */
+  /** HTML → visible text — the first pass of every web-corpus cleaning
+    * pipeline: drop script/style payloads whole (their CONTENT is code,
+    * not text), drop comments, drop tags, decode the six ubiquitous
+    * entities, collapse whitespace. A deliberate REGEX stripper, not a
+    * DOM parser: at corpus scale the input is mostly malformed tag soup
+    * where a strict parser rejects and a lenient one allocates a tree
+    * per document; the regex chain is a pure codegen'd projection
+    * (six `regexp_replace` + trim — zero exchange, zero allocation
+    * beyond the string) and its known blind spot (a literal `>` inside
+    * a quoted attribute value) is vanishingly rare in real crawl and
+    * merely leaks a tag fragment, never loses body text.
+    *
+    * Entity order: `&amp;` decodes LAST, so double-encoded `&amp;lt;`
+    * correctly yields the TEXT "&lt;", not "<" (the classic
+    * double-decode bug reversed).
+    *
+    * Returns (idCol, text, n_chars_in, n_chars_out). The DuckDB oracle
+    * replays the identical chain — both engines' regex dialects agree
+    * on this pattern class ((?is) flags, lazy quantifiers, [^>], \s).
+    */
+  def stripHtml(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val raw = col(htmlCol)
+    var t: org.apache.spark.sql.Column = raw
+    t = regexp_replace(t, "(?is)<script[^>]*>.*?</script>", " ")
+    t = regexp_replace(t, "(?is)<style[^>]*>.*?</style>", " ")
+    t = regexp_replace(t, "(?s)<!--.*?-->", " ")
+    t = regexp_replace(t, "<[^>]+>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foreach { case (e, r) => t = regexp_replace(t, e, r) }
+    t = trim(regexp_replace(t, "\\s+", " "))
+    df.where(raw.isNotNull)
+      .select(col(idCol), t.as("text"),
+        length(raw).cast("long").as("n_chars_in"),
+        length(t).cast("long").as("n_chars_out"))
+  }
+
   /** Collocation merge — the word2phrase retokenization step (Mikolov et
     * al., NIPS 2013 §4): adjacent token pairs whose PMI and support clear
     * the thresholds become single `a_b` tokens, so downstream vocabulary /

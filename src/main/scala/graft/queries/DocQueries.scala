@@ -1170,6 +1170,24 @@ object DocQueries {
         numHashes = 64, bands = 16),
       "id_a", "id_b")
 
+  /** HTML stripping (TextAnalysis.stripHtml): each document wrapped in a
+    * deterministic tag-soup shell (script + style payloads, a comment,
+    * headers, single- and double-encoded entities) and stripped back to
+    * visible text — the first pass of web-corpus cleaning, as a pure
+    * codegen'd regexp projection. The oracle constructs the identical
+    * shell and replays the identical six-stage chain, so the recovered
+    * text itself hash-matches.
+    */
+  def q171HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val html = Tables(spark, dir).documents.select(col("doc_id"), concat(
+      lit("<html><head><script type=\"text/javascript\">var t = 1 &lt; 2;</script>"),
+      lit("<style>body { color: red; }</style></head><body><!-- doc "),
+      col("doc_id"), lit(" --><h1>Doc &amp; friends</h1><p>"),
+      col("text"),
+      lit("</p><br/>&nbsp;tail &amp;lt;x&amp;gt;</body></html>")).as("html"))
+    TextAnalysis.stripHtml(html, "html", "doc_id").orderBy("doc_id")
+  }
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

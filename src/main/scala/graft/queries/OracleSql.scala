@@ -1641,6 +1641,38 @@ object OracleSql {
         |       string_agg(outtok, ' ' ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // TextAnalysis.stripHtml replayed: identical shell construction +
+    // the identical six-stage regexp chain ((?is)/(?s) inline flags map
+    // to DuckDB's 'gis'/'gs' options; &amp; decodes LAST so double-
+    // encoded entities decode exactly one level)
+    "q171_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><script type="text/javascript">var t = 1 &lt; 2;</script>'
+        |         || '<style>body { color: red; }</style></head><body><!-- doc '
+        |         || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &amp; friends</h1><p>'
+        |         || text || '</p><br/>&nbsp;tail &amp;lt;x&amp;gt;</body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |              '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |            '<!--.*?-->', ' ', 'gs'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM h WHERE html IS NOT NULL)
+        |SELECT doc_id, text,
+        |       CAST(length(html) AS BIGINT) AS n_chars_in,
+        |       CAST(length(text) AS BIGINT) AS n_chars_out
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Profile.robustScale replayed: two quantile_cont passes (the q19
     // identity), z rounded to 9, the UNROUNDED |z| drives the fence
     // compare exactly as the engine computes it
