@@ -719,6 +719,45 @@ object TextAnalysis {
     * totals as in-plan 1-row broadcasts. Nothing is corpus² anywhere.
     * Low-count pairs drop at `minPairCount` BEFORE the joins.
     */
+  /** Sentence-aware chunking — the RAG/packing sibling of the token-
+    * window chunker (q73): text splits into sentences on terminal
+    * punctuation runs (`[.!?]+\s+`, terminators dropped — RE2 has no
+    * lookbehind, so keeping them would fork the engines; the boundary
+    * is what matters for chunking), and consecutive sentences pack into
+    * chunks by the STANDARD running-total assignment: sentence s joins
+    * chunk ⌊tokens_before_s / budget⌋. A chunk may exceed the budget by
+    * its last sentence — the documented price of a fully relational
+    * (window cumsum, no sequential scan) assignment; no sentence is
+    * ever split mid-way, which is the property RAG retrieval needs.
+    *
+    * Plan shape: one posexplode (rows ∝ sentences), one doc-partitioned
+    * cumsum window, one ordered string_agg rebuild per (doc, chunk) —
+    * shuffle ∝ sentences, every window doc-bounded.
+    *
+    * Returns (idCol, chunk_id, n_sentences, n_tokens, text).
+    */
+  def sentenceChunks(df: DataFrame, textCol: String, idCol: String,
+                     tokenBudget: Int = 64): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__sidx"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), "[.!?]+\\s+")).as(Seq("__sidx", "__sent")))
+      .where(trim(col("__sent")) =!= "")
+      .withColumn("__sent", trim(regexp_replace(col("__sent"), "[.!?]+$", "")))
+      .withColumn("__ntok", size(split(col("__sent"), "\\s+")).cast("long"))
+      .withColumn("__before",
+        coalesce(sum(col("__ntok")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", floor(col("__before") / tokenBudget).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__ntok")).as("n_tokens"),
+        concat_ws(" ", sort_array(collect_list(
+          struct(col("__sidx"), col("__sent")))).getField("__sent")).as("text"))
+  }
+
   /** HTML → visible text — the first pass of every web-corpus cleaning
     * pipeline: drop script/style payloads whole (their CONTENT is code,
     * not text), drop comments, drop tags, decode the six ubiquitous

@@ -1188,6 +1188,19 @@ object DocQueries {
     TextAnalysis.stripHtml(html, "html", "doc_id").orderBy("doc_id")
   }
 
+  /** Sentence-aware chunking (TextAnalysis.sentenceChunks): documents
+    * split on terminal-punctuation runs and packed into ~48-token chunks
+    * by the relational ⌊tokens_before/budget⌋ assignment — no sentence
+    * ever splits mid-way (the RAG retrieval property q73's token windows
+    * cannot give). One posexplode + one doc-bounded cumsum window + the
+    * ordered rebuild; the oracle replays split, token counts, cumsum and
+    * rebuild so every chunk's text hash-matches.
+    */
+  def q172SentenceChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentenceChunks(Tables(spark, dir).documents, "text", "doc_id",
+        tokenBudget = 48)
+      .orderBy("doc_id", "chunk_id")
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

@@ -1641,6 +1641,34 @@ object OracleSql {
         |       string_agg(outtok, ' ' ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // TextAnalysis.sentenceChunks replayed: same terminator-run split,
+    // trailing-punctuation strip, token counts, exclusive cumsum,
+    // floor(before/budget) assignment, ordered rebuild
+    "q172_sentence_chunks" ->
+      """WITH sent AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split_regex(trim(text), '[.!?]+\s+'), 1) AS sidx,
+        |         unnest(string_split_regex(trim(text), '[.!?]+\s+')) AS s0
+        |  FROM documents WHERE text IS NOT NULL),
+        |cleaned AS (
+        |  SELECT doc_id, sidx,
+        |         trim(regexp_replace(s0, '[.!?]+$', '')) AS sent
+        |  FROM sent WHERE trim(s0) <> ''),
+        |counted AS (
+        |  SELECT doc_id, sidx, sent,
+        |         CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS ntok
+        |  FROM cleaned),
+        |assigned AS (
+        |  SELECT doc_id, sidx, sent, ntok,
+        |         CAST(floor(coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY sidx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 48.0) AS BIGINT) AS chunk_id
+        |  FROM counted)
+        |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |       string_agg(sent, ' ' ORDER BY sidx) AS text
+        |FROM assigned GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // TextAnalysis.stripHtml replayed: identical shell construction +
     // the identical six-stage regexp chain ((?is)/(?s) inline flags map
     // to DuckDB's 'gis'/'gs' options; &amp; decodes LAST so double-
