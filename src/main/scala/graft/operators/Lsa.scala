@@ -162,8 +162,12 @@ object Lsa {
     // The checkpoint materializes the O(|columns|) vector and cuts the
     // plan to a scan; one-generation storage, same as the persist it
     // replaces.
+    // the all-ones INIT is not checkpointed: its plan is one distinct
+    // over the already-persisted matrix and iteration 1 references it
+    // only twice — materializing it separately just adds a job; only the
+    // per-iteration generations (referenced ~8× under deflation) need
+    // the lineage cut
     var v = a.select(col("__c")).distinct().withColumn("__x", lit(1.0))
-      .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
       // EXACT-decimal matvec products: the matrix values are a 4-decimal
