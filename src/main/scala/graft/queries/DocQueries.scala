@@ -1201,6 +1201,30 @@ object DocQueries {
         tokenBudget = 48)
       .orderBy("doc_id", "chunk_id")
 
+  /** PPMI + truncated SVD — the classical count-based word-embedding
+    * pipeline (Levy & Goldberg, NIPS 2014: SGNS ≈ factorized shifted
+    * PMI): q165's windowed PMI clamps to PPMI on a 4-decimal grid (the
+    * round happens in DECIMAL on a decimal-cast pmi — rounding the
+    * 9-grid DOUBLE to 4 would tie at the half-grid ~1e-5/value, the LSA
+    * lesson), symmetrizes into a word-context matrix, and q155's power
+    * iteration extracts the dominant semantic direction. Composes two
+    * verified chains; the oracle replays PMI → PPMI → both unrolled
+    * iterations end-to-end.
+    */
+  def q173PpmiLsa(spark: SparkSession, dir: String): DataFrame = {
+    val pmi = TextAnalysis.pmiCooccurrence(Tables(spark, dir).documents,
+      "text", "doc_id", window = 3, minPairCount = 10)
+    val pv = pmi.select(col("term_a"), col("term_b"),
+      round(greatest(col("pmi").cast("decimal(20,9)"),
+        lit(0).cast("decimal(20,9)")), 4).cast("double").as("v"))
+    val off = pv.where(col("term_a") =!= col("term_b"))
+    val sym = off.select(col("term_a").as("r"), col("term_b").as("c"), col("v"))
+      .unionByName(off.select(col("term_b").as("r"), col("term_a").as("c"), col("v")))
+      .unionByName(pv.where(col("term_a") === col("term_b"))
+        .select(col("term_a").as("r"), col("term_b").as("c"), col("v")))
+    graft.operators.Lsa.topTermVector(sym, "r", "c", "v", iterations = 2, k = 20)
+  }
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

@@ -1641,6 +1641,53 @@ object OracleSql {
         |       string_agg(outtok, ' ' ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q165's PMI chain → decimal-rounded PPMI → symmetrized matrix →
+    // q155's two unrolled power iterations, end-to-end
+    "q173_ppmi_lsa" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+        |         FROM words),
+        |pairs AS (SELECT least(t1.tok, t2.tok) AS a, greatest(t1.tok, t2.tok) AS b
+        |          FROM toks t1 JOIN toks t2
+        |          ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos AND t2.pos <= t1.pos + 3),
+        |pc AS MATERIALIZED (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        |uc AS MATERIALIZED (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt FROM toks),
+        |ptot AS (SELECT sum(n_ab) AS np FROM pc),
+        |pmi9 AS MATERIALIZED (
+        |  SELECT a, b, round(ln(CAST(n_ab AS DOUBLE) * nt * nt
+        |                        / (CAST(np AS DOUBLE) * ua.n * ub.n)), 9) AS pmi
+        |  FROM pc JOIN uc ua ON pc.a = ua.tok JOIN uc ub ON pc.b = ub.tok
+        |  CROSS JOIN tot CROSS JOIN ptot
+        |  WHERE n_ab >= 10),
+        |pv AS MATERIALIZED (
+        |  SELECT a, b, CAST(round(greatest(CAST(pmi AS DECIMAL(20,9)),
+        |                                   CAST(0 AS DECIMAL(20,9))), 4) AS DOUBLE) AS v
+        |  FROM pmi9),
+        |mat AS MATERIALIZED (
+        |  SELECT a AS r, b AS c, v FROM pv WHERE a <> b
+        |  UNION ALL SELECT b, a, v FROM pv WHERE a <> b
+        |  UNION ALL SELECT a, b, v FROM pv WHERE a = b),
+        |u1r AS (SELECT r, CAST(round(sum(CAST(v AS DECIMAL(18,4)) * CAST(1.0 AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
+        |        FROM mat GROUP BY r),
+        |n1 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u1r),
+        |u1 AS MATERIALIZED (SELECT r, round(u / nm, 9) AS u FROM u1r, n1),
+        |w1r AS (SELECT c, CAST(round(sum(CAST(mat.v AS DECIMAL(18,4)) * CAST(u1.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
+        |        FROM mat JOIN u1 USING (r) GROUP BY c),
+        |m1 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w1r),
+        |v1 AS MATERIALIZED (SELECT c, round(w / nm, 9) AS x FROM w1r, m1),
+        |u2r AS (SELECT r, CAST(round(sum(CAST(mat.v AS DECIMAL(18,4)) * CAST(v1.x AS DECIMAL(10,9))), 9) AS DOUBLE) AS u
+        |        FROM mat JOIN v1 USING (c) GROUP BY r),
+        |n2 AS (SELECT sqrt(CAST(sum(CAST(round(u * u, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM u2r),
+        |u2 AS MATERIALIZED (SELECT r, round(u / nm, 9) AS u FROM u2r, n2),
+        |w2r AS (SELECT c, CAST(round(sum(CAST(mat.v AS DECIMAL(18,4)) * CAST(u2.u AS DECIMAL(10,9))), 9) AS DOUBLE) AS w
+        |        FROM mat JOIN u2 USING (r) GROUP BY c),
+        |m2 AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w2r),
+        |v2 AS (SELECT c, round(w / nm, 9) AS x FROM w2r, m2)
+        |SELECT c AS term, x AS loading FROM v2 ORDER BY loading DESC, term LIMIT 20""".stripMargin,
+
     // TextAnalysis.sentenceChunks replayed: same terminator-run split,
     // trailing-punctuation strip, token counts, exclusive cumsum,
     // floor(before/budget) assignment, ordered rebuild

@@ -70,7 +70,10 @@ class PlanInvariantSpec extends SparkTestBase {
     "q155_lsa_topic", "q156_lsa_doc_scores",
     // deflated power iteration + HITS + label prop + k-core peel rounds
     // all localCheckpoint at construction
-    "q159_lsa_topics", "q162_hits", "q163_label_prop", "q169_kcore")
+    "q159_lsa_topics", "q162_hits", "q163_label_prop", "q169_kcore",
+    // composes q165's PMI (1-row total cross joins) into q155's eager
+    // power iteration
+    "q173_ppmi_lsa")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
