@@ -1225,6 +1225,27 @@ object DocQueries {
     graft.operators.Lsa.topTermVector(sym, "r", "c", "v", iterations = 2, k = 20)
   }
 
+  /** Per-term association lookup (q165's PMI re-keyed): every anchor
+    * term's top-3 associates by PMI — the "related terms" table query
+    * expansion and embedding sanity checks read. Both orientations of
+    * the unordered pair table, one anchor-partitioned rank window over
+    * the (already pair-bounded) PMI table; nothing re-scans the corpus.
+    */
+  def q174TermAssociations(spark: SparkSession, dir: String): DataFrame = {
+    val pmi = TextAnalysis.pmiCooccurrence(Tables(spark, dir).documents,
+      "text", "doc_id", window = 3, minPairCount = 10)
+    val directed = pmi.select(col("term_a").as("anchor"),
+        col("term_b").as("associate"), col("n_pair"), col("pmi"))
+      .unionByName(pmi.where(col("term_a") =!= col("term_b"))
+        .select(col("term_b").as("anchor"), col("term_a").as("associate"),
+          col("n_pair"), col("pmi")))
+    directed.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("anchor"))
+          .orderBy(col("pmi").desc, col("associate"))).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy("anchor", "rank")
+  }
+
   /** Distributed PCA top component (Pca.topComponent): 3 power iterations
     * over the embedding corpus, each ONE scan with 64 map-side-combinable
     * decimal sums (the LogReg gradient shape — no covariance matrix, no

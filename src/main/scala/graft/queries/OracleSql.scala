@@ -1641,6 +1641,40 @@ object OracleSql {
         |       string_agg(outtok, ' ' ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q165's PMI chain re-keyed per anchor: both orientations, one
+    // anchor-partitioned rank window, top-3 associates
+    "q174_term_associations" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+        |         FROM words),
+        |pairs AS (SELECT least(t1.tok, t2.tok) AS a, greatest(t1.tok, t2.tok) AS b
+        |          FROM toks t1 JOIN toks t2
+        |          ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos AND t2.pos <= t1.pos + 3),
+        |pc AS MATERIALIZED (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        |uc AS MATERIALIZED (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt FROM toks),
+        |ptot AS (SELECT sum(n_ab) AS np FROM pc),
+        |pmi AS MATERIALIZED (
+        |  SELECT a, b, CAST(n_ab AS BIGINT) AS n_pair,
+        |         round(ln(CAST(n_ab AS DOUBLE) * nt * nt
+        |                  / (CAST(np AS DOUBLE) * ua.n * ub.n)), 9) AS pmi
+        |  FROM pc JOIN uc ua ON pc.a = ua.tok JOIN uc ub ON pc.b = ub.tok
+        |  CROSS JOIN tot CROSS JOIN ptot
+        |  WHERE n_ab >= 10),
+        |directed AS (
+        |  SELECT a AS anchor, b AS associate, n_pair, pmi FROM pmi
+        |  UNION ALL
+        |  SELECT b, a, n_pair, pmi FROM pmi WHERE a <> b),
+        |ranked AS (
+        |  SELECT anchor, associate, n_pair, pmi,
+        |         CAST(row_number() OVER (PARTITION BY anchor
+        |           ORDER BY pmi DESC, associate) AS BIGINT) AS rank
+        |  FROM directed)
+        |SELECT anchor, associate, n_pair, pmi, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY anchor, rank""".stripMargin,
+
     // q165's PMI chain → decimal-rounded PPMI → symmetrized matrix →
     // q155's two unrolled power iterations, end-to-end
     "q173_ppmi_lsa" ->

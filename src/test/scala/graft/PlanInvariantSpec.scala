@@ -41,6 +41,7 @@ class PlanInvariantSpec extends SparkTestBase {
     "q165_pmi",             // 1-row corpus totals (n_tokens, n_pairs) broadcast-crossed onto the pair table, as q89's constants
     "q166_key_skew",        // 1-row summary (n_keys, n_rows, gini) broadcast-crossed onto the topK rows, as q58
     "q167_merge_collocations", // composes q165's 1-row corpus-total cross joins into the phrase inventory
+    "q174_term_associations", // composes q165's cross joins; the rank window runs over the pair-bounded PMI table
     "q168_robust_scale"     // 1-row median then 1-row MAD broadcast-crossed onto the scan, as q88's bounds
   )
 
