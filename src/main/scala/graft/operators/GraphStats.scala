@@ -95,7 +95,12 @@ object GraphStats {
       .select(least(col("__a"), col("__b")).as("__a"),
         greatest(col("__a"), col("__b")).as("__b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: the caller runs the returned
+      // aggregation AFTER this function exits, so a persist + unpersist
+      // here would evict the blocks before the expensive final pass and
+      // force the whole upstream lineage (minhash chains in q170) to
+      // recompute. Checkpointed blocks survive until the plan is GC'd.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = base.unionAll(
       base.select(col("__b").as("__a"), col("__a").as("__b")))
     val deg = directed.groupBy(col("__a").as("__v"))
@@ -112,7 +117,6 @@ object GraphStats {
       sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
     val nV = deg.count()
     val nE = base.count()
-    base.unpersist()
     val n = col("__n").cast("double")
     val (sx, sy, sxy, sxx, syy) = (col("__sx").cast("double"),
       col("__sy").cast("double"), col("__sxy").cast("double"),

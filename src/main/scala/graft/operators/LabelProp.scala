@@ -80,6 +80,10 @@ object LabelProp {
       labels = next
       i += 1
     }
+    // every generation was eagerly checkpointed, so nothing downstream
+    // reads the edge cache any more — drop it before returning so a
+    // long-lived driver doesn't accumulate one edge cache per call
+    directed.unpersist()
     labels.join(seedTbl, Seq("id"), "left")
       .select(col("id"), col("label"),
         when(col("__seed_label").isNotNull, 1L).otherwise(0L).as("is_seed"))

@@ -107,11 +107,22 @@ object Privacy {
       .groupBy(quasiCols.map(col) :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__cnt_cv"))
     // full classes × values grid (absent combos count 0 — they still
-    // shift mass in the prefix), corpus table + total broadcast
+    // shift mass in the prefix), corpus table + total broadcast.
+    // Null-safe equality on the quasi keys: a NULL quasi combo is its
+    // own class (as in kAnonymityClasses) and must match its own value
+    // counts — a plain equi-join would leave it with cnt_cv = 0
+    // everywhere and report it maximally distant. <=> still plans as a
+    // hash-join key (EqualNullSafe is join-key-extractable).
+    val classValA = classVal.select(
+      quasiCols.map(c => col(c).as(s"__cv_$c"))
+        ++ Seq(col("__v").as("__cv_v"), col("__cnt_cv")): _*)
+    val gridCond = (quasiCols.map(c => col(c) <=> col(s"__cv_$c"))
+      :+ (col("__v") === col("__cv_v"))).reduce(_ && _)
     val grid = classCnt
       .crossJoin(broadcast(corpus)).crossJoin(broadcast(total))
-      .join(classVal, quasiCols :+ "__v", "left")
+      .join(classValA, gridCond, "left")
       .withColumn("__cnt_cv", coalesce(col("__cnt_cv"), lit(0L)))
+      .drop(quasiCols.map(c => s"__cv_$c") :+ "__cv_v": _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
     val tDec = lit(t).cast("decimal(10,9)")

@@ -57,23 +57,41 @@ object Skew {
     * own key (a null-key hotspot is still a hotspot).
     *
     * Scale shape: ONE map-side-combinable count aggregation (shuffle
-    * bounded by distinct keys); the rank windows run over the
-    * DISTINCT-KEY table, not rows — global windows, but |keys|-bounded
-    * (the q92 audit contract); the 1-row summary broadcasts back onto
-    * the topK rows. Returns (rank, key, n, share, n_keys, n_rows, gini).
+    * bounded by distinct keys). The Gini rank-sum NEVER ranks keys:
+    * keys sharing a count value n occupy one consecutive rank block in
+    * the ascending (n, key) order, and because every row in the block
+    * carries the same c = n, Σ rank·c over the block is the closed form
+    * n·(k·K + k(k+1)/2) — k keys in the block, K keys strictly below —
+    * independent of key order inside the block. So the only window is
+    * the cumulative key count over the DISTINCT-FREQUENCY table, whose
+    * size is ≤ √(2·n_rows) by construction (m distinct frequencies need
+    * at least 1+2+…+m = m(m+1)/2 rows): ~1.4M rows at 10¹² input rows,
+    * a bounded single-pass cumsum, never the key table itself. The topK
+    * head is a WindowGroupLimit-pruned row_number (each partition is
+    * pre-limited to topK before the final window sees it); the 1-row
+    * summary broadcasts back onto the topK rows.
+    * Returns (rank, key, n, share, n_keys, n_rows, gini).
     */
   def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranked = counts.withColumn("__r",
-      row_number().over(Window.orderBy(col("n"), col("key"))))
-    val summary = ranked.agg(
-      count(lit(1)).as("n_keys"),
-      sum(col("n")).as("n_rows"),
-      sum((col("__r") * col("n")).cast("decimal(38,0)")).as("__s1"))
+      // eager localCheckpoint, not persist: two consumers (frequency
+      // summary + topK head) both run after this function returns;
+      // blocks are freed on plan GC instead of leaking per call
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = counts.groupBy(col("n")).agg(count(lit(1)).as("__k"))
+    val cum = freq.withColumn("__below",
+      sum(col("__k")).over(Window.orderBy(col("n"))) - col("__k"))
+    val kD = col("__k").cast("decimal(38,0)")
+    val summary = cum.agg(
+      sum(col("__k")).as("n_keys"),
+      sum(col("n") * col("__k")).as("n_rows"),
+      sum(col("n").cast("decimal(38,0)")
+          * (col("__below").cast("decimal(38,0)") * kD
+            + floor(kD * (kD + lit(1)) / lit(2)).cast("decimal(38,0)")))
+        .as("__s1"))
     val top = counts.withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("key"))))
       .where(col("rank") <= topK)

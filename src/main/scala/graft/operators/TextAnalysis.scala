@@ -825,7 +825,12 @@ object TextAnalysis {
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(trim(lower(col(textCol))), "\\s+"))
         .as(Seq("__pos", "__tok")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: the result is consumed AFTER
+      // this function returns, so there is no safe point to unpersist —
+      // checkpoint blocks are instead freed by the ContextCleaner when
+      // the caller drops the plan, so a long-lived driver (the 174-query
+      // bench sweep) does not accumulate cached blocks.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ORDERED adjacent-bigram inventory (direction matters for rewrite,
     // unlike pmiCooccurrence's unordered statistics)
     val w = org.apache.spark.sql.expressions.Window
@@ -887,7 +892,9 @@ object TextAnalysis {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     val toks = df.where(col(textCol).isNotNull)
       .select(split(trim(lower(col(textCol))), "\\s+").as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint (see mergeCollocations): freed on plan GC
+      // instead of leaking in the cache manager across a long sweep.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pairs from positions i < j <= i+window, canonically unordered —
     // sequence() steps DOWNWARD when start > stop, so the size<2 case
     // must short-circuit to an empty array rather than trust the bounds
@@ -901,7 +908,7 @@ object TextAnalysis {
       .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
     val pairCounts = pairs.groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("n_pair"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("__toks")).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
     val nTok = uni.agg(sum(col("__n")).as("__nt"))

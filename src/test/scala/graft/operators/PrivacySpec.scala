@@ -108,6 +108,25 @@ class PrivacySpec extends SparkTestBase {
     assert(out("B") === ((1L, 1L, 0.0, 1L)))
   }
 
+  test("t-closeness: a NULL quasi class matches its own value counts (null-safe grid join)") {
+    // class NULL has the same [1,1,2,2] distribution as the hand-computed
+    // class A above; a plain equi-join on the quasi key would leave it
+    // with cnt_cv = 0 everywhere and report it maximally distant
+    val df = Seq(
+      (Option("A"), 1L), (Option("A"), 1L), (Option("A"), 2L), (Option("A"), 2L),
+      (Option.empty[String], 1L), (Option.empty[String], 1L),
+      (Option.empty[String], 2L), (Option.empty[String], 2L),
+      (Option("B"), 3L), (Option("B"), 3L), (Option("B"), 3L), (Option("B"), 3L)
+    ).toDF("grp", "v")
+    val out = Privacy.tClosenessClasses(df, Seq("grp"), "v", t = 0.5)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("emd"), r.getAs[Double]("tvd")))).toMap
+    assert(out(Option("A")) === out(Option.empty[String]),
+      "identical distributions must score identically regardless of NULL quasi keys")
+    assert(out(Option.empty[String])._3 < 1.0,
+      "a NULL class overlapping the corpus must not be reported maximally distant")
+  }
+
   test("single quasi column and k=1 degenerate cases") {
     val classes = Privacy.kAnonymityClasses(fixture, Seq("country"), k = 1)
     assert(classes.where(col("anonymous") === 0L).count() === 0)

@@ -52,6 +52,49 @@ class SkewSpec extends SparkTestBase {
     assert(s.getDouble(6) === 0.0 && s.getDouble(3) === 1.0)
   }
 
+  test("keySkewReport plan: no partition-less window over the key table") {
+    val df = spark.range(0, 10000).select((col("id") % pow(col("id"), 0.5).cast("long")).as("k"))
+    val plan = Skew.keySkewReport(df, "k", 5).queryExecution.executedPlan.toString
+    // exactly two windows may survive: (1) the topK head — ordered by
+    // (n desc, key) but WindowGroupLimit-pruned to topK rows per
+    // partition before the single-partition window sees them; (2) the
+    // Gini cumsum — ordered by the count value alone over the
+    // distinct-frequency table (≤ √(2·n_rows) rows by construction).
+    // No window may order by the key column without the group limit.
+    // the topK head must be pruned before its global window: either
+    // Catalyst's limit pushdown rewrites it to TakeOrderedAndProject
+    // (≤ topK rows reach the window) or WindowGroupLimit caps each
+    // partition at topK — both bound the key-table window's input
+    val pruned = "WindowGroupLimit".r.findAllIn(plan).size +
+      "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(pruned >= 1, s"topK head must be limit-pruned:\n$plan")
+    val windowSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+    val (overKey, overFreq) = windowSpecs.partition(_.contains("key#"))
+    // the ONLY window allowed to sort by the key column is the pruned
+    // topK head's; everything else must sort by the count value alone —
+    // i.e. run over the distinct-frequency table, never the key table
+    assert(overKey.size <= pruned,
+      s"window over the key table without limit pruning:\n$plan")
+    assert(overFreq.nonEmpty, s"frequency cumsum window missing:\n$plan")
+  }
+
+  test("keySkewReport: closed-form rank-sum equals per-key ranking on heavy ties") {
+    // many keys sharing counts — exercises the rank-block closed form
+    val df = spark.range(0, 5000).select((col("id") % 321).as("k"))
+    val out = Skew.keySkewReport(df, "k", 4).collect()
+    // driver-side reference: flat per-key ascending rank
+    val counts = (0L until 5000L).map(_ % 321).groupBy(identity)
+      .map { case (k, v) => (k.toString, v.size.toLong) }.toSeq
+      .sortBy { case (k, n) => (n, k) }
+    val m = counts.size.toLong
+    val nRows = counts.map(_._2).sum
+    val s1 = counts.zipWithIndex.map { case ((_, n), i) => (i + 1) * n }.sum
+    val gini = BigDecimal(2.0 * s1 / (m.toDouble * nRows)
+      - (m + 1).toDouble / m).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getLong(4) === m && out.head.getLong(5) === nRows)
+    assert(out.head.getDouble(6) === gini)
+  }
+
   test("salt is deterministic and spans the factor range") {
     val df = spark.range(0, 1000).select(Skew.salt(col("id"), 8).as("s"))
     val values = df.distinct().collect().map(_.getInt(0)).toSet
