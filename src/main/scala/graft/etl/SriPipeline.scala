@@ -65,11 +65,39 @@ object SriPipeline {
     val u = warehouse.read("dim_ubicacion")
 
     val fact = FactRegistro.build(spark, raw, t, v, tr, u, clock)
-    warehouse.write("fact_registro_vehiculos", fact)
+    warehouse.write("fact_registro_vehiculos", layoutFact(fact, v))
     val factBack = warehouse.read("fact_registro_vehiculos")
 
     val report = Validation.validate(t, v, tr, u, factBack, maxNullPct, minRecords)
     raw.unpersist()
     Result(t, v, tr, u, factBack, report)
+  }
+
+  /** Physical layout for the fact write — the clustering half of the
+    * reference's declared-but-never-wired intent
+    * (config/variables.yaml:19-20: partition `FechaRegistro`, cluster
+    * `["Anio","Marca"]`). The warehouse's `partitionCols` handles the
+    * year directories (SriMain wires `Anio`); within them, BigQuery
+    * "clustering" is lexicographic sorted layout, so the fact is
+    * range-partitioned and sorted on (Anio, Marca) before the write —
+    * each file then carries tight (Anio, Marca) min/max for row-group
+    * pruning. Marca is a dim attribute (functionally dependent on
+    * ID_Vehiculo), broadcast-joined in for the sort key only and dropped
+    * before writing: rows, values, and schema are untouched (left join
+    * on the dim's unique surrogate key — no fan-out).
+    */
+  private[etl] def layoutFact(fact: DataFrame, dimVehiculo: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (!fact.columns.contains("Anio")) return fact
+    val keyed =
+      if (fact.columns.contains("ID_Vehiculo") && dimVehiculo.columns.contains("Marca"))
+        fact.join(
+          broadcast(dimVehiculo.select(col("ID_Vehiculo"), col("Marca").as("__marca"))),
+          Seq("ID_Vehiculo"), "left")
+      else fact.withColumn("__marca", org.apache.spark.sql.functions.lit(null).cast("string"))
+    graft.operators.Layout
+      .clusterBySize(keyed, Seq("Anio", "__marca"), targetFileBytes = 128L << 20)
+      .drop("__marca")
+      .select(fact.columns.map(col): _*)
   }
 }

@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * Scale: the one partition-less window runs over DISTINCT score values —
   * for a 6-decimal-quantized probability that is ≤ 1,000,001 rows no
   * matter the corpus size, a bounded single-partition sort by
-  * construction (callers feeding unquantized scores should round first;
-  * [[LogReg.scoreAll]]'s 6-decimal contract already does).
+  * construction. The bound is ENFORCED, not assumed: the distinct-score
+  * table is counted before the window runs and the call fails loudly if
+  * it exceeds `maxDistinctScores` (default 1e6+1) — a caller feeding
+  * unquantized scores cannot silently single-partition a corpus
+  * ([[LogReg.scoreAll]]'s 6-decimal contract satisfies the bound).
   */
 object ClassifierEval {
 
@@ -38,12 +41,29 @@ object ClassifierEval {
     * a missing measurement, not a zero one.
     */
   def binaryMetrics(df: DataFrame, scoreCol: String, labelCol: String,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5,
+                    maxDistinctScores: Long = 1000001L): DataFrame = {
+    require(maxDistinctScores >= 1, s"maxDistinctScores must be >= 1, got $maxDistinctScores")
     val byScore = df
       .select(col(scoreCol).cast("double").as("__score"),
         when(col(labelCol).cast("double") > 0.5, 1L).otherwise(0L).as("__pos"))
       .groupBy("__score")
       .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__np"))
+      // eagerly materialized so the bound check below fails BEFORE the
+      // single-partition rank window ever runs (and the corpus-wide
+      // shuffle that builds the distinct-score table runs exactly once)
+      .localCheckpoint(true)
+    // LOUD guard on the quantization contract: the rank window is a
+    // single-partition sort, safe only because a 6-decimal-quantized
+    // probability has ≤ 1e6+1 distinct values. A caller feeding
+    // unquantized scores gets this error, not a silently
+    // single-partitioned corpus — round(score, 6) first, or raise the
+    // bound deliberately if the sort really is intended.
+    val mDistinct = byScore.count()
+    require(mDistinct <= maxDistinctScores,
+      s"binaryMetrics: $mDistinct distinct scores exceed the $maxDistinctScores bound " +
+        "the single-partition rank window relies on — quantize scores first " +
+        "(LogReg.scoreAll's 6-decimal contract), or pass a higher maxDistinctScores knowingly")
     // rows strictly below this score; twice-mid-rank stays integral
     val w = Window.orderBy("__score").rowsBetween(Window.unboundedPreceding, -1)
     val ranked = byScore.withColumn("__rank2",

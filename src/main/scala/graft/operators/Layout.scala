@@ -55,6 +55,29 @@ object Layout {
     df.repartition(numFiles.min(BigInt(1 << 20)).max(BigInt(1)).toInt)
   }
 
+  /** BigQuery-style SORTED clustering for a (possibly partitioned)
+    * write: range-partition on the cluster columns (equi-depth via the
+    * range partitioner's sampling, so skew still yields balanced files)
+    * and sort within tasks, so each task — hence each written file —
+    * holds one contiguous lexicographic slice and carries tight min/max
+    * on the cluster columns for row-group pruning. This is the faithful
+    * realization of BigQuery `clustering_fields` (lexicographic block
+    * sort), as distinct from [[zOrderBy]] (interleaved-bit layout for
+    * independent per-column pruning). File count targets
+    * ~`targetFileBytes` from Catalyst's plan-time size statistic, as in
+    * [[compactBySize]].
+    */
+  def clusterBySize(df: DataFrame, clusterCols: Seq[String],
+                    targetFileBytes: Long): DataFrame = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val numFiles = ((planBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(BigInt(1 << 20)).max(BigInt(1)).toInt
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+  }
+
   /** Rewrite `df` into a Z-ordered layout: range-partition on the
     * interleaved key (equi-depth via Spark's range-partitioner sampling,
     * so skewed key distributions still yield balanced files) and sort

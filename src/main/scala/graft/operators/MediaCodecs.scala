@@ -706,15 +706,33 @@ object MediaCodecs {
   }
 
   /** Decode an MJPEG-in-MP4 END-TO-END: resolve every sample through the
-    * sample tables, run each through the real JPEG kernel, aggregate the
-    * same statistics as [[decodeAviMjpeg]]. Quarantine (None) on a
-    * malformed tree, zero samples, or ANY sample failing to decode.
+    * sample tables, run each through the registered frame decoder,
+    * aggregate the same statistics as [[decodeAviMjpeg]]. Quarantine
+    * (None) on a malformed tree, zero samples, ANY sample failing to
+    * decode, or no decoder registered for the codec.
     */
-  def decodeMp4Mjpeg(bytes: Array[Byte]): Option[MjpegInfo] =
+  def decodeMp4Mjpeg(bytes: Array[Byte],
+                     decoder: Option[FrameDecoder] = FrameDecoder.forCodec("MJPEG"))
+      : Option[MjpegInfo] =
     demuxMp4Jpeg(bytes).flatMap { case (timescale, duration, frames) =>
+      frameStats(frames, decoder).map { case (w, h, n, meanLuma, motion) =>
+        val fps = if (duration > 0) timescale.toDouble * n / duration else 0.0
+        MjpegInfo(w, h, n, fps, meanLuma, motion)
+      }
+    }
+
+  /** Shared frame-payload aggregation behind the [[FrameDecoder]] seam:
+    * (width, height, nFrames, meanLuma, motion) — None when there are no
+    * frames, no decoder is registered for the codec, or any frame fails
+    * (all-frames-or-nothing: a video whose frames cannot all be read is
+    * a corrupt asset, not a shorter video).
+    */
+  private def frameStats(frames: Seq[Array[Byte]], decoder: Option[FrameDecoder])
+      : Option[(Int, Int, Int, Double, Double)] =
+    decoder.flatMap { d =>
       if (frames.isEmpty) None
       else {
-        val decoded = frames.map(decodeCompressedImage)
+        val decoded = frames.map(d.decodeFrame)
         if (decoded.exists(_.isEmpty)) None
         else {
           val infos = decoded.map(_.get)
@@ -724,8 +742,7 @@ object MediaCodecs {
             if (n < 2) 0.0
             else infos.sliding(2).map { case Seq(a, b) => math.abs(b.meanLuma - a.meanLuma) }
               .sum / (n - 1)
-          val fps = if (duration > 0) timescale.toDouble * n / duration else 0.0
-          Some(MjpegInfo(infos.head.width, infos.head.height, n, fps, meanLuma, motion))
+          Some((infos.head.width, infos.head.height, n, meanLuma, motion))
         }
       }
     }
@@ -910,28 +927,18 @@ object MediaCodecs {
   }
 
   /** Decode a Motion-JPEG AVI END-TO-END: demux every video sample, run
-    * each through the real JPEG kernel, aggregate frame statistics.
-    * Quarantine (None) when the container is malformed, when there are no
-    * frames, or when ANY sample fails to decode as a JPEG — a video whose
-    * frames cannot all be read is a corrupt asset, not a shorter video.
+    * each through the registered frame decoder, aggregate frame
+    * statistics. Quarantine (None) when the container is malformed, when
+    * there are no frames, when ANY sample fails to decode, or when no
+    * decoder is registered for the codec.
     */
-  def decodeAviMjpeg(bytes: Array[Byte]): Option[MjpegInfo] =
+  def decodeAviMjpeg(bytes: Array[Byte],
+                     decoder: Option[FrameDecoder] = FrameDecoder.forCodec("MJPEG"))
+      : Option[MjpegInfo] =
     demuxAviMjpeg(bytes).flatMap { case (uspf, frames) =>
-      if (frames.isEmpty) None
-      else {
-        val decoded = frames.map(decodeCompressedImage)
-        if (decoded.exists(_.isEmpty)) None
-        else {
-          val infos = decoded.map(_.get)
-          val n = infos.size
-          val meanLuma = infos.map(_.meanLuma).sum / n
-          val motion =
-            if (n < 2) 0.0
-            else infos.sliding(2).map { case Seq(a, b) => math.abs(b.meanLuma - a.meanLuma) }
-              .sum / (n - 1)
-          val fps = if (uspf > 0) 1e6 / uspf else 0.0
-          Some(MjpegInfo(infos.head.width, infos.head.height, n, fps, meanLuma, motion))
-        }
+      frameStats(frames, decoder).map { case (w, h, n, meanLuma, motion) =>
+        val fps = if (uspf > 0) 1e6 / uspf else 0.0
+        MjpegInfo(w, h, n, fps, meanLuma, motion)
       }
     }
 

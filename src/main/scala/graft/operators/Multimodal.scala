@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
   *     Motion-JPEG video FRAME decode end-to-end (AVI RIFF demux →
   *     per-frame JPEG decode → frame count, luma, temporal motion,
   *     sampled thumbnails). No fakes.
-  *   - STUB only for H.264/H.265 FRAME decode (the codec payload inside
-  *     mdat — no decoder for those codecs exists in the JDK): byte-window
-  *     frame sampling emits fake-but-stable features so the surrounding
-  *     plumbing (schema, batching, partitioning, joins) stays testable
-  *     and is real; the stub marks its feature rows with an explicit -1
-  *     marker plane.
+  *   - NOT DECODED only for H.264/H.265 FRAME payloads (the codec bytes
+  *     inside mdat): frame decode is behind the pluggable [[FrameDecoder]]
+  *     seam, and the JDK registers no decoder for those codecs — so they
+  *     take the explicit -1 marker plane ("no decoder registered", not a
+  *     fake of ours). A deployment with a real codec registers it via
+  *     [[FrameDecoder.register]] and these paths light up untouched.
+  *     Byte-window frame sampling still emits fake-but-stable features so
+  *     the surrounding plumbing (schema, batching, partitioning, joins)
+  *     stays testable and is real.
   * [[extractFeatures]] dispatches by mime type: decodable payloads get the
   * real kernel, everything else falls back to the stub; a malformed
   * payload of a decodable type yields the stub features too (quarantine
@@ -158,6 +161,9 @@ object Multimodal {
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    // frame decoders resolve on the DRIVER and travel in the closure —
+    // executors never consult the registry (registration is a driver act)
+    val mjpegDecoder = FrameDecoder.forCodec("MJPEG")
     media.mapPartitions { it =>
       // real impl for compressed codecs would initialize decoder context
       // here, once per partition; the pure-JVM kernels need no state
@@ -176,7 +182,7 @@ object Multimodal {
             MediaCodecs.decodeMp4Meta(m.content).map(mp4Features)
               .getOrElse(stubDecodeFeatures(m.content))
           case "video/x-msvideo" =>
-            MediaCodecs.decodeAviMjpeg(m.content).map(mjpegFeatures)
+            MediaCodecs.decodeAviMjpeg(m.content, mjpegDecoder).map(mjpegFeatures)
               .getOrElse(stubDecodeFeatures(m.content))
           case _ => stubDecodeFeatures(m.content)
         }
@@ -271,9 +277,10 @@ object Multimodal {
     */
   def mjpegFrameStats(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
+    val dec = FrameDecoder.forCodec("MJPEG")
     media.filter(_.mime_type == "video/x-msvideo")
       .map { m =>
-        MediaCodecs.decodeAviMjpeg(m.content) match {
+        MediaCodecs.decodeAviMjpeg(m.content, dec) match {
           case Some(i) => (m.media_id, true, i.nFrames.toLong, i.width.toLong, i.height.toLong, i.fps)
           case None    => (m.media_id, false, -1L, -1L, -1L, -1.0)
         }
@@ -287,9 +294,10 @@ object Multimodal {
     */
   def mp4FrameStats(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
+    val dec = FrameDecoder.forCodec("MJPEG")
     media.filter(_.mime_type == "video/mp4")
       .map { m =>
-        MediaCodecs.decodeMp4Mjpeg(m.content) match {
+        MediaCodecs.decodeMp4Mjpeg(m.content, dec) match {
           case Some(i) => (m.media_id, true, i.nFrames.toLong, i.width.toLong, i.height.toLong, i.fps)
           case None    => (m.media_id, false, -1L, -1L, -1L, -1.0)
         }

@@ -121,4 +121,18 @@ class ClassifierEvalSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"no join of any kind belongs in the rank-sum plan:\n$plan")
   }
+
+  test("the distinct-score bound is enforced loudly, not assumed") {
+    val df = spark.range(0, 101).select(
+      (col("id").cast("double") / 1000.0).as("score"),
+      (col("id") % 2).cast("double").as("y"))
+    // 101 distinct scores against a bound of 100 → fail BEFORE the window
+    val e = intercept[IllegalArgumentException] {
+      ClassifierEval.binaryMetrics(df, "score", "y", maxDistinctScores = 100L)
+    }
+    assert(e.getMessage.contains("distinct scores exceed"))
+    // exactly at the bound passes
+    val ok = ClassifierEval.binaryMetrics(df, "score", "y", maxDistinctScores = 101L)
+    assert(ok.count() === 1L)
+  }
 }

@@ -44,6 +44,35 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.compactBySize(li, target).count() === li.count())
   }
 
+  test("clusterBySize: files within a partitioned write carry disjoint cluster ranges") {
+    // fact-shaped table: 4 years × skewed marcas; cluster on (anio, marca),
+    // then write partitioned by anio — every file inside a year directory
+    // must cover a contiguous, non-overlapping marca slice (the BigQuery
+    // clustering_fields contract: lexicographic block sort)
+    val marcas = Seq("AUDI", "BMW", "CHEVROLET", "FIAT", "FORD", "HYUNDAI", "KIA", "TOYOTA")
+    val df = spark.range(0, 8000).select(
+      col("id"),
+      (col("id") % 4 + 2020).as("anio"),
+      element_at(typedLit(marcas), (pmod(col("id") * 37, lit(8)) + 1).cast("int")).as("marca"))
+    // tiny target size forces multiple range partitions (files)
+    val out = Layout.clusterBySize(df, Seq("anio", "marca"), targetFileBytes = 16 * 1024)
+    assert(out.count() === 8000L, "clustering must not drop or duplicate rows")
+    val tmp = s"${java.nio.file.Files.createTempDirectory("graft-cluster")}/fact"
+    out.write.partitionBy("anio").parquet(tmp)
+    for (yearDir <- new java.io.File(tmp).listFiles().filter(_.getName.startsWith("anio="))) {
+      val files = yearDir.listFiles().map(_.getPath).filter(_.endsWith(".parquet"))
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f).agg(min("marca"), max("marca")).head()
+        (r.getString(0), r.getString(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(lo2 >= hi, s"overlapping marca ranges in $yearDir: $hi vs $lo2")
+        case _ =>
+      }
+    }
+  }
+
   test("zOrderBy partitions cover tight z ranges and preserve all rows") {
     val n = 1024
     val df = spark.range(n.toLong).select(
