@@ -142,28 +142,60 @@ object Similarity {
     */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, vecCol: String,
                            idCol: String, k: Int, centroids: DataFrame,
-                           numProbe: Int): DataFrame = {
-    import graft.functions.CosineSimilarity.cosineSim
-    val cents = centroids
-    val byVec = Window.partitionBy(col("__vid")).orderBy(col("__csim").desc, col("__cid"))
+                           numProbe: Int): DataFrame =
+    ivfTopKFromIndex(queries, vecCol, idCol,
+      ivfIndex(corpus, vecCol, idCol, centroids), centroids, k, numProbe)
 
-    val assigned = corpus
+  /** Build the IVF inverted lists as a STORED warehouse artifact:
+    * (list_id, vec_id, vec) — every corpus vector assigned to its most
+    * cosine-similar centroid. Persist this beside the centroid table
+    * ((__cid, __cv)) and serving becomes [[ivfTopKFromIndex]] with no
+    * assignment pass over the corpus; NEW vectors index incrementally by
+    * running [[ivfIndex]] on the increment alone against the SAME stored
+    * centroids and unioning the lists — assignment is per-row
+    * independent given fixed centroids, so
+    * `ivfIndex(base) ∪ ivfIndex(increment) == ivfIndex(base ∪ increment)`
+    * EXACTLY (the q107/q146 incremental==full theorem, spec-pinned; the
+    * increment costs O(|increment|·numCentroids), never a re-cluster).
+    *
+    * Scale shape: centroids broadcast; the per-vector nearest-centroid
+    * window partitions by vec_id with fan-in bounded by numCentroids.
+    */
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+               centroids: DataFrame): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val byVec = Window.partitionBy(col("__vid")).orderBy(col("__csim").desc, col("__cid"))
+    corpus
       .select(col(idCol).as("__vid"), col(vecCol).as("__nv"))
-      .join(broadcast(cents))
+      .join(broadcast(centroids))
       .withColumn("__csim", cosineSim(col("__nv"), col("__cv")))
       .withColumn("__rn", row_number().over(byVec))
       .where(col("__rn") === 1)
-      .select(col("__vid").as("neighbor_id"), col("__nv"), col("__cid"))
+      .select(col("__cid").as("list_id"), col("__vid").as("vec_id"), col("__nv").as("vec"))
+  }
 
+  /** ANN serving against a STORED IVF index ([[ivfIndex]]'s
+    * (list_id, vec_id, vec) artifact + its centroid table): queries probe
+    * their `numProbe` nearest centroids (broadcast) and run exact cosine
+    * inside the probed lists only — an equi-join on list_id, shuffle ∝
+    * probed pairs. The corpus itself is never touched: rebuild-free
+    * serving over an index that grows by union (see [[ivfIndex]]).
+    */
+  def ivfTopKFromIndex(queries: DataFrame, vecCol: String, idCol: String,
+                       index: DataFrame, centroids: DataFrame,
+                       k: Int, numProbe: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val byVec = Window.partitionBy(col("__vid")).orderBy(col("__csim").desc, col("__cid"))
     val probes = queries
       .select(col(idCol).as("__vid"), col(vecCol).as("__qv"))
-      .join(broadcast(cents))
+      .join(broadcast(centroids))
       .withColumn("__csim", cosineSim(col("__qv"), col("__cv")))
       .withColumn("__rn", row_number().over(byVec))
       .where(col("__rn") <= numProbe)
       .select(col("__vid").as("query_id"), col("__qv"), col("__cid"))
-
-    val scored = probes.join(assigned, Seq("__cid"))
+    val lists = index.select(col("list_id").as("__cid"),
+      col("vec_id").as("neighbor_id"), col("vec").as("__nv"))
+    val scored = probes.join(lists, Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosineSim(col("__qv"), col("__nv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))

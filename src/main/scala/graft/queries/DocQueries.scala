@@ -150,6 +150,31 @@ object DocQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Stored/incremental IVF ANN index (Similarity.ivfIndex +
+    * ivfTopKFromIndex): centroids seed from the BASE corpus only and are
+    * STORED; the increment (vec_id ≡ 0 mod 10) indexes against those
+    * stored centroids — an O(|increment|·centroids) assignment unioned
+    * into the stored lists, never a re-cluster, never a corpus rescan —
+    * and serving probes the merged lists. The oracle computes the FULL
+    * REBUILD against the same stored centroids; the engine answers from
+    * base ∪ increment (assignment is per-row independent given fixed
+    * centroids, so the two are EXACTLY equal — the q107/q146/q157
+    * incremental==full theorem, also spec-pinned in SimilaritySpec).
+    */
+  def q175IvfStoredIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val base = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val inc = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val cents = Similarity.seedCentroids(base, "embedding", "vec_id", 16)
+    val index = Similarity.ivfIndex(base, "embedding", "vec_id", cents)
+      .unionByName(Similarity.ivfIndex(inc, "embedding", "vec_id", cents))
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.ivfTopKFromIndex(queries, "embedding", "vec_id", index, cents,
+        k = 5, numProbe = 4)
+      .select(col("query_id").as("qid"), col("rank").as("rnk"), col("neighbor_id").as("nid"))
+      .orderBy("qid", "rnk")
+  }
+
   /** TF-IDF over the corpus, emitted for a bounded document set. */
   def q43Tfidf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidf(Tables(spark, dir).documents, "text", "doc_id")

@@ -2782,6 +2782,38 @@ object OracleSql {
         |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // the FULL REBUILD replay of the engine's stored+incremental path:
+    // centroids from the base slice only (the stored model), assignment
+    // over the whole corpus — per-row independence of assignment makes
+    // this exactly the engine's base ∪ increment union
+    "q175_ivf_stored_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 10 <> 0
+        |          ORDER BY vec_id LIMIT 16),
+        |csim AS (SELECT e.vec_id, e.v, c.cid,
+        |                list_dot_product(e.v, c.cv) /
+        |                  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        |         FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id AS nid, v AS nv, cid FROM (
+        |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM csim) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, v AS qv, cid FROM (
+        |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM csim WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.nid,
+        |         list_dot_product(p.qv, a.nv) /
+        |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))) AS sim
+        |  FROM probes p JOIN assigned a USING (cid)
+        |  WHERE p.qid <> a.nid),
+        |ranked AS (
+        |  SELECT qid, nid,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "q38_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

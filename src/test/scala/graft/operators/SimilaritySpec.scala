@@ -98,6 +98,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("stored IVF index: incremental union equals the full rebuild exactly, serving included") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    val base = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val inc = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val cents = Similarity.seedCentroids(base, "embedding", "vec_id", 8)
+    // the theorem: assignment is per-row independent given FIXED stored
+    // centroids, so indexing the increment alone and unioning equals
+    // re-indexing the whole corpus
+    val incremental = Similarity.ivfIndex(base, "embedding", "vec_id", cents)
+      .unionByName(Similarity.ivfIndex(inc, "embedding", "vec_id", cents))
+    val full = Similarity.ivfIndex(emb, "embedding", "vec_id", cents)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("list_id"), r.getAs[Long]("vec_id"))
+    assert(incremental.collect().map(key).sorted.toSeq === full.collect().map(key).sorted.toSeq)
+    // and serving from the incrementally-built lists equals serving from
+    // the rebuild — which itself equals the one-shot ivfTopKWithCentroids
+    val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    def served(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKFromIndex(queries, "embedding", "vec_id", ix, cents, k = 5, numProbe = 3)
+        .select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(served(incremental) === served(full))
+    val oneShot = Similarity.ivfTopKWithCentroids(queries, emb, "embedding", "vec_id",
+        k = 5, cents, numProbe = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(served(incremental) === oneShot)
+  }
+
   test("refineCentroids moves centroids toward list means and preserves count") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val cents = emb.orderBy("vec_id").limit(4)
