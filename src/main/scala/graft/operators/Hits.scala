@@ -49,25 +49,38 @@ object Hits {
     var h = e.select(col("__s")).distinct().withColumn("__h", lit(1.0))
       .localCheckpoint(true)
     var a: DataFrame = null
+    // each half-step's edge-join aggregation runs exactly ONCE: the raw
+    // vertex table (O(|vertices|), tiny beside the edge join that builds
+    // it) is eagerly checkpointed and its L1 normalizer read back as a
+    // 1-row scalar; the previous crossJoin(broadcast(norm-agg)) form
+    // recomputed the matvec twice — the broadcast subtree and the
+    // consuming plan are separate exchanges and Spark never CSEs across
+    // them (the round-10 Lsa doctrine). The cast-to-double happens in
+    // the collected plan, so the scalar is bit-identical to the old
+    // in-plan cast.
+    def l1(vec: DataFrame, c: String): Double = {
+      val r = vec.agg(sum(col(c)).cast("double")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
     var i = 0
     while (i < iterations) {
       val aRaw = e.join(h, Seq("__s"))
         .groupBy(col("__d"))
         .agg(sum(col("__h").cast("decimal(20,9)")).as("__ar"))
-      val aNorm = aRaw.agg(sum(col("__ar")).as("__n"))
-      val aNext = aRaw.crossJoin(broadcast(aNorm))
+        .localCheckpoint(true)
+      val aNext = aRaw
         .select(col("__d"),
-          round(col("__ar").cast("double") / col("__n").cast("double"), 9).as("__a"))
+          round(col("__ar").cast("double") / lit(l1(aRaw, "__ar")), 9).as("__a"))
         .localCheckpoint(true)
       if (a != null) a.unpersist()
       a = aNext
       val hRaw = e.join(a, Seq("__d"))
         .groupBy(col("__s"))
         .agg(sum(col("__a").cast("decimal(20,9)")).as("__hr"))
-      val hNorm = hRaw.agg(sum(col("__hr")).as("__n"))
-      val hNext = hRaw.crossJoin(broadcast(hNorm))
+        .localCheckpoint(true)
+      val hNext = hRaw
         .select(col("__s"),
-          round(col("__hr").cast("double") / col("__n").cast("double"), 9).as("__h"))
+          round(col("__hr").cast("double") / lit(l1(hRaw, "__hr")), 9).as("__h"))
         .localCheckpoint(true)
       h.unpersist()
       h = hNext

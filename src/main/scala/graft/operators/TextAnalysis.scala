@@ -890,11 +890,15 @@ object TextAnalysis {
                       window: Int = 3, minPairCount: Int = 5): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // LAZY persists + run-at-call-time (the driftFromCounts contract):
+    // the intermediates cache on first use inside the result's own
+    // materialization (an eager checkpoint of the token stream here cost
+    // q165 ~1s of pure up-front serialization), and BOTH unpersist
+    // before returning — the result is eagerly checkpointed, so nothing
+    // downstream ever re-reads them and no cache entry outlives the call.
     val toks = df.where(col(textCol).isNotNull)
       .select(split(trim(lower(col(textCol))), "\\s+").as("__toks"))
-      // eager localCheckpoint (see mergeCollocations): freed on plan GC
-      // instead of leaking in the cache manager across a long sweep.
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pairs from positions i < j <= i+window, canonically unordered —
     // sequence() steps DOWNWARD when start > stop, so the size<2 case
     // must short-circuit to an empty array rather than trust the bounds
@@ -908,7 +912,7 @@ object TextAnalysis {
       .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
     val pairCounts = pairs.groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("__toks")).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
     val nTok = uni.agg(sum(col("__n")).as("__nt"))
@@ -921,6 +925,10 @@ object TextAnalysis {
         round(log(
           col("n_pair").cast("double") * col("__nt") * col("__nt")
             / (col("__np").cast("double") * col("__na") * col("__nb"))), 9).as("pmi"))
-    out
+    // materialize the (minPairCount-filtered, pair-bounded) result, then
+    // release the corpus-sized caches before returning
+    val result = out.localCheckpoint(true)
+    toks.unpersist(); pairCounts.unpersist()
+    result
   }
 }

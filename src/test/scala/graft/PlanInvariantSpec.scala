@@ -16,6 +16,7 @@ class PlanInvariantSpec extends SparkTestBase {
     "q26_ngram_jaccard",    // bounded all-pairs candidate set
     "q32_embedding_neardup", // exact near-dup baseline
     "q38_ann_ivf",          // centroid table broadcast-crossed for assignment
+    "q175_ivf_stored_index", // centroid table broadcast-crossed for assignment + probing, as q38
     "q43_tfidf",            // scalar N broadcast-crossed into the score join
     "q71_unigram_lm",       // scalar corpus-size N broadcast-crossed, as q43
     "q58_kmv_distinct",     // 1-row sketch × 1-row exact count join
