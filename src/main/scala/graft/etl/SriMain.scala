@@ -46,7 +46,11 @@ object SriMain {
       case _ => ParquetWarehouse(spark, whDir, partCols)
     }
     val pipelineStart = System.nanoTime()
-    val res = SriPipeline.run(spark, csvPath, wh, clock, parallelDims = true)
+    // D2: the reference's declared per-task policy (dag.py:26-27 —
+    // retries 2, delay 5 min) applies at the orchestrated entry point
+    val res = SriPipeline.run(spark, csvPath, wh, clock, parallelDims = true,
+      retry = Retry.Policy(retries = 2,
+        delay = scala.concurrent.duration.DurationInt(5).minutes))
     val pipelineSecs = (System.nanoTime() - pipelineStart) / 1e9
     println(f"[sri-etl] pipeline=$pipelineSecs%.1fs (excl. session startup)")
 

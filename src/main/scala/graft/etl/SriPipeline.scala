@@ -34,7 +34,16 @@ object SriPipeline {
       clock: java.time.LocalDate = java.time.LocalDate.now(),
       maxNullPct: Double = 10.0,
       minRecords: Long = 1000L,
-      parallelDims: Boolean = false): Result = {
+      parallelDims: Boolean = false,
+      retry: Retry.Policy = Retry.Policy(retries = 0),
+      sleeper: scala.concurrent.duration.Duration => Unit = d => Thread.sleep(d.toMillis)): Result = {
+
+    // D2: per-STAGE retry, the ref's Airflow task contract (retries 2 @
+    // 5 min — SriMain passes those; library callers default to 0).
+    // Stage re-runs are safe because every warehouse write is
+    // truncate-and-reload (S2).
+    def staged[T](name: String)(body: => T): T =
+      Retry.withRetries(name, retry, sleeper)(body)
 
     val raw = readCsv(spark, csvPath).cache()
 
@@ -49,11 +58,13 @@ object SriPipeline {
     if (parallelDims) {
       // the reference DAG fans the 4 dim builds out in parallel (ref
       // :913-922); the four independent write jobs share the cached
-      // `raw` scan
-      Concurrency.inParallel(dimWrites.map { case (n, df) => () => warehouse.write(n, df) },
+      // `raw` scan. Retries wrap each task INSIDE the fan-out, as
+      // Airflow's are per-task, not per-fan.
+      Concurrency.inParallel(
+        dimWrites.map { case (n, df) => () => staged(n)(warehouse.write(n, df)) },
         spark = Some(spark))
     } else {
-      dimWrites.foreach { case (n, df) => warehouse.write(n, df) }
+      dimWrites.foreach { case (n, df) => staged(n)(warehouse.write(n, df)) }
     }
 
     // Fact reads dims back from the warehouse (ref :421-434 does the same
@@ -65,10 +76,12 @@ object SriPipeline {
     val u = warehouse.read("dim_ubicacion")
 
     val fact = FactRegistro.build(spark, raw, t, v, tr, u, clock)
-    warehouse.write("fact_registro_vehiculos", layoutFact(fact, v))
+    staged("fact_registro_vehiculos")(
+      warehouse.write("fact_registro_vehiculos", layoutFact(fact, v)))
     val factBack = warehouse.read("fact_registro_vehiculos")
 
-    val report = Validation.validate(t, v, tr, u, factBack, maxNullPct, minRecords)
+    val report = staged("validation")(
+      Validation.validate(t, v, tr, u, factBack, maxNullPct, minRecords))
     raw.unpersist()
     Result(t, v, tr, u, factBack, report)
   }

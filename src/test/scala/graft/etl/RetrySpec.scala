@@ -1,0 +1,88 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.duration._
+
+/** D2 — the per-task retry contract (ref dag.py:26-27: retries 2 @ 5 min),
+  * asserted with an injectable sleeper (no wall-clock sleeps).
+  */
+class RetrySpec extends AnyFunSuite {
+
+  test("a flaky task succeeds within the budget; the schedule is 2 sleeps of the delay") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Duration]
+    val out = Retry.withRetries("flaky", Retry.Policy(retries = 2, delay = 5.minutes),
+      sleeper = sleeps += _) {
+      calls += 1
+      if (calls < 3) sys.error(s"boom $calls")
+      "ok"
+    }
+    assert(out === "ok" && calls === 3)
+    assert(sleeps.toSeq === Seq(5.minutes, 5.minutes))
+  }
+
+  test("attempts exhausted: the LAST failure propagates, after exactly 1+retries attempts") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetries("doomed", Retry.Policy(retries = 2, delay = 0.seconds),
+        sleeper = _ => ()) { calls += 1; sys.error(s"fail $calls") }
+    }
+    assert(calls === 3 && e.getMessage === "fail 3")
+  }
+
+  test("retries = 0 runs the task exactly once and fails fast") {
+    var calls = 0
+    intercept[RuntimeException] {
+      Retry.withRetries("once", Retry.Policy(retries = 0), sleeper = _ => ()) {
+        calls += 1; sys.error("no")
+      }
+    }
+    assert(calls === 1)
+  }
+
+  test("fatal JVM errors are never retried") {
+    var calls = 0
+    intercept[OutOfMemoryError] {
+      Retry.withRetries("fatal", Retry.Policy(retries = 2), sleeper = _ => ()) {
+        calls += 1; throw new OutOfMemoryError("synthetic")
+      }
+    }
+    assert(calls === 1, "a poisoned JVM must not re-run the task")
+  }
+
+  test("onAttempt observes each failed attempt before its sleep") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var calls = 0
+    Retry.withRetries("observed", Retry.Policy(retries = 2, delay = 1.second),
+      sleeper = _ => (), onAttempt = (a, e) => seen += ((a, e.getMessage))) {
+      calls += 1
+      if (calls < 2) sys.error("first")
+      ()
+    }
+    assert(seen.toSeq === Seq((1, "first")))
+  }
+
+  test("the pipeline retries a transiently-failing warehouse stage and completes (golden counts intact)") {
+    val spark = graft.SparkTestBase.session
+    val out = java.nio.file.Files.createTempDirectory("graft-retry-e2e").toString
+    val inner = ParquetWarehouse(spark, out)
+    // a warehouse whose FIRST fact write fails after the call lands —
+    // the retried truncate-and-reload write must recover transparently
+    var factAttempts = 0
+    val flaky = new Warehouse {
+      def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        if (name == "fact_registro_vehiculos") {
+          factAttempts += 1
+          if (factAttempts == 1) sys.error("transient warehouse outage")
+        }
+        inner.write(name, df)
+      }
+      def read(name: String): org.apache.spark.sql.DataFrame = inner.read(name)
+    }
+    val res = SriPipeline.run(spark, "/root/reference/csv_file/VEHICULOS_SRI.csv", flaky,
+      clock = java.time.LocalDate.of(2026, 1, 15),
+      retry = Retry.Policy(retries = 2, delay = 5.minutes), sleeper = _ => ())
+    assert(factAttempts === 2, "exactly one retry")
+    assert(res.fact.count() === 91986L, "golden fact count after the retried write")
+  }
+}
