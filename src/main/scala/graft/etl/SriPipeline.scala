@@ -109,7 +109,8 @@ object SriPipeline {
           Seq("ID_Vehiculo"), "left")
       else fact.withColumn("__marca", org.apache.spark.sql.functions.lit(null).cast("string"))
     graft.operators.Layout
-      .clusterBySize(keyed, Seq("Anio", "__marca"), targetFileBytes = 128L << 20)
+      .clusterBySize(keyed, Seq("Anio", "__marca"), targetFileBytes = 128L << 20,
+        tiebreakCol = Some("ID_Registro"))
       .drop("__marca")
       .select(fact.columns.map(col): _*)
   }

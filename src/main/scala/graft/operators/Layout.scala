@@ -68,14 +68,37 @@ object Layout {
     * [[compactBySize]].
     */
   def clusterBySize(df: DataFrame, clusterCols: Seq[String],
-                    targetFileBytes: Long): DataFrame = {
+                    targetFileBytes: Long,
+                    tiebreakCol: Option[String] = None): DataFrame = {
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    // Unlike compactBySize (file-source relations, where sizeInBytes is
+    // the true on-disk total), this runs on arbitrary transform plans —
+    // and without CBO, join size estimates MULTIPLY, so the stat can be
+    // garbage-large (a 92k-row fact plan estimating petabytes drove a
+    // 10^6-reducer range shuffle writing 10^5 files). The size-based
+    // count is therefore CLAMPED to 8× the configured shuffle
+    // parallelism: at local test scale that is a handful of files, on a
+    // 1000-executor cluster (shuffle.partitions in the thousands) it
+    // still allows tens of thousands of files, and a caller wanting
+    // more makes that an explicit act by raising shuffle partitions.
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = math.max(64,
+      df.sparkSession.sessionState.conf.numShufflePartitions * 8)
     val numFiles = ((planBytes + targetFileBytes - 1) / targetFileBytes)
-      .min(BigInt(1 << 20)).max(BigInt(1)).toInt
-    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
+      .min(BigInt(cap)).max(BigInt(1)).toInt
+    // The tiebreak is LOAD-BEARING at scale: a range partitioner can
+    // never split EQUAL keys, so low-cardinality cluster columns (one
+    // year, a handful of brands) would land each whole (year, brand)
+    // group in a single task — the skew this layout exists to avoid.
+    // Appending a high-cardinality tiebreak (the row id) lets equal
+    // cluster values split across consecutive partitions while keeping
+    // the lexicographic contiguity that gives files tight min/max: a
+    // run of equal values spanning two files still yields
+    // non-overlapping ranges.
+    val keyCols = (clusterCols ++ tiebreakCol).map(col)
+    df.repartitionByRange(numFiles, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
   }
 
   /** Rewrite `df` into a Z-ordered layout: range-partition on the

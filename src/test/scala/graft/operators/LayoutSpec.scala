@@ -73,6 +73,26 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("clusterBySize tiebreak splits a dominant equal key across tasks (skew-proof)") {
+    // 95% of rows share ONE (anio, marca) value — without the tiebreak a
+    // range partitioner puts the whole group in a single task (equal keys
+    // are unsplittable); with it, the group spreads while files keep
+    // non-overlapping (anio, marca) ranges
+    val df = spark.range(0, 20000).select(
+      col("id"),
+      lit(2024L).as("anio"),
+      when(col("id") % 20 === 0, lit("ZOTYE")).otherwise(lit("CHEVROLET")).as("marca"))
+    val out = Layout.clusterBySize(df, Seq("anio", "marca"),
+      targetFileBytes = 32 * 1024, tiebreakCol = Some("id"))
+    val perPartition = out.groupBy(spark_partition_id().as("p"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("marca")).as("m"))
+      .collect()
+    assert(perPartition.length > 2, "the dominant key must spread over several tasks")
+    val biggest = perPartition.map(_.getAs[Long]("n")).max
+    assert(biggest < 19000L * 0.95,
+      s"one task still holds nearly the whole dominant group ($biggest rows)")
+  }
+
   test("zOrderBy partitions cover tight z ranges and preserve all rows") {
     val n = 1024
     val df = spark.range(n.toLong).select(
