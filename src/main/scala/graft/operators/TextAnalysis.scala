@@ -913,8 +913,12 @@ object TextAnalysis {
     val pairCounts = pairs.groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("n_pair"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // uni has THREE consumers (both join sides + the nTok total); the
+    // vocab-bounded table is checkpointed eagerly so the token-stream
+    // aggregation behind it runs once, not once per consumer
     val uni = toks.select(explode(col("__toks")).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val nTok = uni.agg(sum(col("__n")).as("__nt"))
     val nPair = pairCounts.agg(sum(col("n_pair")).as("__np"))
     val out = pairCounts.where(col("n_pair") >= minPairCount)
