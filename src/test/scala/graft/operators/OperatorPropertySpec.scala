@@ -19,6 +19,32 @@ class OperatorPropertySpec extends SparkTestBase {
   private val keysGen = Gen.listOfN(80,
     Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty))
 
+  test("scaled-long matvec sum equals the exact-decimal sum on arbitrary grid inputs") {
+    // v on the 1e-4 grid within the ±8e5 fast-path bound, x on the 1e-9
+    // grid within the normalized-iterate range (±1.1) — the round-10 Lsa
+    // arithmetic doctrine's whole admissible domain, randomly sampled
+    val rowGen = Gen.zip(
+      Gen.choose(0, 4), // group
+      Gen.choose(-8000000000L, 8000000000L).map(_ / 10000.0 / 1000), // |v| ≤ 8e5-ish
+      Gen.choose(-1100000000L, 1100000000L).map(_ / 1e9))
+    forAllSampled(Gen.listOfN(60, rowGen)) { rows =>
+      val df = rows.toDF("g", "v", "x")
+      val dec = df.groupBy(col("g")).agg(
+        round(sum(col("v").cast("decimal(18,4)") * col("x").cast("decimal(10,9)")), 9)
+          .cast("double").as("s"))
+      val lng = df.groupBy(col("g")).agg(
+        round(sum((
+            (col("v").cast("decimal(18,4)") * lit(10000L).cast("decimal(5,0)")).cast("long")
+              * round(col("x") * lit(1e9)).cast("long")
+          ).cast("decimal(38,0)")).cast("decimal(25,0)")
+            / lit(10000000000000L).cast("decimal(14,0)"), 9)
+          .cast("double").as("s"))
+      val a = dec.orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      val b = lng.orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(a === b)
+    }
+  }
+
   test("bloom: zero false negatives on arbitrary key sets, any shape") {
     forAllSampled(Gen.zip(keysGen, Gen.oneOf(2, 3, 5), Gen.oneOf(512, 4096))) {
       case (keys, k, m) =>
