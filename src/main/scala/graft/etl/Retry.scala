@@ -32,10 +32,40 @@ object Retry {
     require(retries >= 0, s"retries must be >= 0, got $retries")
   }
 
+  /** True when the failure is a deliberate cancellation rather than a
+    * task fault: an [[InterruptedException]] anywhere in the cause chain
+    * (the pool's cancel-on-first-failure interrupt), or a SparkException
+    * raised by job/job-group cancellation. Retrying a cancelled sibling
+    * stage would re-run a write the caller just asked to abandon — and
+    * sleeping 5 minutes on it first.
+    */
+  private def isCancellation(e: Throwable): Boolean = {
+    var t: Throwable = e
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    while (t != null && seen.add(t)) {
+      t match {
+        case _: InterruptedException => return true
+        case s: org.apache.spark.SparkException
+            if Option(s.getMessage).exists(_.toLowerCase.contains("cancel")) =>
+          return true
+        case _ =>
+      }
+      t = t.getCause
+    }
+    false
+  }
+
   /** Run `task`, retrying per `policy`. Returns the first successful
     * result; throws the final failure once attempts are exhausted.
     * `onAttempt(attempt, error)` fires before each RETRY sleep — attempt
     * numbering is 1-based over the failed attempt being reported.
+    *
+    * Only [[scala.util.control.NonFatal]] failures are retried — fatal
+    * JVM errors propagate untouched, and [[InterruptedException]] is
+    * rethrown with the interrupt flag RESTORED (a cancelled task must
+    * stay cancelled, never be swallowed into a retry sleep). Spark
+    * job-cancellation exceptions are likewise non-retryable (see
+    * [[isCancellation]]).
     */
   def withRetries[T](name: String, policy: Policy = Policy(),
                      sleeper: Duration => Unit = d => Thread.sleep(d.toMillis),
@@ -45,8 +75,14 @@ object Retry {
     while (true) {
       try return task
       catch {
-        case fatal: VirtualMachineError => throw fatal
-        case e: Throwable =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) =>
+          if (isCancellation(e)) {
+            log.warn(s"[retry] task '$name' was cancelled; not retrying", e)
+            throw e
+          }
           if (attempt > policy.retries) {
             log.error(s"[retry] task '$name' failed attempt $attempt/${policy.retries + 1}; giving up", e)
             throw e

@@ -94,9 +94,14 @@ object Lsa {
   /** Unscaled long of a 9-grid double with |x| ≲ 1: x is the double
     * nearest a k·1e-9 decimal, so |x·1e9 − k| ≤ ~2.3e-7 — never within
     * reach of a .5 tie, so the HALF_UP round recovers k exactly.
+    * Non-finite x goes NULL — a long cast of Infinity saturates at
+    * Long.MaxValue, which would silently poison the scaled-long
+    * products where the decimal fallback (whose cast nulls) drops the
+    * row; both paths must degrade identically.
     */
   private def unscaled9(x: Column): Column =
-    round(x * lit(1e9)).cast("long")
+    when(!isnan(x) && abs(x) < lit(Double.PositiveInfinity),
+      round(x * lit(1e9)).cast("long"))
 
   /** round(Σ v·x, 9) as double with exact scaled-long products: long
     * multiplies per row, DECIMAL(38,0) sum, one rescaling division per
@@ -154,6 +159,10 @@ object Lsa {
       .select(col("__r").as(rowCol), col("topic_score"))
       .orderBy(col("topic_score").desc, col(rowCol)).limit(k)
       .localCheckpoint(true)
+    // unlike termVector/topicVectors, where the persisted iterate IS the
+    // return contract, here it is purely internal — release its
+    // checkpoint blocks once the fold-in has materialized
+    v.unpersist()
     m.unpersist()
     scores
   }
@@ -304,6 +313,19 @@ object Lsa {
     val r = vec.agg(
       sqrt(sum(round(col(c) * col(c), 6).cast("decimal(38,12)"))
         .cast("double"))).head()
-    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    if (r.isNullAt(0)) 0.0 // empty vector: the division never sees a row
+    else {
+      val n = r.getDouble(0)
+      // A NON-empty iterate whose 6-round squared norm collapsed to 0
+      // (every |component| below ~7.1e-4) cannot be normalized: the
+      // division would mint ±Infinity/NaN that the two arithmetic
+      // paths treat differently. Fail loudly — the caller must rescale
+      // the input matrix (the documented |value| grid contract).
+      if (n == 0.0) throw new IllegalStateException(
+        s"[lsa] power iterate degenerate: non-empty '$c' vector has 6-round " +
+          "squared norm 0 (every |component| < ~7.1e-4) — cannot normalize; " +
+          "rescale the input matrix")
+      n
+    }
   }
 }

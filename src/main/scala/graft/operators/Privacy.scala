@@ -116,8 +116,13 @@ object Privacy {
     val classValA = classVal.select(
       quasiCols.map(c => col(c).as(s"__cv_$c"))
         ++ Seq(col("__v").as("__cv_v"), col("__cnt_cv")): _*)
+    // The sensitive value compares null-safely too: today `nonNull`
+    // filters NULL sensitive values out of the audit entirely, but if
+    // that policy ever admits them, an === here would give a NULL value
+    // cnt_cv = 0 in its OWN class — the exact failure mode <=> fixes
+    // for the quasi keys above.
     val gridCond = (quasiCols.map(c => col(c) <=> col(s"__cv_$c"))
-      :+ (col("__v") === col("__cv_v"))).reduce(_ && _)
+      :+ (col("__v") <=> col("__cv_v"))).reduce(_ && _)
     val grid = classCnt
       .crossJoin(broadcast(corpus)).crossJoin(broadcast(total))
       .join(classValA, gridCond, "left")

@@ -46,6 +46,16 @@ object AnnIndexStream {
     * DataFrame carrying idCol + vecCol): each micro-batch writes its own
     * list segment against the stored centroids. Vector ids must be NEW
     * relative to all prior segments (the incremental-load contract).
+    *
+    * The checkpoint defaults to `statePath/_checkpoint` — DURABLE, keyed
+    * to the state it protects. A fresh temp dir per invocation would
+    * restart batch ids at 0 on every run, overwriting `lists/batch_0`
+    * with a possibly different micro-batch composition while older
+    * higher-numbered segments persist — duplicating ids across segments
+    * and breaking the disjoint-lists merge-on-read contract. With the
+    * durable checkpoint, at-least-once replay reuses the same offsets
+    * and batch ids, so a retried batch rewrites identical content (the
+    * replay-safety doctrine above).
     */
   def indexAvailableNow(newVecs: DataFrame, statePath: String,
                         vecCol: String, idCol: String,
@@ -56,8 +66,8 @@ object AnnIndexStream {
       s"ANN index state at $statePath is not seeded — run AnnIndexStream.seedState first")
     val q = newVecs.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-ann-stream").toString))
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cents = batch.sparkSession.read.parquet(s"$statePath/centroids")
         Similarity.ivfIndex(batch, vecCol, idCol, cents)

@@ -83,8 +83,10 @@ object BloomStream {
       s"bloom state at $statePath is not seeded — run BloomStream.seed first")
     val q = newKeys.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-bloom-stream").toString))
+      // durable default keyed to the state — a temp checkpoint would
+      // restart batch ids and overwrite batch_0 beside older segments
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val state = bitsBefore(spark, statePath, batchId)

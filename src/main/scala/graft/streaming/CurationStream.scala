@@ -75,8 +75,10 @@ object CurationStream {
       s"curation state at $statePath is not seeded — run CurationStream.seedState first")
     val q = newDocs.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-curation-stream").toString))
+      // durable default keyed to the state — a temp checkpoint would
+      // restart batch ids and overwrite batch_0 beside older segments
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         // canonical internal names; checkpoint once — the batch feeds the

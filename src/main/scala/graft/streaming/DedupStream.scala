@@ -65,8 +65,11 @@ object DedupStream {
     }
     val q = newDocs.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-dedup-stream").toString))
+      // durable default keyed to the index state — a temp checkpoint
+      // would restart batch ids and overwrite batch_0 beside older
+      // segments, duplicating bands across the LSM index
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexPath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         // sign the batch ONCE; both consumers below reuse this

@@ -58,8 +58,10 @@ object DriftStream {
       s"drift state at $statePath is not seeded — run DriftStream.seedBaseline first")
     val q = newRows.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-drift-stream").toString))
+      // durable default keyed to the state — a temp checkpoint would
+      // restart batch ids and overwrite batch_0 beside older segments
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // 1. the batch's own histogram segment (replay-safe overwrite)

@@ -117,8 +117,10 @@ object EntityResolutionStream {
       s"entity-resolution state at $statePath is not seeded — run EntityResolutionStream.seed first")
     val q = newRecords.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-er-stream").toString))
+      // durable default keyed to the state — a temp checkpoint would
+      // restart batch ids and overwrite batch_0 beside older segments
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val assign = assignBefore(spark, statePath, batchId)

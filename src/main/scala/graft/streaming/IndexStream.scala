@@ -56,8 +56,13 @@ object IndexStream {
       s"index state at $statePath is not seeded — run IndexStream.seedState first")
     val q = newDocs.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-index-stream").toString))
+      // durable default KEYED TO THE STATE: a fresh temp checkpoint per
+      // invocation would restart batch ids at 0 and overwrite batch_0
+      // with a different micro-batch while older segments persist —
+      // breaking the disjoint-segments contract (underscore prefix keeps
+      // it out of the recursive segment reads)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Index.invertedIndex(batch, textCol, idCol)
           .write.mode("overwrite").parquet(s"$statePath/batch_$batchId")

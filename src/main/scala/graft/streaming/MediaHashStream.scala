@@ -41,8 +41,11 @@ object MediaHashStream {
                         checkpointDir: Option[String] = None): Unit = {
     val q = newHashes.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-mediahash-stream").toString))
+      // durable default keyed to the index state — a temp checkpoint
+      // would restart batch ids and overwrite batch_0 beside older
+      // segments, duplicating hashes across the LSM index
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$indexPath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hashes = batch.select(col(idCol), col(hashCol))

@@ -68,8 +68,10 @@ object SampleStream {
     require(n >= 1, s"n must be >= 1, got $n")
     val q = newRows.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("ckpt-sample-stream").toString))
+      // durable default keyed to the state — a temp checkpoint would
+      // restart batch ids and overwrite batch_0 beside older segments
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$statePath/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         val keyed = batch

@@ -50,6 +50,42 @@ class RetrySpec extends AnyFunSuite {
     assert(calls === 1, "a poisoned JVM must not re-run the task")
   }
 
+  test("InterruptedException is never retried and the interrupt flag is restored") {
+    var calls = 0
+    Thread.interrupted() // clear any stale flag first
+    intercept[InterruptedException] {
+      Retry.withRetries("cancelled", Retry.Policy(retries = 2), sleeper = _ => ()) {
+        calls += 1; throw new InterruptedException("pool cancel")
+      }
+    }
+    assert(calls === 1, "a cancelled task must stay cancelled — no 5-minute sleep-and-retry")
+    assert(Thread.interrupted(), "the interrupt flag must be restored for the pool")
+  }
+
+  test("Spark job-cancellation exceptions are never retried, even wrapped") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetries("spark-cancelled", Retry.Policy(retries = 2), sleeper = _ => ()) {
+        calls += 1
+        throw new RuntimeException("stage failed",
+          new org.apache.spark.SparkException(
+            "Job 7 cancelled as part of cancellation of all jobs in group g1"))
+      }
+    }
+    assert(calls === 1 && e.getMessage === "stage failed")
+  }
+
+  test("an InterruptedException buried in the cause chain is treated as cancellation") {
+    var calls = 0
+    intercept[RuntimeException] {
+      Retry.withRetries("wrapped-interrupt", Retry.Policy(retries = 2), sleeper = _ => ()) {
+        calls += 1
+        throw new RuntimeException("wrapper", new InterruptedException("interrupted"))
+      }
+    }
+    assert(calls === 1)
+  }
+
   test("onAttempt observes each failed attempt before its sleep") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     var calls = 0

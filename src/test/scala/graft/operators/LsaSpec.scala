@@ -127,4 +127,28 @@ class LsaSpec extends SparkTestBase {
       assert(loads === loads.sorted.reverse)
     }
   }
+
+  test("a degenerate iterate (norm collapses to 0) fails loudly instead of minting garbage") {
+    // every value so small that round(x^2, 6) = 0 after the first
+    // normalization: the 6-round squared norm of the column iterate is 0,
+    // and normalizing would mint Infinity (the scaled-long path would
+    // silently saturate the long cast at Long.MaxValue)
+    val tiny = Seq((1L, "a", 1e-6), (2L, "b", -2e-6), (3L, "a", 1.5e-6))
+      .toDF("doc", "term", "v")
+    val e = intercept[IllegalStateException] {
+      Lsa.termVector(tiny, "doc", "term", "v", iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("rescale"))
+  }
+
+  test("unscaled9 nulls non-finite inputs instead of saturating the long cast") {
+    // the long cast of Infinity saturates at Long.MaxValue; the guard
+    // must send non-finite values to NULL, matching the decimal path
+    val df = Seq(Double.PositiveInfinity, Double.NaN, 0.5, -1.0).toDF("x")
+    val got = df.select(
+      when(!isnan(col("x")) && abs(col("x")) < lit(Double.PositiveInfinity),
+        round(col("x") * lit(1e9)).cast("long")).as("xl"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got === Seq(None, None, Some(500000000L), Some(-1000000000L)))
+  }
 }

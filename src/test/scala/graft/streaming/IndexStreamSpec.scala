@@ -34,8 +34,12 @@ class IndexStreamSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
     IndexStream.indexAvailableNow(stream, statePath, "text", "doc_id")
 
-    // one seed + three batch segments on disk
-    val segments = new java.io.File(statePath).listFiles().map(_.getName).toSet
+    // one seed + three batch segments on disk, plus the DURABLE
+    // checkpoint (underscore-prefixed: invisible to the segment reads,
+    // but it must exist so a replay reuses offsets and batch ids)
+    val entries = new java.io.File(statePath).listFiles().map(_.getName).toSet
+    assert(entries.contains("_checkpoint"))
+    val segments = entries.filterNot(_.startsWith("_"))
     assert(segments === Set("seed", "batch_0", "batch_1", "batch_2"))
 
     val served = IndexStream.currentIndex(spark, statePath, minDf = 2, maxPostings = 20)

@@ -35,9 +35,11 @@ class SampleStreamSpec extends SparkTestBase {
     assert(streamed.size === 50)
     assert(streamed === batch,
       "cross-batch streamed top-n must equal the batch A-ES draw exactly")
-    // three generations exist — one per micro-batch
-    val gens = new java.io.File(statePath).listFiles().map(_.getName).toSet
-    assert(gens === Set("batch_0", "batch_1", "batch_2"))
+    // three generations exist — one per micro-batch — plus the durable
+    // checkpoint (underscore-prefixed, never parsed as a generation)
+    val entries = new java.io.File(statePath).listFiles().map(_.getName).toSet
+    assert(entries.contains("_checkpoint"))
+    assert(entries.filterNot(_.startsWith("_")) === Set("batch_0", "batch_1", "batch_2"))
   }
 
   test("replaying a batch against its predecessor state is idempotent") {
