@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{Bpe, Curriculum, Dedup, Diff, Index, PageRank, RankEval, Rerank, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, RankEval, Rerank, Sampling, Similarity, Skew, TextAnalysis}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -47,7 +47,20 @@ import graft.operators.{Bpe, Curriculum, Dedup, Diff, Index, PageRank, RankEval,
   *   - `graft_curriculum(table, idCol, scoreCol, nPhases)` —
   *     [[graft.operators.Curriculum.curriculumOrder]], the q114 ordering;
   *   - `graft_budget_select(table, idCol, scoreCol, costCol, budget)` —
-  *     [[graft.operators.Curriculum.budgetSelect]], the q115 selection.
+  *     [[graft.operators.Curriculum.budgetSelect]], the q115 selection;
+  *   - `graft_retain_canonical(docsTable, pairsTable, idCol, preferenceCol)` —
+  *     [[graft.operators.Dedup.retainCanonical]] keeping each near-dup
+  *     cluster's best member by (preferenceCol DESC, idCol) — the q70
+  *     retention policy;
+  *   - `graft_drift(baseTable, curTable, valueCol, buckets)` —
+  *     [[graft.operators.Drift.numericDrift]]'s 1-row PSI/KS report
+  *     (the q134 monitor);
+  *   - `graft_k_anonymity(table, 'quasi1,quasi2', k)` —
+  *     [[graft.operators.Privacy.kAnonymityClasses]] per-class audit
+  *     (the q145 gate), quasi columns comma-joined;
+  *   - `graft_key_skew(table, keyCol, topK)` —
+  *     [[graft.operators.Skew.keySkewReport]]'s hot-key + Gini report
+  *     (the q166 diagnosis).
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -253,11 +266,59 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val retainCanonicalFn: TableFn = (
+    FunctionIdentifier("graft_retain_canonical"),
+    new ExpressionInfo(Dedup.getClass.getName, "graft_retain_canonical"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_retain_canonical takes (docsTable, pairsTable, idCol, preferenceCol)")
+      val idCol = str(args(2), "idCol")
+      Dedup.retainCanonical(table(str(args(0), "docsTable")),
+          table(str(args(1), "pairsTable")), idCol,
+          Seq(col(str(args(3), "preferenceCol")).desc, col(idCol)))
+        .queryExecution.analyzed
+    })
+
+  val driftFn: TableFn = (
+    FunctionIdentifier("graft_drift"),
+    new ExpressionInfo(Drift.getClass.getName, "graft_drift"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_drift takes (baseTable, curTable, valueCol, buckets)")
+      Drift.numericDrift(table(str(args(0), "baseTable")),
+          table(str(args(1), "curTable")), str(args(2), "valueCol"),
+          int(args(3), "buckets"))
+        .queryExecution.analyzed
+    })
+
+  val kAnonymityFn: TableFn = (
+    FunctionIdentifier("graft_k_anonymity"),
+    new ExpressionInfo(Privacy.getClass.getName, "graft_k_anonymity"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_k_anonymity takes (table, quasiColsCsv, k)")
+      Privacy.kAnonymityClasses(table(str(args(0), "table")),
+          str(args(1), "quasiCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          int(args(2), "k"))
+        .queryExecution.analyzed
+    })
+
+  val keySkewFn: TableFn = (
+    FunctionIdentifier("graft_key_skew"),
+    new ExpressionInfo(Skew.getClass.getName, "graft_key_skew"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "graft_key_skew takes (table, keyCol, topK)")
+      Skew.keySkewReport(table(str(args(0), "table")),
+          str(args(1), "keyCol"), int(args(2), "topK"))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
   val all: Seq[TableFn] =
     Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn,
       contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn,
-      pageRankFn, curriculumFn, budgetSelectFn)
+      pageRankFn, curriculumFn, budgetSelectFn,
+      retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn)
 }

@@ -339,6 +339,42 @@ object TextAnalysis {
   def redactionCount(c: Column, minRun: Int = 4): Column =
     size(regexp_extract_all(c, lit(s"[0-9]{$minRun,}"), lit(0))).cast("long")
 
+  /** PII patterns shared by [[redactPii]] and its audit counters.
+    * Deliberately restricted to the Java-regex ∩ RE2 common subset
+    * (character classes, bounded repeats, `\b`, optional groups — no
+    * lookaround, no backrefs) so the DuckDB oracle replays the CHAIN
+    * with the byte-identical pattern strings.
+    */
+  val piiEmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Pattern: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val piiPhonePattern: String = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?"
+
+  /** Full PII scrub — the curation-pipeline form of [[redactDigitRuns]]:
+    * emails → `[EMAIL]`, dotted-quad IPs → `[IP]`, phone-shaped separator
+    * groups → `[PHONE]`, then residual digit runs of `minIdRun`+ →
+    * `[ID]`. ORDER IS LOAD-BEARING: emails carry digits and dots (must go
+    * before IP/ID), IPs are dot-separated short digit runs (before
+    * PHONE/ID), and the digit-run catch-all is last so it only sees what
+    * no structured pattern claimed. One codegen'd regexp_replace chain —
+    * four passes over the string, zero UDFs, zero shuffles: a pure row
+    * map that scales embarrassingly.
+    */
+  def redactPii(c: Column, minIdRun: Int = 4): Column =
+    redactDigitRuns(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, piiEmailPattern, "[EMAIL]"),
+          piiIpv4Pattern, "[IP]"),
+        piiPhonePattern, "[PHONE]"),
+      minIdRun, "[ID]")
+
+  /** Per-pattern match count over the ORIGINAL text (audit metrics for
+    * [[redactPii]] — counted before any replacement so the structured
+    * patterns aren't masked by earlier passes).
+    */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   /** [[fingerprint]] as a whole-DataFrame aggregation: posexplode + lead
     * window + min-agg, the same plan shape as MinHash signatures. The HOF
     * column formulation above is convenient inline but its array lambdas

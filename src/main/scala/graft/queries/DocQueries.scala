@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -423,6 +423,23 @@ object DocQueries {
         min(col("avg_logprob")).as("min_logprob"),
         max(col("avg_logprob")).as("max_logprob"))
       .orderBy("bucket")
+  }
+
+  /** q82's 100-TB sibling — the SAME head/middle/tail quality split
+    * through [[Bucketing.byApproxQuantilesDesc]]: two approx-percentile
+    * cutoffs computed in ONE aggregation pass, broadcast back onto the
+    * corpus, bucket = rank band by cutoff comparison. No global sort, no
+    * single-partition ntile window — the plan that survives 100× where
+    * q82's exact ntile is the presentation form. Driver check is
+    * rows+schema (a hash can't pin an approx-percentile form across
+    * engines); the bucket-boundary semantics are spec-pinned against the
+    * exact form in BucketingSpec.
+    */
+  def q177LmBucketsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.unigramLogProb(Tables(spark, dir).documents, "text", "doc_id")
+    Bucketing.bucketReport(
+      Bucketing.byApproxQuantilesDesc(lm, "avg_logprob", 3),
+      "avg_logprob", weightCol = Some(col("n_tokens")))
   }
 
   /** End-to-end corpus-curation verdict — the whole filter chain a

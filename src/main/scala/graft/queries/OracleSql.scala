@@ -2814,6 +2814,33 @@ object OracleSql {
         |  FROM scored)
         |SELECT qid, rnk, nid FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    // byte-identical regex chain + the identical synthesized input concat;
+    // DuckDB regexp_* are RE2, Spark's are java.util.regex — the patterns
+    // are restricted to the common subset so both engines match the same
+    // spans (see TextAnalysis.piiEmailPattern scaladoc)
+    "q176_redact_pii" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS ck,
+        |         'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |           || '@mail' || CAST(c_custkey % 7 AS VARCHAR)
+        |           || '.org or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |           || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+        |           || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR)
+        |           || '.' || CAST((c_custkey * 13) % 256 AS VARCHAR)
+        |           || ' account ' || CAST(c_custkey + 100000 AS VARCHAR) AS r
+        |  FROM customer)
+        |SELECT ck,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(r,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?', '[PHONE]', 'g'),
+        |    '[0-9]{4,}', '[ID]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(r, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(r, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(r, '[0-9]{4,}')) AS BIGINT) AS n_id_runs
+        |FROM raw ORDER BY ck""".stripMargin,
+
     "q38_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

@@ -454,6 +454,40 @@ object RelationalQueries {
         graft.operators.TextAnalysis.redactionCount(col("c_name")).as("n_redactions"))
       .orderBy("ck")
 
+  /** Full PII scrub (TextAnalysis.redactPii): email → [EMAIL], dotted-quad
+    * IP → [IP], phone → [PHONE], residual 4+ digit runs → [ID], plus the
+    * per-pattern audit counts — the curation-pipeline redaction stage
+    * beyond q48's digit runs. The input text is synthesized
+    * DETERMINISTICALLY from customer keys (the testdata carries no real
+    * PII columns), with the identical concat replayed in the oracle, so
+    * every pattern in the chain is exercised on every row and the DuckDB
+    * hash pins the byte-exact regex chain. Pure row map — no shuffle, no
+    * UDF, fully codegen'd.
+    */
+  def q176RedactPii(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val k = col("c_custkey")
+    val raw = concat(
+      lit("Contact "), col("c_name"),
+      lit(" at user"), k.cast("string"),
+      lit("@mail"), (k % 7).cast("string"),
+      lit(".org or +1-555-"), lpad((k % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (k % 256).cast("string"),
+      lit("."), ((k * 7) % 256).cast("string"),
+      lit("."), ((k * 13) % 256).cast("string"),
+      lit(" account "), (k + 100000).cast("string"))
+    Tables(spark, dir).customer
+      .select(col("c_custkey").as("ck"), raw.as("__raw"))
+      .select(
+        col("ck"),
+        TextAnalysis.redactPii(col("__raw")).as("redacted"),
+        TextAnalysis.piiCount(col("__raw"), TextAnalysis.piiEmailPattern).as("n_emails"),
+        TextAnalysis.piiCount(col("__raw"), TextAnalysis.piiIpv4Pattern).as("n_ips"),
+        TextAnalysis.piiCount(col("__raw"), TextAnalysis.piiPhonePattern).as("n_phones"),
+        TextAnalysis.redactionCount(col("__raw")).as("n_id_runs"))
+      .orderBy("ck")
+  }
+
   /** Skew-salted shuffle join (operators.Skew): probe side spread across 8
     * deterministic salts, build side replicated 8× — result provably equal
     * to the plain inner join (the oracle IS the plain join). The shape that

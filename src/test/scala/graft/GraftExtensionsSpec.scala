@@ -226,6 +226,72 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlBud.nonEmpty && sqlBud === apiBud)
   }
 
+  test("SQL table functions drive retention, drift, privacy, and skew through spark.sql") {
+    import graft.operators.{Dedup, Drift, Privacy, Skew}
+    import spark.implicits._
+    GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_tf_rc_v")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    pairs.createOrReplaceTempView("pairs_tf_rc_v")
+
+    // identical plan, not just identical rows: the SQL builder returns the
+    // SAME analyzed plan the Column API builds, so sameResult must hold
+    def samePlan(sql: org.apache.spark.sql.DataFrame,
+                 api: org.apache.spark.sql.DataFrame): Boolean =
+      sql.queryExecution.optimizedPlan.sameResult(api.queryExecution.optimizedPlan)
+
+    val sqlRc = spark.sql(
+      "SELECT * FROM graft_retain_canonical('docs_tf_rc_v', 'pairs_tf_rc_v', 'doc_id', 'n_chars')")
+    val apiRc = Dedup.retainCanonical(docs, pairs, "doc_id",
+      Seq(col("n_chars").desc, col("doc_id")))
+    assert(samePlan(sqlRc, apiRc), "SQL retain_canonical must plan as the Column API")
+    val sqlRcRows = sqlRc.orderBy("doc_id").collect().map(_.toString).toSeq
+    val apiRcRows = apiRc.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlRcRows.nonEmpty && sqlRcRows === apiRcRows)
+    // clusters {1,2,3} and {10,11} each keep exactly one member
+    val kept = sqlRc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(1L, 2L, 3L).count(kept) === 1 && Seq(10L, 11L).count(kept) === 1)
+
+    docs.where(col("doc_id") % 2 === 0).createOrReplaceTempView("docs_tf_drift_base")
+    docs.where(col("doc_id") % 2 === 1).createOrReplaceTempView("docs_tf_drift_cur")
+    val sqlDrift = spark.sql(
+      "SELECT * FROM graft_drift('docs_tf_drift_base', 'docs_tf_drift_cur', 'n_chars', 10)")
+    val apiDrift = Drift.numericDrift(docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1), "n_chars", buckets = 10)
+    assert(samePlan(sqlDrift, apiDrift), "SQL drift must plan as the Column API")
+    assert(sqlDrift.collect().map(_.toString).toSeq ===
+      apiDrift.collect().map(_.toString).toSeq)
+
+    val sqlKa = spark.sql(
+      "SELECT * FROM graft_k_anonymity('docs_tf_rc_v', 'source, lang', 5)")
+    val apiKa = Privacy.kAnonymityClasses(docs, Seq("source", "lang"), 5)
+    assert(samePlan(sqlKa, apiKa), "SQL k_anonymity must plan as the Column API")
+    val sqlKaRows = sqlKa.orderBy("source", "lang").collect().map(_.toString).toSeq
+    assert(sqlKaRows.nonEmpty && sqlKaRows ===
+      apiKa.orderBy("source", "lang").collect().map(_.toString).toSeq)
+
+    // keySkewReport eagerly localCheckpoints its count table at call time,
+    // so two invocations are never sameResult by construction — pin the
+    // plan shape instead: BOTH paths must pre-prune the topK head before
+    // the rank window sees it (the global-order row_number plans as a
+    // TakeOrderedAndProject head; a partitioned one would plan as
+    // WindowGroupLimit), and the rows must be identical
+    val sqlSkew = spark.sql(
+      "SELECT * FROM graft_key_skew('docs_tf_rc_v', 'source', 5)")
+    val apiSkew = Skew.keySkewReport(docs, "source", topK = 5)
+    assert(sqlSkew.orderBy("rank").collect().map(_.toString).toSeq ===
+      apiSkew.orderBy("rank").collect().map(_.toString).toSeq)
+    def prePruned(plan: String): Boolean =
+      plan.contains("WindowGroupLimit") || plan.contains("TakeOrderedAndProject")
+    val skewPlan = sqlSkew.queryExecution.executedPlan.toString
+    assert(prePruned(skewPlan),
+      s"SQL key_skew lost the topK pre-prune:\n$skewPlan")
+    assert(prePruned(apiSkew.queryExecution.executedPlan.toString))
+  }
+
   test("SQL word_shingles generator equals the kernel through LATERAL VIEW") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", GraftExtensions.wordShinglesFn._3, "built-in")

@@ -40,6 +40,15 @@ class BucketingSpec extends SparkTestBase {
     assert(!plan.contains("Window "), "approx bucketing plans a Window node")
   }
 
+  test("q177 (the registered scale sibling of q82) runs the approx plan, not ntile") {
+    val df = graft.SparkEntry.queries("q177_lm_buckets_approx")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile("), "registered q177 regressed to the exact ntile form")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("bucket")).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+  }
+
   test("bucket report shape matches q82's rollup") {
     val lm = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
     val rep = Bucketing.bucketReport(

@@ -241,6 +241,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getLong(1) === 2L)
   }
 
+  test("redactPii scrubs emails, IPs, phones, then residual digit runs — in that order") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@sub.example.org ip 10.0.255.3 tel +1-555-0042 acct 123456"),
+      (2L, "bare digits 9876543 and a short run 123 and v1.2 stay put"),
+      (3L, "two mails a1@b.co c2@d.io and 555-123-4567 local")).toDF("id", "s")
+    val out = d.select(col("id"), TextAnalysis.redactPii(col("s")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) === "mail [EMAIL] ip [IP] tel [PHONE] acct [ID]")
+    assert(out(1) === "bare digits [ID] and a short run 123 and v1.2 stay put")
+    assert(out(2) === "two mails [EMAIL] [EMAIL] and [PHONE] local")
+    // ORDER: the email's digits and the IP's octets must never leak into
+    // the digit-run catch-all — assert by counting placeholders
+    val counts = d.where(col("id") === 1).select(
+      TextAnalysis.piiCount(col("s"), TextAnalysis.piiEmailPattern).as("e"),
+      TextAnalysis.piiCount(col("s"), TextAnalysis.piiIpv4Pattern).as("i"),
+      TextAnalysis.piiCount(col("s"), TextAnalysis.piiPhonePattern).as("p"),
+      TextAnalysis.redactionCount(col("s")).as("d")).head
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((1L, 1L, 1L)))
+    // the audit counter runs on the ORIGINAL text: the phone's 4-digit
+    // tail and the account number both count as digit runs there
+    assert(counts.getLong(3) === 2L)
+  }
+
   test("tfidf construction launches zero Spark jobs (N is in-plan, not eager)") {
     // the round-6 defect: an eager countDistinct().collect() at query
     // CONSTRUCTION ran a full corpus pass per call and froze a stale N.
