@@ -36,6 +36,27 @@ object SriPipeline {
       minRecords: Long = 1000L,
       parallelDims: Boolean = false,
       retry: Retry.Policy = Retry.Policy(retries = 0),
+      sleeper: scala.concurrent.duration.Duration => Unit = d => Thread.sleep(d.toMillis)): Result =
+    runRaw(spark, readCsv(spark, csvPath), warehouse, clock, maxNullPct,
+      minRecords, parallelDims, retry, sleeper)
+
+  /** The DAG over an already-loaded source frame — for callers whose raw
+    * data is not the positional-schema CSV (a parquet landing table, a
+    * stream batch, or headers corrected to the probed date-column names:
+    * [[readCsv]]'s EXPLICIT schema names columns by position, so a
+    * CSV-sourced run can never match the 'FECHA PROCESO' date probe and
+    * always takes the clock fallback, exactly like the reference on its
+    * own sample — ref dags/sri_vehiculos_etl_dag.py:447-463).
+    */
+  def runRaw(
+      spark: SparkSession,
+      rawIn: DataFrame,
+      warehouse: Warehouse,
+      clock: java.time.LocalDate = java.time.LocalDate.now(),
+      maxNullPct: Double = 10.0,
+      minRecords: Long = 1000L,
+      parallelDims: Boolean = false,
+      retry: Retry.Policy = Retry.Policy(retries = 0),
       sleeper: scala.concurrent.duration.Duration => Unit = d => Thread.sleep(d.toMillis)): Result = {
 
     // D2: per-STAGE retry, the ref's Airflow task contract (retries 2 @
@@ -45,7 +66,7 @@ object SriPipeline {
     def staged[T](name: String)(body: => T): T =
       Retry.withRetries(name, retry, sleeper)(body)
 
-    val raw = readCsv(spark, csvPath).cache()
+    val raw = rawIn.cache()
 
     val tiempo = DimTiempo.build(spark)
     val vehiculo = Dims.vehiculo(raw)

@@ -121,4 +121,74 @@ class SriPipelineSpec extends SparkTestBase {
       result.dimUbicacion).collect()
     assert(dash.length === 10)
   }
+
+  test("year-partitioned fact: a year-filtered metrics query SKIPS files at read time") {
+    // The CSV read names columns POSITIONALLY (explicit schema), so a
+    // CSV-sourced run always takes the clock date fallback (one Anio
+    // value — reference parity), and the sample itself is a single-period
+    // extract (every FECHA PROCESO is 2024). Rename the date column to
+    // the probed name so dates PARSE, and spread the year 2020-2024
+    // deterministically by vehicle code — the multi-year landing table
+    // the SriMain wiring (fact partitioned by Anio, clustered
+    // (Anio, Marca)) faces in production.
+    val rawDated = SriPipeline.readCsv(spark, csv)
+      .withColumnRenamed("FECHA PROCESO (DD/MM/AA)", "FECHA PROCESO")
+      .withColumn("FECHA PROCESO",
+        regexp_replace(col("FECHA PROCESO"), lit("2024$"),
+          (lit(2020) + pmod(col("CÓDIGO DE VEHÍCULO").cast("long"), lit(5)))
+            .cast("string")))
+    val outP = java.nio.file.Files.createTempDirectory("graft-wh-part").toString
+    val wh = ParquetWarehouse(spark, outP,
+      partitionCols = Map("fact_registro_vehiculos" -> Seq("Anio")))
+    val res = SriPipeline.runRaw(spark, rawDated, wh,
+      clock = java.time.LocalDate.of(2026, 1, 15), minRecords = 1000L)
+    val factDir = new java.io.File(s"$outP/fact_registro_vehiculos")
+    val yearDirs = factDir.listFiles().map(_.getName).filter(_.startsWith("Anio="))
+    assert(yearDirs.length > 1, s"expected multiple year directories, got ${yearDirs.toSeq}")
+
+    val fact = wh.read("fact_registro_vehiculos")
+    val fullCount = fact.count()
+    val allFiles = fact.inputFiles.length
+    val year = fact.groupBy("Anio").count().orderBy(col("count").desc)
+      .head().getAs[Number]("Anio").intValue
+
+    // the year-filtered metrics query: that year's top brands
+    val q = Metrics.topMarcas(fact.where(col("Anio") === year), res.dimVehiculo)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // AQE nests finalized stages as leaf QueryStageExec nodes — walk
+    // through them (and reused exchanges) to reach the physical scans
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: allNodes(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: allNodes(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r +: allNodes(r.child)
+        case other => Seq(other)
+      }
+    val scan = allNodes(q.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("fact_registro_vehiculos")) => f
+    }.getOrElse(fail(s"no fact FileSourceScanExec in the executed plan:\n" +
+      allNodes(q.queryExecution.executedPlan).map(_.getClass.getSimpleName).mkString(", ")))
+    // 1. directory pruning selected exactly the one year partition
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned Anio partition, scanned ${scan.selectedPartitions.partitionCount} of ${yearDirs.length}")
+    // 2. the scan READ fewer files than the table holds (files skipped,
+    //    not merely filtered after reading)
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead >= 1 && filesRead < allFiles,
+      s"scan read $filesRead of $allFiles files — nothing was skipped")
+    // 3. and fewer rows than the full table (the scan itself, pre-join)
+    val rowsRead = scan.metrics("numOutputRows").value
+    assert(rowsRead > 0 && rowsRead < fullCount,
+      s"scan emitted $rowsRead of $fullCount rows — no row skipping")
+    // 4. pruning did not change the answer: abs(Anio) blocks the partition
+    //    filter, forcing a full-scan-then-filter baseline over the SAME table
+    val baseline = Metrics.topMarcas(fact.where(abs(col("Anio")) === year),
+      res.dimVehiculo).collect()
+    assert(rows.map(_.toString).toSeq === baseline.map(_.toString).toSeq)
+  }
 }
