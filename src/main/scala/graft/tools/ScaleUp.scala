@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic ×N scale-up of a driver testdata dir — the 100× REHEARSAL
+  * input: `runMain graft.tools.ScaleUp <srcDir> <outDir> [factor=10]`.
+  *
+  * Every table is replicated `factor` times via a crossJoin with an
+  * in-plan replica index (one distributed pass, no driver loops); surrogate
+  * and foreign keys are offset by `replica * (max_key + 1)` CONSISTENTLY
+  * across tables, so referential structure, join selectivity, and
+  * group-by cardinality all scale linearly — the shape a real 10× corpus
+  * has, not 10 copies of one keyspace:
+  *
+  *  - `region`/`nation` copy unchanged (fixed dims — at 100 TB these stay
+  *    broadcast-small; scaling them would distort the star shape);
+  *  - `customer`/`supplier`/`part` offset their primary keys;
+  *  - `orders` offsets (o_orderkey, o_custkey); `lineitem` offsets
+  *    (l_orderkey, l_partkey, l_suppkey) by the SAME per-table constants,
+  *    so every replica's lineitem joins exactly its replica's orders/
+  *    part/supplier rows;
+  *  - `events` offsets (event_id, user_id), timestamps unchanged
+  *    (sessionization load scales by users, not by time range);
+  *  - `documents` offsets doc_id and appends a per-replica suffix to
+  *    `text` (replica 0 byte-identical): copies become NEAR-duplicates,
+  *    not exact ones, so dedup/minhash queries face realistic ~factor-size
+  *    near-dup clusters instead of degenerate exact clones; `n_chars`
+  *    recomputed (= length(text), the generator's invariant);
+  *  - `embeddings` offsets vec_id and perturbs each replica's vector by a
+  *    small deterministic per-(id, dim) delta (replica 0 exact), so ANN
+  *    top-k/IVF assignment see distinct near-by vectors rather than exact
+  *    cosine ties.
+  */
+object ScaleUp {
+
+  private def keyed(df: DataFrame, n: Int, keys: String*): DataFrame = {
+    val spark = df.sparkSession
+    val reps = broadcast(spark.range(n).toDF("__rep"))
+    val offsets = keys.map { k =>
+      k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+    }
+    val crossed = df.crossJoin(reps)
+    offsets.foldLeft(crossed) { case (d, (k, off)) =>
+      d.withColumn(k, col(k) + col("__rep") * lit(off))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [factor]")
+    val (src, out) = (args(0), args(1))
+    val n = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.drop("__rep").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(keyed(read("customer"), n, "c_custkey"), "customer")
+    write(keyed(read("supplier"), n, "s_suppkey"), "supplier")
+    write(keyed(read("part"), n, "p_partkey"), "part")
+    write(keyed(read("orders"), n, "o_orderkey", "o_custkey"), "orders")
+    write(keyed(read("lineitem"), n, "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    write(keyed(read("events"), n, "event_id", "user_id"), "events")
+
+    val docs = keyed(read("documents"), n, "doc_id")
+      .withColumn("text",
+        when(col("__rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("__rep").cast("string"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents")
+
+    val emb = keyed(read("embeddings"), n, "vec_id")
+      .withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          x + (col("__rep").cast("float") * lit(1e-3f)
+            * (pmod(j.cast("long") * 7919L + col("vec_id"), lit(13L)) - 6L).cast("float"))))
+    write(emb, "embeddings")
+
+    spark.stop()
+  }
+}
