@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Per-query sf0.1 -> sf1 scaling report for the 100x rehearsal.
+
+Usage: scaling_report.py BENCH_sf01.json BENCH_sf1.json [threshold=15]
+
+Both inputs are graft.Bench full records ({"queries": {...}, ...}),
+ideally measured the SAME DAY on the same host (host drift across days
+is real — see BASELINE.md round-11 attribution). Prints a markdown
+table of every query whose time grew more than `threshold` x for 10x
+data, plus the 10 worst scalers, and writes SCALING_sf1.json.
+"""
+import json
+import sys
+
+
+def main():
+    sf01 = json.load(open(sys.argv[1]))["queries"]
+    sf1 = json.load(open(sys.argv[2]))["queries"]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
+    rows = []
+    for q, t1 in sorted(sf1.items()):
+        t01 = sf01.get(q)
+        if t01 is None or t01 <= 0 or t1 <= 0:
+            rows.append((q, t01, t1, None))
+            continue
+        rows.append((q, t01, t1, t1 / t01))
+    scored = [r for r in rows if r[3] is not None]
+    worst = sorted(scored, key=lambda r: -r[3])[:10]
+    over = [r for r in scored if r[3] > threshold]
+
+    print(f"queries: {len(scored)} scored / {len(rows)} total; "
+          f"total {sum(r[1] for r in scored):.1f}s (sf0.1) -> "
+          f"{sum(r[2] for r in scored):.1f}s (sf1)")
+    print(f"\n## {len(over)} queries over {threshold}x for 10x data")
+    print("| query | sf0.1 s | sf1 s | factor |")
+    print("|---|---|---|---|")
+    for q, a, b, f in sorted(over, key=lambda r: -r[3]):
+        print(f"| {q} | {a:.2f} | {b:.2f} | {f:.1f}x |")
+    print("\n## 10 worst scalers")
+    print("| query | sf0.1 s | sf1 s | factor |")
+    print("|---|---|---|---|")
+    for q, a, b, f in worst:
+        print(f"| {q} | {a:.2f} | {b:.2f} | {f:.1f}x |")
+    with open("SCALING_sf1.json", "w") as f:
+        json.dump({
+            "threshold": threshold,
+            "n_scored": len(scored),
+            "total_sf01_sec": round(sum(r[1] for r in scored), 2),
+            "total_sf1_sec": round(sum(r[2] for r in scored), 2),
+            "over_threshold": [
+                {"query": q, "sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
+                 "factor": round(fac, 2)}
+                for q, a, b, fac in sorted(over, key=lambda r: -r[3])],
+            "worst10": [
+                {"query": q, "sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
+                 "factor": round(fac, 2)}
+                for q, a, b, fac in worst],
+            "queries": {q: {"sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
+                            "factor": round(fac, 2)}
+                        for q, a, b, fac in scored},
+        }, f, indent=1)
+    print("\nwrote SCALING_sf1.json")
+
+
+if __name__ == "__main__":
+    main()
