@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *  - `region`/`nation` copy unchanged (fixed dims — at 100 TB these stay
   *    broadcast-small; scaling them would distort the star shape);
   *  - `customer`/`supplier`/`part` offset their primary keys;
+  *    `c_name`/`s_name` are REGENERATED from the offset key (the
+  *    generator's `Customer#%09d` format) — replicating the literal name
+  *    10× would hand the fuzzy-join queries 10 exact copies of every
+  *    string, inflating true-pair volume ~quadratically, which a real 10×
+  *    corpus (with 10× distinct entities) does not do;
   *  - `orders` offsets (o_orderkey, o_custkey); `lineitem` offsets
   *    (l_orderkey, l_partkey, l_suppkey) by the SAME per-table constants,
   *    so every replica's lineitem joins exactly its replica's orders/
@@ -67,8 +72,14 @@ object ScaleUp {
 
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(keyed(read("customer"), n, "c_custkey"), "customer")
-    write(keyed(read("supplier"), n, "s_suppkey"), "supplier")
+    write(keyed(read("customer"), n, "c_custkey")
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0"))),
+      "customer")
+    write(keyed(read("supplier"), n, "s_suppkey")
+      .withColumn("s_name",
+        concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0"))),
+      "supplier")
     write(keyed(read("part"), n, "p_partkey"), "part")
     write(keyed(read("orders"), n, "o_orderkey", "o_custkey"), "orders")
     write(keyed(read("lineitem"), n, "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
