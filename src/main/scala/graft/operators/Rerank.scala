@@ -119,6 +119,28 @@ object Rerank {
   def mmrDiversifyTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
                        idCol: String, m: Int, k: Int, lambda: Double): DataFrame = {
     val top = Similarity.bruteForceTopK(queries, corpus, vecCol, idCol, m)
+    mmrOverCandidates(top, corpus, vecCol, idCol, k, lambda)
+  }
+
+  /** [[mmrDiversifyTopK]] with the deterministic sign-plane LSH first
+    * stage ([[Similarity.lshTopKDet]]) — the 100-TB form: candidate
+    * generation is a bucket equi-join (corpus work per query ∝ bucket
+    * size, never n·q), the greedy re-rank is identical. Replayable in
+    * the DuckDB oracle via the same sign-plane bucket unroll as q29/q178.
+    */
+  def mmrDiversifyTopKLsh(queries: DataFrame, corpus: DataFrame, vecCol: String,
+                          idCol: String, m: Int, k: Int, lambda: Double,
+                          planes: Int, dim: Int): DataFrame = {
+    val top = Similarity.lshTopKDet(queries, corpus, vecCol, idCol, m, planes, dim)
+    mmrOverCandidates(top, corpus, vecCol, idCol, k, lambda)
+  }
+
+  /** Shared second stage of both MMR forms: fetch the surviving
+    * candidates' vectors by one equi-join back against the corpus (ship
+    * q·m survivors, not every scored vector), then the greedy select.
+    */
+  private def mmrOverCandidates(top: DataFrame, corpus: DataFrame, vecCol: String,
+                                idCol: String, k: Int, lambda: Double): DataFrame = {
     val withVec = top.join(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
       Seq("neighbor_id"))

@@ -584,6 +584,38 @@ object DocQueries {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** q109's 100-TB sibling (Similarity.hardNegativesLsh): the SAME
+    * hard-negative contract through the deterministic ±1 sign-plane
+    * bucket join — corpus work per anchor ∝ bucket size instead of n,
+    * never the q109 anchor×corpus product. Oracle replays bucket
+    * assignment, the cross-label filter, and the top-k rank in DuckDB
+    * (the q29/q68 sign-plane doctrine). At the sf0.1→sf1 rehearsal the
+    * exact form scaled 20.9× for 10× data (quadratic by design, it IS
+    * the oracle baseline); this form's bucket join scales with corpus
+    * density like q29's 1.7×.
+    */
+  def q178HardNegativesLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val anchors = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Similarity.hardNegativesLsh(anchors, emb, "embedding", "vec_id", "label",
+        k = 5, planes = 6, dim = 64)
+      .orderBy("anchor_id", "rnk")
+  }
+
+  /** q112's 100-TB sibling (Rerank.mmrDiversifyTopKLsh): identical MMR
+    * greedy over sign-plane-bucketed candidates instead of the exact
+    * anchor×corpus top-m (q112 scaled 16.2× at the sf0.1→sf1 rehearsal —
+    * quadratic by design; the bucket join scales with density). Full
+    * DuckDB oracle: bucket unroll + the k=3 unrolled greedy.
+    */
+  def q179MmrLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val anchors = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    Rerank.mmrDiversifyTopKLsh(anchors, emb, "embedding", "vec_id",
+        m = 10, k = 3, lambda = 0.5, planes = 6, dim = 64)
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** Nearest-prototype confusion matrix (Clustering
     * .nearestPrototypeConfusion): per-label decimal-exact centroids,
     * every vector assigned to its most cosine-similar prototype, counts

@@ -777,6 +777,86 @@ object OracleSql {
        |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q178: sign-plane-bucketed hard negatives — annLshDetSql's bucket
+    * replay composed with q109's cross-label filter and output shape.
+    */
+  private val hardNegativesLshSql: String = {
+    val planes = 6
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, label, v,
+       |         $buckets AS bucket
+       |       FROM e),
+       |q AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv, bucket
+       |      FROM bk WHERE vec_id % 50 = 0),
+       |s AS (SELECT q.anchor_id, q.anchor_label,
+       |             bk.vec_id AS negative_id, bk.label AS negative_label,
+       |             list_dot_product(q.qv, bk.v) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(bk.v, bk.v))) AS sim
+       |      FROM q JOIN bk ON q.bucket = bk.bucket
+       |      WHERE q.anchor_id <> bk.vec_id AND q.anchor_label <> bk.label),
+       |r AS (SELECT anchor_id, anchor_label, negative_id, negative_label,
+       |             CAST(row_number() OVER (PARTITION BY anchor_id
+       |                                     ORDER BY sim DESC, negative_id) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT anchor_id, anchor_label, rnk, negative_id, negative_label
+       |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin
+  }
+
+  /** q179: mmrRerankSql's unrolled k=3 greedy, but candidates come from
+    * the sign-plane bucket join instead of the exact cross product —
+    * the same first-stage replay as q29/q178.
+    */
+  private val mmrLshSql: String = {
+    val planes = 6
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v,
+       |         $buckets AS bucket
+       |       FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bk WHERE vec_id % 50 = 0),
+       |s AS (SELECT qid, bk.vec_id AS nid, bk.v AS nv,
+       |             ${cosSql("qv", "bk.v")} AS rel
+       |      FROM q JOIN bk ON q.bucket = bk.bucket AND q.qid <> bk.vec_id),
+       |cand AS (SELECT qid, nid, nv, rel,
+       |                row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+       |         FROM s QUALIFY rn <= 10),
+       |p1 AS (SELECT qid, nid, nv FROM cand WHERE rn = 1),
+       |s2 AS (SELECT c.qid, c.nid, c.nv,
+       |              0.5 * c.rel - 0.5 * (${cosSql("c.nv", "p1.nv")}) AS score
+       |       FROM cand c JOIN p1 ON c.qid = p1.qid AND c.nid <> p1.nid),
+       |p2 AS (SELECT qid, nid, nv FROM s2
+       |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) = 1),
+       |s3 AS (SELECT c.qid, c.nid,
+       |              0.5 * c.rel - 0.5 * greatest(${cosSql("c.nv", "p1.nv")},
+       |                                           ${cosSql("c.nv", "p2.nv")}) AS score
+       |       FROM cand c
+       |       JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+       |       WHERE c.nid <> p1.nid AND c.nid <> p2.nid),
+       |p3 AS (SELECT qid, nid FROM s3
+       |       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) = 1)
+       |SELECT qid AS query_id, CAST(1 AS BIGINT) AS mmr_rank, nid AS neighbor_id FROM p1
+       |UNION ALL
+       |SELECT qid, CAST(2 AS BIGINT), nid FROM p2
+       |UNION ALL
+       |SELECT qid, CAST(3 AS BIGINT), nid FROM p3
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** q68: LSH-bucketed embedding near-dup with the same generated ±1
     * sign-plane buckets as q29 (4 planes here) — DuckDB replays bucket
     * assignment and pair generation, then the q32-style cosine threshold
@@ -2719,6 +2799,8 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin,
     "q28_simhash" -> simhashPairsSql,
     "q29_ann_lsh" -> annLshDetSql,
+    "q178_hard_negatives_lsh" -> hardNegativesLshSql,
+    "q179_mmr_lsh" -> mmrLshSql,
     "q32_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

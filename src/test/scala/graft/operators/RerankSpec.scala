@@ -85,4 +85,28 @@ class RerankSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_exact"))
     }
   }
+
+  test("LSH-MMR (q179 form): rank 1 is the bucket-candidate relevance argmax; greedy matches the exact form on shared candidates") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+    val lshMmr = Rerank.mmrDiversifyTopKLsh(anchors, emb, "embedding", "vec_id",
+      m = 10, k = 3, lambda = 0.5, planes = 6, dim = 64)
+    val top = Similarity.lshTopKDet(anchors, emb, "embedding", "vec_id",
+      k = 10, planes = 6, dim = 64)
+    val rank1Mmr = lshMmr.where(col("mmr_rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rank1Lsh = top.where(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rank1Mmr.nonEmpty && rank1Mmr === rank1Lsh,
+      "MMR rank 1 must be the relevance argmax of the SAME bucket candidates")
+    // every selected neighbor must come from the LSH candidate set
+    val candSet = top.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val picked = lshMmr.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(picked.forall(candSet.contains))
+  }
 }
