@@ -22,6 +22,7 @@ class PlanInvariantSpec extends SparkTestBase {
     "q58_kmv_distinct",     // 1-row sketch × 1-row exact count join
     "q76_semdedup",         // centroid table broadcast-crossed for assignment, as q38
     "q82_lm_buckets",       // composes q71's unigram LM (same 1-row cross join)
+    "q177_lm_buckets_approx", // q82's scale sibling: q71's 1-row cross join + the 1-row approx-cutoff table broadcast-crossed (Bucketing.byApproxQuantilesDesc), as q88's bounds
     "q86_kmeans_step",      // centroid table broadcast-crossed for assignment, as q76
     "q88_histogram",        // 1-row min/max bounds broadcast-crossed, as q58
     "q89_bm25",             // 1-row corpus constants (N, avgdl, dfs) broadcast-crossed
