@@ -274,6 +274,28 @@ object DocQueries {
       .orderBy("vid")
   }
 
+  /** q57's 100-TB sibling: the SAME component/keeper report over
+    * sign-plane-BUCKETED near-dup pairs (Dedup.embeddingNearDupsDet,
+    * q68's pair generator) instead of the exact all-pairs scan — at the
+    * sf0.1→sf1 rehearsal q57 scaled 59.2× (its cost IS q32's quadratic
+    * pair generation, components were never the problem); the bucket
+    * join scales with density (q68: 9.1×). Oracle replays buckets, the
+    * in-bucket cosine threshold, and components via the q57 recursive
+    * CTE.
+    */
+  def q180DedupClustersLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .embeddingNearDupsDet(Tables(spark, dir).embeddings, "embedding", "vec_id",
+        threshold = 0.4, planes = 4, dim = 64)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(
+        col("id").cast("long").as("vid"),
+        col("component").cast("long").as("comp"),
+        when(col("id") === col("component"), 1L).otherwise(0L).as("keep"))
+      .orderBy("vid")
+  }
+
   /** END-TO-END near-dup retention — the complete dedup story in one
     * query: shingle → md5 MinHash (64 hashes) → 16-band LSH candidates →
     * exact Jaccard ≥ 0.8 verification → connected components → keep only

@@ -885,6 +885,41 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q180: q57's recursive-CTE components over q68's BUCKETED pairs —
+    * the sign-plane bucket join replaces the exact all-pairs scan.
+    */
+  private val dedupClustersLshSql: String = {
+    val planes = 4
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v,
+       |         $buckets AS bucket
+       |       FROM e),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |      WHERE list_dot_product(a.v, b.v) /
+       |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       |       UNION SELECT id_b, id_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id
+       |)
+       |SELECT CAST(id AS BIGINT) AS vid, CAST(min(lbl) AS BIGINT) AS comp,
+       |       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM reach GROUP BY id ORDER BY vid""".stripMargin
+  }
+
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
     */
@@ -2801,6 +2836,7 @@ object OracleSql {
     "q29_ann_lsh" -> annLshDetSql,
     "q178_hard_negatives_lsh" -> hardNegativesLshSql,
     "q179_mmr_lsh" -> mmrLshSql,
+    "q180_dedup_clusters_lsh" -> dedupClustersLshSql,
     "q32_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

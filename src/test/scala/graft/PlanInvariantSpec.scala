@@ -54,6 +54,8 @@ class PlanInvariantSpec extends SparkTestBase {
     * pair generation is q32's plan, q61's candidate join is q27's.
     */
   private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention",
+    "q180_dedup_clusters_lsh", // q57's bucketed sibling — same eager Components
+
     "q70_retain_canonical",
     // composes q70's chain (Components runs eagerly at construction)
     "q83_curation",
