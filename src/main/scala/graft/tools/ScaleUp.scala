@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * Every table is replicated `factor` times via a crossJoin with an
   * in-plan replica index (one distributed pass, no driver loops); surrogate
-  * and foreign keys are offset by `replica * (max_key + 1)` CONSISTENTLY
-  * across tables, so referential structure, join selectivity, and
-  * group-by cardinality all scale linearly — the shape a real 10× corpus
-  * has, not 10 copies of one keyspace:
+  * and foreign keys are offset by `replica * keySpan` CONSISTENTLY across
+  * tables, so referential structure, join selectivity, and group-by
+  * cardinality all scale linearly — the shape a real 10× corpus has, not
+  * 10 copies of one keyspace. Each key FAMILY's span comes from the
+  * REFERENCED table's primary key (customer's span offsets both
+  * c_custkey and o_custkey; orders' span offsets both o_orderkey and
+  * l_orderkey): computing spans per-table would silently desync the two
+  * sides of a join the moment the child table doesn't reach the parent's
+  * max key (a parent row with no children — dense generated data hides
+  * the bug, real extracts hit it).
   *
   *  - `region`/`nation` copy unchanged (fixed dims — at 100 TB these stay
   *    broadcast-small; scaling them would distort the star shape);
@@ -22,9 +28,9 @@ import org.apache.spark.sql.functions._
   *    string, inflating true-pair volume ~quadratically, which a real 10×
   *    corpus (with 10× distinct entities) does not do;
   *  - `orders` offsets (o_orderkey, o_custkey); `lineitem` offsets
-  *    (l_orderkey, l_partkey, l_suppkey) by the SAME per-table constants,
-  *    so every replica's lineitem joins exactly its replica's orders/
-  *    part/supplier rows;
+  *    (l_orderkey, l_partkey, l_suppkey) by the SAME family spans, so
+  *    every replica's lineitem joins exactly its replica's orders/part/
+  *    supplier rows;
   *  - `events` offsets (event_id, user_id), timestamps unchanged
   *    (sessionization load scales by users, not by time range);
   *  - `documents` offsets doc_id and appends a per-replica suffix to
@@ -39,15 +45,21 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private def keyed(df: DataFrame, n: Int, keys: String*): DataFrame = {
-    val spark = df.sparkSession
-    val reps = broadcast(spark.range(n).toDF("__rep"))
-    val offsets = keys.map { k =>
-      k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
-    }
-    val crossed = df.crossJoin(reps)
-    offsets.foldLeft(crossed) { case (d, (k, off)) =>
-      d.withColumn(k, col(k) + col("__rep") * lit(off))
+  /** max(key) + 1 of the key family's OWNING table — the one offset every
+    * referencing column shares.
+    */
+  private[tools] def keySpan(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1L
+
+  /** `n` replicas of `df`, each listed key shifted by `replica * span`.
+    * Carries the `__rep` column for callers that vary payload per replica;
+    * drop it before writing.
+    */
+  private[tools] def replicate(df: DataFrame, n: Int,
+                               offsets: (String, Long)*): DataFrame = {
+    val reps = broadcast(df.sparkSession.range(n).toDF("__rep"))
+    offsets.foldLeft(df.crossJoin(reps)) { case (d, (k, span)) =>
+      d.withColumn(k, col(k) + col("__rep") * lit(span))
     }
   }
 
@@ -70,29 +82,46 @@ object ScaleUp {
       println(s"[scaleup] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
 
+    // key-family spans from the OWNING tables, shared by both join sides
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val kCust = keySpan(customer, "c_custkey")
+    val kSupp = keySpan(supplier, "s_suppkey")
+    val kPart = keySpan(part, "p_partkey")
+    val kOrder = keySpan(orders, "o_orderkey")
+
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(keyed(read("customer"), n, "c_custkey")
+    write(replicate(customer, n, "c_custkey" -> kCust)
       .withColumn("c_name",
         concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0"))),
       "customer")
-    write(keyed(read("supplier"), n, "s_suppkey")
+    write(replicate(supplier, n, "s_suppkey" -> kSupp)
       .withColumn("s_name",
         concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0"))),
       "supplier")
-    write(keyed(read("part"), n, "p_partkey"), "part")
-    write(keyed(read("orders"), n, "o_orderkey", "o_custkey"), "orders")
-    write(keyed(read("lineitem"), n, "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
-    write(keyed(read("events"), n, "event_id", "user_id"), "events")
+    write(replicate(part, n, "p_partkey" -> kPart), "part")
+    write(replicate(orders, n, "o_orderkey" -> kOrder, "o_custkey" -> kCust), "orders")
+    write(replicate(read("lineitem"), n,
+      "l_orderkey" -> kOrder, "l_partkey" -> kPart, "l_suppkey" -> kSupp), "lineitem")
 
-    val docs = keyed(read("documents"), n, "doc_id")
+    val events = read("events")
+    write(replicate(events, n,
+      "event_id" -> keySpan(events, "event_id"),
+      "user_id" -> keySpan(events, "user_id")), "events")
+
+    val documents = read("documents")
+    val docs = replicate(documents, n, "doc_id" -> keySpan(documents, "doc_id"))
       .withColumn("text",
         when(col("__rep") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" rep"), col("__rep").cast("string"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents")
 
-    val emb = keyed(read("embeddings"), n, "vec_id")
+    val embeddings = read("embeddings")
+    val emb = replicate(embeddings, n, "vec_id" -> keySpan(embeddings, "vec_id"))
       .withColumn("embedding",
         transform(col("embedding"), (x, j) =>
           x + (col("__rep").cast("float") * lit(1e-3f)
