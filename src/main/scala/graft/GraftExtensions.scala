@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, ShiftLeft, ShiftRight, Substring}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, RegExpReplace, ShiftLeft, ShiftRight, Substring}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 import graft.functions.{CharDistEntropy, CosineSimilarity, Int8Stats, WordShingles}
-import graft.operators.{Layout, Sharding}
+import graft.operators.{Layout, Sharding, TextAnalysis}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions and deterministic kernels as SQL functions, so
@@ -24,7 +24,9 @@ import graft.operators.{Layout, Sharding}
   *     reproducible shuffle key;
   *   - `word_shingles(text, k)` — the native shingle GENERATOR
   *     ([[graft.functions.WordShingles]]), usable in LATERAL VIEW or
-  *     directly in SELECT like explode.
+  *     directly in SELECT like explode;
+  *   - `redact_pii(text[, minIdRun])` — the email/IP/phone/digit-run
+  *     scrub chain ([[graft.operators.TextAnalysis.redactPii]]).
   *
   * The latter two expand to the same built-in-expression trees the Column
   * API builds (via the graftbridge converters), so they stay fully inside
@@ -65,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.zValueFn)
     e.injectFunction(GraftExtensions.shuffleKeyFn)
     e.injectFunction(GraftExtensions.wordShinglesFn)
+    e.injectFunction(GraftExtensions.redactPiiFn)
     GraftTableFunctions.all.foreach(e.injectTableFunction)
   }
 }
@@ -137,5 +140,32 @@ object GraftExtensions {
           s"word_shingles k must be an integer literal, got $other")
       }
       WordShingles(children.head, k)
+    })
+
+  /** [[graft.operators.TextAnalysis.redactPii]] as a SQL scalar —
+    * `SELECT redact_pii(text)` (optional second arg: the residual
+    * digit-run minimum, default 4, integer literal — the regex chain is
+    * built at plan time). Expands to the same codegen'd RegExpReplace
+    * chain over the SAME pattern constants the Column API uses, so the
+    * two surfaces cannot drift.
+    */
+  val redactPiiFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("redact_pii"),
+    new ExpressionInfo(TextAnalysis.getClass.getName, "redact_pii"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1 || children.length == 2,
+        "redact_pii takes (text) or (text, minIdRun)")
+      val minRun = children.drop(1).headOption.map {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"redact_pii minIdRun must be an integer literal, got $other")
+      }.getOrElse(4)
+      def rr(x: Expression, pat: String, rep: String): Expression =
+        RegExpReplace(x, Literal(pat), Literal(rep))
+      rr(rr(rr(rr(children.head,
+        TextAnalysis.piiEmailPattern, "[EMAIL]"),
+        TextAnalysis.piiIpv4Pattern, "[IP]"),
+        TextAnalysis.piiPhonePattern, "[PHONE]"),
+        s"[0-9]{$minRun,}", "[ID]")
     })
 }

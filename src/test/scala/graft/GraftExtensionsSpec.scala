@@ -307,6 +307,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlOut.nonEmpty && sqlOut === apiOut)
   }
 
+  test("SQL redact_pii equals the Column API chain and respects the minIdRun arg") {
+    import graft.operators.TextAnalysis
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "redact_pii", GraftExtensions.redactPiiFn._3, "built-in")
+    val s = "mail a1@b.co ip 10.0.0.1 tel 555-123-4567 acct 123456 ext 123"
+    val sqlOut = spark.sql(
+      s"SELECT redact_pii('$s') AS r4, redact_pii('$s', 3) AS r3").collect().head
+    val colOut = spark.range(1).select(
+      TextAnalysis.redactPii(lit(s)).as("r4"),
+      TextAnalysis.redactPii(lit(s), minIdRun = 3).as("r3")).collect().head
+    assert(sqlOut.getString(0) === colOut.getString(0))
+    assert(sqlOut.getString(1) === colOut.getString(1))
+    assert(sqlOut.getString(0) === "mail [EMAIL] ip [IP] tel [PHONE] acct [ID] ext 123")
+    assert(sqlOut.getString(1) === "mail [EMAIL] ip [IP] tel [PHONE] acct [ID] ext [ID]")
+    val err = intercept[Exception] {
+      spark.sql("SELECT redact_pii('x', CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("SQL shuffle_key equals the Column API and the md5 derivation") {
     register()
     val sqlOut = spark.sql("SELECT shuffle_key(42) AS k").collect().head.getLong(0)
