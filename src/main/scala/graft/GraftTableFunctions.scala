@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, RankEval, Rerank, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, Profile, RankEval, Rerank, Sampling, Similarity, Skew, TextAnalysis}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -60,7 +60,14 @@ import graft.operators.{Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Pr
   *     (the q145 gate), quasi columns comma-joined;
   *   - `graft_key_skew(table, keyCol, topK)` —
   *     [[graft.operators.Skew.keySkewReport]]'s hot-key + Gini report
-  *     (the q166 diagnosis).
+  *     (the q166 diagnosis);
+  *   - `graft_asof_join(leftTable, rightTable, keyCol, tsCol, 'col1,col2')` —
+  *     [[graft.operators.AsOfJoin.asOfLeft]], the q36 as-of left join
+  *     (right payload columns comma-joined);
+  *   - `graft_profile(table, 'col1,col2'[, exact])` —
+  *     [[graft.operators.Profile.profile]]'s per-column verification
+  *     profile (the q77 operator); pass `false` for the approx
+  *     (HLL, single-scan) 100-TB form.
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -313,6 +320,36 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val asOfJoinFn: TableFn = (
+    FunctionIdentifier("graft_asof_join"),
+    new ExpressionInfo(AsOfJoin.getClass.getName, "graft_asof_join"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_asof_join takes (leftTable, rightTable, keyCol, tsCol, rightColsCsv)")
+      AsOfJoin.asOfLeft(table(str(args(0), "leftTable")),
+          table(str(args(1), "rightTable")), str(args(2), "keyCol"),
+          str(args(3), "tsCol"),
+          str(args(4), "rightCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .queryExecution.analyzed
+    })
+
+  val profileFn: TableFn = (
+    FunctionIdentifier("graft_profile"),
+    new ExpressionInfo(Profile.getClass.getName, "graft_profile"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        "graft_profile takes (table, colsCsv[, exact])")
+      val exact = args.drop(2).headOption.forall {
+        case Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"graft_profile exact must be a boolean literal, got $other")
+      }
+      Profile.profile(table(str(args(0), "table")),
+          str(args(1), "cols").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          exact = exact)
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
@@ -320,5 +357,6 @@ object GraftTableFunctions {
     Seq(dedupExactFn, weightedSampleFn, quotaPerGroupFn, snapshotDiffFn, bm25Fn,
       contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn,
       pageRankFn, curriculumFn, budgetSelectFn,
-      retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn)
+      retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn,
+      asOfJoinFn, profileFn)
 }

@@ -292,6 +292,51 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(prePruned(apiSkew.queryExecution.executedPlan.toString))
   }
 
+  test("SQL table functions drive the as-of join and column profile through spark.sql") {
+    import graft.operators.{AsOfJoin, Profile}
+    GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("ev_tf_purch")
+    events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+      .createOrReplaceTempView("ev_tf_signup")
+    def samePlan(sql: org.apache.spark.sql.DataFrame,
+                 api: org.apache.spark.sql.DataFrame): Boolean =
+      sql.queryExecution.optimizedPlan.sameResult(api.queryExecution.optimizedPlan)
+
+    val sqlAsof = spark.sql(
+      "SELECT * FROM graft_asof_join('ev_tf_purch', 'ev_tf_signup', 'user_id', 'ts', 'signup_event')")
+    val apiAsof = AsOfJoin.asOfLeft(
+      events.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      events.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event")),
+      "user_id", "ts", Seq("signup_event"))
+    assert(samePlan(sqlAsof, apiAsof), "SQL asof_join must plan as the Column API")
+    val sqlAsofRows = sqlAsof.orderBy("event_id").collect().map(_.toString).toSeq
+    assert(sqlAsofRows.nonEmpty &&
+      sqlAsofRows === apiAsof.orderBy("event_id").collect().map(_.toString).toSeq)
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_tf_prof_v")
+    val sqlProf = spark.sql(
+      "SELECT * FROM graft_profile('docs_tf_prof_v', 'lang, n_chars')")
+    val apiProf = Profile.profile(docs, Seq("lang", "n_chars"))
+    assert(samePlan(sqlProf, apiProf), "SQL profile must plan as the Column API")
+    assert(sqlProf.orderBy("column").collect().map(_.toString).toSeq ===
+      apiProf.orderBy("column").collect().map(_.toString).toSeq)
+    // the approx form swaps in HLL — it must NOT plan an Expand
+    val approxPlan = spark.sql(
+      "SELECT * FROM graft_profile('docs_tf_prof_v', 'lang, n_chars', false)")
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile regressed to the Expand multi-distinct plan:\n$approxPlan")
+  }
+
   test("SQL word_shingles generator equals the kernel through LATERAL VIEW") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", GraftExtensions.wordShinglesFn._3, "built-in")
