@@ -127,11 +127,15 @@ object Bench {
       spark.catalog.clearCache()
       val isoMin = if (iso.isEmpty) -1.0 else iso.min
       val b = baseline.getOrElse(name, -1.0)
-      // the codified rule: an isolated re-run that lands at (or within 5%
-      // of) baseline proves the sweep number was contention; anything
-      // above is an honest regression to chase — no free-text margin
+      // the codified rule: an isolated re-run that lands within 5% of
+      // baseline PLUS a 0.05s absolute epsilon proves the sweep number
+      // was contention; anything above is an honest regression to chase.
+      // The absolute term matters for sub-second queries: with the
+      // documented ±10-20% hourly host drift, a pure-relative rule would
+      // demand millisecond-exact isolation and mislabel drift as
+      // regression (ADVICE r11).
       val verdict =
-        if (b > 0) { if (isoMin >= 0 && isoMin <= b * 1.05) "contention" else "regression" }
+        if (b > 0) { if (isoMin >= 0 && isoMin <= b * 1.05 + 0.05) "contention" else "regression" }
         else { if (isoMin >= 0 && isoMin <= med / 2) "contention" else "unconfirmed" }
       "\"" + name +
         s"""":{"baseline":$b,"med":$med,"isolated_min":$isoMin,"verdict":"$verdict"}"""

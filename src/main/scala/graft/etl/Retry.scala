@@ -45,6 +45,14 @@ object Retry {
     while (t != null && seen.add(t)) {
       t match {
         case _: InterruptedException => return true
+        // structured signal first: Spark 4 tags cancellations with an
+        // error condition; only exceptions WITHOUT one (older message-only
+        // shapes) fall back to the wording heuristic, so a task fault
+        // whose structured condition merely mentions "cancel" in prose
+        // keeps its retries
+        case s: org.apache.spark.SparkThrowable if s.getCondition != null =>
+          val c = s.getCondition
+          if (c == "SPARK_JOB_CANCELLED" || c == "OPERATION_CANCELED") return true
         case s: org.apache.spark.SparkException
             if Option(s.getMessage).exists(_.toLowerCase.contains("cancel")) =>
           return true

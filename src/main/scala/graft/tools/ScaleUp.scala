@@ -48,8 +48,13 @@ object ScaleUp {
   /** max(key) + 1 of the key family's OWNING table — the one offset every
     * referencing column shares.
     */
-  private[tools] def keySpan(df: DataFrame, key: String): Long =
-    df.agg(max(col(key))).head().getLong(0) + 1L
+  private[tools] def keySpan(df: DataFrame, key: String): Long = {
+    // cast in the agg so INT key columns read as BIGINT, and fail loudly
+    // (naming the key) on an empty source instead of an opaque NPE
+    val mx = df.agg(max(col(key).cast("long"))).head().get(0)
+    require(mx != null, s"keySpan($key): source table is empty — cannot derive a key span")
+    mx.asInstanceOf[Long] + 1L
+  }
 
   /** `n` replicas of `df`, each listed key shifted by `replica * span`.
     * Carries the `__rep` column for callers that vary payload per replica;

@@ -75,6 +75,35 @@ class RetrySpec extends AnyFunSuite {
     assert(calls === 1 && e.getMessage === "stage failed")
   }
 
+  test("a structured SPARK_JOB_CANCELLED condition is never retried") {
+    var calls = 0
+    intercept[org.apache.spark.SparkException] {
+      Retry.withRetries("structured-cancelled", Retry.Policy(retries = 2), sleeper = _ => ()) {
+        calls += 1
+        throw new org.apache.spark.SparkException(
+          "something went away", null, Some("SPARK_JOB_CANCELLED"),
+          Map.empty[String, String], Array.empty[org.apache.spark.QueryContext])
+      }
+    }
+    assert(calls === 1)
+  }
+
+  test("a structured NON-cancel condition whose message mentions 'cancel' keeps its retries") {
+    // the message heuristic must only apply to exceptions WITHOUT a
+    // structured condition — a genuine fault that merely mentions
+    // cancellation in prose is retryable
+    var calls = 0
+    intercept[org.apache.spark.SparkException] {
+      Retry.withRetries("prose-cancel", Retry.Policy(retries = 2), sleeper = _ => ()) {
+        calls += 1
+        throw new org.apache.spark.SparkException(
+          "task failed while peer was cancelled", null, Some("INTERNAL_ERROR"),
+          Map.empty[String, String], Array.empty[org.apache.spark.QueryContext])
+      }
+    }
+    assert(calls === 3, "2 retries + the original attempt")
+  }
+
   test("an InterruptedException buried in the cause chain is treated as cancellation") {
     var calls = 0
     intercept[RuntimeException] {

@@ -18,19 +18,28 @@ def main():
     sf1 = json.load(open(sys.argv[2]))["queries"]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
     rows = []
-    for q, t1 in sorted(sf1.items()):
-        t01 = sf01.get(q)
-        if t01 is None or t01 <= 0 or t1 <= 0:
-            rows.append((q, t01, t1, None))
-            continue
-        rows.append((q, t01, t1, t1 / t01))
+    unscored = []  # (query, reason) — coverage gaps between the two runs
+    for q in sorted(set(sf01) | set(sf1)):
+        t01, t1 = sf01.get(q), sf1.get(q)
+        if t01 is None:
+            unscored.append((q, "missing_in_small_run"))
+        elif t1 is None:
+            unscored.append((q, "missing_in_big_run"))
+        elif t01 <= 0 or t1 <= 0:
+            unscored.append((q, f"non_positive_time(small={t01},big={t1})"))
+        else:
+            rows.append((q, t01, t1, t1 / t01))
     scored = [r for r in rows if r[3] is not None]
     worst = sorted(scored, key=lambda r: -r[3])[:10]
     over = [r for r in scored if r[3] > threshold]
 
-    print(f"queries: {len(scored)} scored / {len(rows)} total; "
+    print(f"queries: {len(scored)} scored / {len(rows) + len(unscored)} total; "
           f"total {sum(r[1] for r in scored):.1f}s (sf0.1) -> "
           f"{sum(r[2] for r in scored):.1f}s (sf1)")
+    if unscored:
+        print(f"\n## {len(unscored)} unscored (coverage gaps)")
+        for q, why in unscored:
+            print(f"- {q}: {why}")
     print(f"\n## {len(over)} queries over {threshold}x for 10x data")
     print("| query | sf0.1 s | sf1 s | factor |")
     print("|---|---|---|---|")
@@ -58,6 +67,7 @@ def main():
             "queries": {q: {"sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
                             "factor": round(fac, 2)}
                         for q, a, b, fac in scored},
+            "unscored": [{"query": q, "reason": why} for q, why in unscored],
         }, f, indent=1)
     print("\nwrote SCALING_sf1.json")
 
