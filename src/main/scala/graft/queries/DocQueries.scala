@@ -452,10 +452,12 @@ object DocQueries {
     * cutoffs computed in ONE aggregation pass, broadcast back onto the
     * corpus, bucket = rank band by cutoff comparison. No global sort, no
     * single-partition ntile window — the plan that survives 100× where
-    * q82's exact ntile is the presentation form. Driver check is
-    * rows+schema (a hash can't pin an approx-percentile form across
-    * engines); the bucket-boundary semantics are spec-pinned against the
-    * exact form in BucketingSpec.
+    * q82's exact ntile is the presentation form. Driver check is a FULL
+    * hash oracle: at every verified scale (≤5k docs) the GK sketch never
+    * compresses (merge needs n ≥ accuracy), so the cutoffs are exactly
+    * the elements at ascending rank ceil(p·n), which the DuckDB SQL
+    * replays by list index. The bucket-boundary semantics are additionally
+    * spec-pinned against the exact form in BucketingSpec.
     */
   def q177LmBucketsApprox(spark: SparkSession, dir: String): DataFrame = {
     val lm = TextAnalysis.unigramLogProb(Tables(spark, dir).documents, "text", "doc_id")

@@ -3543,6 +3543,34 @@ object OracleSql {
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       min(avg_logprob) AS min_logprob, max(avg_logprob) AS max_logprob
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q177's approx-quantile bucketing replayed EXACTLY: at every verified
+    // scale (≤5k docs) percentile_approx's GK sketch never compresses
+    // (merge needs 2·ε·n ≥ 2, i.e. n ≥ accuracy=10000), so Spark's cutoff
+    // is the element at ascending rank ceil(p·n) — a deterministic list
+    // index here. Bucket = 1 + #cutoffs the value falls below, exactly
+    // Bucketing.byApproxQuantilesDesc's comparison.
+    "q177_lm_buckets_approx" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |              FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM toks),
+        |lm AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         round(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / (SELECT n FROM n)) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 4) AS avg_logprob
+        |  FROM toks JOIN freq USING (tok)
+        |  GROUP BY doc_id),
+        |srt AS (SELECT list(avg_logprob ORDER BY avg_logprob) AS vs, count(*) AS nd FROM lm),
+        |cut AS (SELECT vs[CAST(ceil(2.0/3.0 * nd) AS BIGINT)] AS hi,
+        |               vs[CAST(ceil(1.0/3.0 * nd) AS BIGINT)] AS lo FROM srt),
+        |b AS (SELECT lm.*,
+        |             1 + CASE WHEN avg_logprob < hi THEN 1 ELSE 0 END
+        |               + CASE WHEN avg_logprob < lo THEN 1 ELSE 0 END AS bucket
+        |      FROM lm, cut)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(avg_logprob) AS min_value, max(avg_logprob) AS max_value
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
