@@ -117,15 +117,53 @@ class PlanInvariantSpec extends SparkTestBase {
       "top-k regressed to a full global sort")
   }
 
+  /** Queries whose plan legitimately contains a partition-less WindowExec
+    * (Spark's "Moving all data to a single partition" warning). Every
+    * entry must name the BOUNDED subtree the window sits over — a global
+    * window over the corpus itself would be the scale-killer this census
+    * exists to catch. Audited round 12 via `graft.tools.WindowCensus`.
+    */
+  private val boundedGlobalWindowByDesign: Map[String, String] = Map(
+    "q07_dim_dedup_key" -> "surrogate-key rank over the DEDUPED dim table (distinct part attrs) — the presentation form; the scalable two-phase allocator is the same query's documented sibling (SurrogateKeys)",
+    "q100_pq_codebooks" -> "seed rank over the k=8 lowest-id seed rows (LIMIT 8 upstream)",
+    "q101_pq_codes" -> "same k=8 seed rank as q100 (shared pqCodebooks chain)",
+    "q105_packed_sequences" -> "vocab id rank over the DISTINCT-token table — vocabulary cardinality, not corpus",
+    "q95_vocab_encode" -> "same vocabulary rank as q105 (shared vocab build)",
+    "q121_bpe_packed_sequences" -> "same vocabulary rank as q105, over the BPE-merged vocab",
+    "q115_budget_select" -> "cumulative sum over the nBuckets-row quantile-fence table",
+    "q127_logreg_eval" -> "ROC cumulative sums over the quantized score table (<= 1e6+1 rows by construction)",
+    "q96_hybrid_retrieval" -> "rrfFuse head ranks over the two <= k retrieval heads (bounded-input contract ENFORCED in Index.rrfFuse)",
+    "q129_hybrid_serving" -> "same rrfFuse <= k head ranks as q96",
+    "q141_zipf_fit" -> "frequency rank over the word-frequency table — vocabulary cardinality",
+    "q166_key_skew" -> "top-K row rank + cumulative mass over the per-key HISTOGRAM (aggregation-bounded; the diagnostic contract)",
+    "q80_mixture_weights" -> "global mass total over the per-source table (n_sources rows)",
+    "q82_lm_buckets" -> "the documented exact-ntile presentation form; q177_lm_buckets_approx is the registered no-global-sort scale sibling")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     if (!eagerByConstruction.contains(name)) {
-      test(s"$name plans without nested-loop/cartesian joins") {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      test(s"$name plans without nested-loop/cartesian joins or unaudited global windows") {
+        val qe = fn(spark, dir).queryExecution
+        val plan = qe.executedPlan.toString
         if (!bruteForceByDesign.contains(name)) {
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name degraded to BroadcastNestedLoopJoin")
           assert(!plan.contains("CartesianProduct"),
             s"$name degraded to CartesianProduct")
+        }
+        // window census: any partition-less WindowExec must be audited as
+        // sitting over a bounded subtree, else this is a whole-corpus
+        // single-partition sort hiding in the plan
+        val bare = qe.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bare.nonEmpty) {
+          assert(boundedGlobalWindowByDesign.contains(name),
+            s"$name plans ${bare.size} UNAUDITED partition-less WindowExec(s): " +
+              bare.map(_.windowExpression.map(_.sql).mkString(",")).mkString(" | ").take(400))
+        } else {
+          assert(!boundedGlobalWindowByDesign.contains(name),
+            s"$name is whitelisted for a partition-less window it no longer plans — remove the stale exemption")
         }
       }
     }
