@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Suffix-array longest-match substring dedup — the any-length complement
+  * of the fixed-k [[TextAnalysis.repeatedSpans]] inventory (Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better", §4).
+  * Fixed k-token windows can say "a k-gram repeats" but cannot report the
+  * LENGTH of the longest shared span, and a 3k-token boilerplate block
+  * shows up as 2k+1 separate hits instead of one unit. A suffix array
+  * answers both: sort all suffixes; the longest duplicated prefix of any
+  * suffix is its longest common prefix (LCP) with a sorted NEIGHBOR.
+  *
+  * The construction is fully relational — no in-memory index:
+  *
+  *   1. [[graft.functions.WordSuffixes]] emits one `(doc, pos, sfx)` row
+  *      per candidate match start, `sfx` truncated to `depth` tokens
+  *      (bounded-depth suffix array: spans ≥ depth saturate at depth).
+  *   2. Suffixes sort WITHIN `minLen`-prefix blocks, not globally: any
+  *      two suffixes with LCP ≥ minLen share their first minLen tokens,
+  *      so they land in the same block, where sorted order clusters them
+  *      exactly as a global suffix sort would — the SA adjacency
+  *      property survives, and the sort window is `partitionBy(block)`,
+  *      never a single-partition global window. Cross-block neighbors
+  *      have LCP < minLen by construction, i.e. below the report
+  *      threshold — losing them loses nothing.
+  *   3. Per suffix row: longest duplicated prefix = max(LCP with the
+  *      previous row, LCP with the next row) in block-sorted order, the
+  *      standard SA identity (the nearest sorted neighbors maximize
+  *      prefix agreement).
+  *
+  * Shuffle ∝ suffix rows = O(tokens × depth) bytes — the documented
+  * price of the bounded depth; partition grain = distinct minLen-grams
+  * (block skew only for a minLen-gram with pathological df — raise
+  * `minLen` or pre-filter boilerplate with the q74 inventory).
+  * Within-doc repeats count as duplication, exactly as in the paper
+  * (self-overlap included: "a a a a" repeats "a a a").
+  */
+object SuffixDedup {
+
+  /** Bounded-depth suffix-array rows: one `(idCol, pos, sfx)` row per
+    * candidate match start (positions that still have ≥ minLen tokens).
+    */
+  def suffixRows(df: DataFrame, textCol: String, idCol: String,
+                 minLen: Int, depth: Int): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.WordSuffixes.wordSuffixes(col(textCol), minLen, depth))
+      .withColumnRenamed("__sfx", "sfx")
+      .withColumnRenamed("__pos", "pos")
+
+  /** Token-wise longest common prefix of two string arrays: count of
+    * leading pairwise-equal elements. `zip_with` pads the shorter side
+    * with nulls; the null-safe inequality marks those as mismatches, so
+    * the first `true` in the mismatch mask IS the LCP (0-based), and an
+    * all-false mask means one array is a prefix of the other.
+    */
+  private[operators] def lcp(a: Column, b: Column): Column = {
+    val mismatch = zip_with(a, b, (x, y) => !(x <=> y))
+    val firstBad = array_position(mismatch, true)
+    when(a.isNull || b.isNull, lit(0L))
+      .when(firstBad > 0, firstBad - 1)
+      .otherwise(least(size(a), size(b)).cast("long"))
+  }
+
+  /** Per suffix row, the length (in tokens, saturated at `depth`) of the
+    * longest prefix that occurs ANYWHERE else in the corpus (another
+    * document or another position of the same document):
+    * `(idCol, pos, dup_len)`. Rows below `minLen` agreement report their
+    * raw neighbor LCP (< minLen); consumers threshold.
+    */
+  def longestDupPrefix(df: DataFrame, textCol: String, idCol: String,
+                       minLen: Int = 5, depth: Int = 50): DataFrame = {
+    val sfx = suffixRows(df, textCol, idCol, minLen, depth)
+      // block key: the first minLen tokens, space-joined (tokens carry no
+      // whitespace post-split, so the join is injective on exactly-minLen
+      // token sequences)
+      .withColumn("__block", concat_ws(" ", slice(col("sfx"), 1, minLen)))
+    val w = Window.partitionBy(col("__block"))
+      .orderBy(col("sfx"), col(idCol), col("pos"))
+    sfx.select(
+        col(idCol), col("pos"),
+        greatest(
+          lcp(col("sfx"), lag(col("sfx"), 1).over(w)),
+          lcp(col("sfx"), lead(col("sfx"), 1).over(w))).as("dup_len"))
+  }
+
+  /** Per-document substring-dedup report:
+    * `(idCol, longest_dup_tokens, n_dup_starts)` — the longest span (in
+    * tokens, ≥ minLen, saturated at depth) shared with any other
+    * occurrence in the corpus, and how many token positions start such a
+    * span (the Lee-et-al strip-candidate count). Documents with no
+    * qualifying span — including those shorter than minLen — report 0/0.
+    */
+  def longestDupPerDoc(df: DataFrame, textCol: String, idCol: String,
+                       minLen: Int = 5, depth: Int = 50): DataFrame = {
+    val dup = longestDupPrefix(df, textCol, idCol, minLen, depth)
+      .where(col("dup_len") >= minLen)
+      .groupBy(col(idCol))
+      .agg(max(col("dup_len")).as("__longest"), count(lit(1)).as("__starts"))
+    df.select(col(idCol)).join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__longest"), lit(0L)).as("longest_dup_tokens"),
+        coalesce(col("__starts"), lit(0L)).as("n_dup_starts"))
+  }
+}

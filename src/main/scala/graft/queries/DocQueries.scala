@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing, SuffixDedup}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -1656,4 +1656,21 @@ object DocQueries {
       )
       .orderBy("media_id")
   }
+
+  /** Suffix-array longest-match substring dedup (Lee et al. 2022) — the
+    * any-length complement of q74's fixed-k repeated-span inventory: per
+    * document, the TRUE length (in tokens, saturated at depth=30) of the
+    * longest span that occurs anywhere else in the corpus, plus how many
+    * token positions start such a span (the strip-candidate count). The
+    * construction is a relational bounded-depth suffix array: suffix rows
+    * from the [[graft.functions.WordSuffixes]] generator, sorted WITHIN
+    * minLen-prefix blocks (any pair with LCP ≥ minLen shares its block, so
+    * block-local adjacency equals global suffix-sort adjacency — no
+    * single-partition window), longest dup prefix = max LCP with the two
+    * sorted neighbors. Oracle replays the whole construction in DuckDB.
+    */
+  def q181LongestDupSpan(spark: SparkSession, dir: String): DataFrame =
+    SuffixDedup.longestDupPerDoc(Tables(spark, dir).documents, "text", "doc_id",
+        minLen = 5, depth = 30)
+      .orderBy("doc_id")
 }

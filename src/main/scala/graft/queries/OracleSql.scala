@@ -3571,7 +3571,36 @@ object OracleSql {
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       min(avg_logprob) AS min_value, max(avg_logprob) AS max_value
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // SuffixDedup's relational bounded-depth suffix array replayed in
+    // full: suffix slices (depth=30, minLen=5), minLen-prefix blocks,
+    // block-sorted lag/lead adjacency, token-wise LCP (nullif: DuckDB's
+    // list_position signals not-found as 0), per-doc threshold rollup.
+    "q181_longest_dup_span" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS pos
+        |       FROM d WHERE len(toks) >= 5),
+        |s AS (SELECT doc_id, pos, toks[pos : least(pos + 29, len(toks))] AS sfx FROM st),
+        |b AS (SELECT doc_id, pos, sfx, array_to_string(sfx[1:5], ' ') AS blk FROM s),
+        |n AS (SELECT doc_id, pos, sfx,
+        |             lag(sfx) OVER w AS prv, lead(sfx) OVER w AS nxt
+        |      FROM b WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, pos)),
+        |r AS (SELECT doc_id, pos,
+        |        greatest(
+        |          CASE WHEN prv IS NULL THEN 0
+        |               ELSE coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(prv))), i -> sfx[i] IS DISTINCT FROM prv[i]), true), 0) - 1, least(len(sfx), len(prv))) END,
+        |          CASE WHEN nxt IS NULL THEN 0
+        |               ELSE coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(nxt))), i -> sfx[i] IS DISTINCT FROM nxt[i]), true), 0) - 1, least(len(sfx), len(nxt))) END
+        |        ) AS dup_len
+        |      FROM n),
+        |agg AS (SELECT doc_id, max(dup_len) AS longest, count(*) AS starts
+        |        FROM r WHERE dup_len >= 5 GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |       CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_dup_tokens,
+        |       CAST(coalesce(agg.starts, 0) AS BIGINT) AS n_dup_starts
+        |FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 
   /** Unrolled squared-L2 over `dim` list elements with the SAME left
