@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{AsOfJoin, Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, Profile, RankEval, Rerank, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, Profile, RankEval, Rerank, Sampling, Similarity, Skew, TextAnalysis, UrlCuration}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -350,6 +350,18 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val domainQuotaFn: TableFn = (
+    FunctionIdentifier("graft_domain_quota"),
+    new ExpressionInfo(UrlCuration.getClass.getName, "graft_domain_quota"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_domain_quota takes (table, urlCol, quota, orderCol, idCol)")
+      UrlCuration.domainQuota(table(str(args(0), "table")),
+          str(args(1), "urlCol"), int(args(2), "quota"),
+          Seq(col(str(args(3), "orderCol")).desc, col(str(args(4), "idCol"))))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
@@ -358,5 +370,5 @@ object GraftTableFunctions {
       contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn,
       pageRankFn, curriculumFn, budgetSelectFn,
       retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn,
-      asOfJoinFn, profileFn)
+      asOfJoinFn, profileFn, domainQuotaFn)
 }

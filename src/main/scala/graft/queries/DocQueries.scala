@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing, SuffixDedup}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing, SuffixDedup, UrlCuration}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -1673,4 +1673,86 @@ object DocQueries {
     SuffixDedup.longestDupPerDoc(Tables(spark, dir).documents, "text", "doc_id",
         minLen = 5, depth = 30)
       .orderBy("doc_id")
+
+  /** Deterministic messy-URL fixture over the documents table — the
+    * corpus carries no URL metadata, so the curation queries synthesize
+    * one crawl URL per document from (doc_id, source) with deliberate
+    * mess: mixed-case schemes and hosts, `www.`/`cdn.` prefixes, default
+    * AND non-default ports, trailing slashes, bare `?`, fragments, and
+    * multi-label ccTLD suffixes. Pure modular arithmetic + concat, so the
+    * DuckDB oracle rebuilds the identical strings byte-for-byte (the
+    * Multimodal.mediaFromDocuments precedent for absent modalities).
+    */
+  private def withSyntheticUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val www = when(id % 4 === 0, lit("WWW.")).otherwise(lit(""))
+    val sub = when(id % 8 === 0, lit("cdn.")).otherwise(lit(""))
+    val hostCore = concat(
+      when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      (id % 7).cast("string"))
+    val tld = when(id % 5 === 0, lit("com")).when(id % 5 === 1, lit("org"))
+      .when(id % 5 === 2, lit("co.uk")).when(id % 5 === 3, lit("com.au"))
+      .otherwise(lit("net"))
+    val port = when(id % 6 === 0, lit(":443")).when(id % 6 === 1, lit(":80"))
+      .when(id % 6 === 2, lit(":8080")).otherwise(lit(""))
+    val path = when(id % 11 === 0, lit("/"))
+      .otherwise(concat(lit("/a/b"), (id % 10).cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit(""))))
+    val query = when(id % 3 === 0, concat(lit("?x="), (id % 4).cast("string")))
+      .when(id % 9 === 1, lit("?")).otherwise(lit(""))
+    val frag = when(id % 5 === 0, lit("#sec")).otherwise(lit(""))
+    docs.withColumn("url",
+      concat(scheme, lit("://"), www, sub, hostCore, lit("."), tld, port,
+        path, query, frag))
+  }
+
+  /** URL normalization + registered-domain extraction, row-level: the
+    * canonical-form dedup key and pay-level domain for every document's
+    * (synthesized) crawl URL. [[graft.operators.UrlCuration.normalizeUrl]]
+    * is a pure codegen'd expression chain — the whole stage fuses into
+    * the scan; the oracle replays scheme/host/port/path/query handling
+    * with DuckDB string ops.
+    */
+  def q182UrlNormalize(spark: SparkSession, dir: String): DataFrame =
+    withSyntheticUrls(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("url"),
+        UrlCuration.normalizeUrl(col("url")).as("url_norm"),
+        UrlCuration.domainOfUrl(col("url")).as("domain"))
+      .orderBy("doc_id")
+
+  /** Per-registered-domain document cap — the anti-SEO-farm lever:
+    * [[graft.operators.UrlCuration.domainQuota]] keeps the top 25
+    * documents per domain by size (q87's WindowGroupLimit pre-prune
+    * shape, keyed by the extracted domain instead of a stored column).
+    */
+  def q183DomainQuota(spark: SparkSession, dir: String): DataFrame =
+    UrlCuration.domainQuota(
+        withSyntheticUrls(Tables(spark, dir).documents), "url", quota = 25,
+        preference = Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("doc_id"), col("domain"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Per-domain crawl-mix stats: docs, distinct hosts, total chars per
+    * registered domain — one map-side-combinable aggregation.
+    */
+  def q184DomainStats(spark: SparkSession, dir: String): DataFrame =
+    UrlCuration.domainStats(
+        withSyntheticUrls(Tables(spark, dir).documents), "url", "n_chars")
+      .orderBy("domain")
+
+  /** Domain-mix drift between two (synthetic) crawl snapshots — the
+    * even/odd doc_id halves through [[graft.operators.UrlCuration.domainMixDrift]]
+    * = q151's chi²/JS machinery keyed by the registered domain.
+    */
+  def q185DomainDrift(spark: SparkSession, dir: String): DataFrame = {
+    val urls = withSyntheticUrls(Tables(spark, dir).documents)
+    // mod-3 split: co-prime with every generator modulus that feeds the
+    // domain (source %20, digit %7, tld %5), so the two snapshots SHARE
+    // domains and the drift statistics are non-degenerate (an even/odd
+    // split makes the halves domain-disjoint and the report saturates)
+    UrlCuration.domainMixDrift(
+      urls.where(col("doc_id") % 3 === 0),
+      urls.where(col("doc_id") % 3 =!= 0), "url")
+  }
 }

@@ -3600,7 +3600,63 @@ object OracleSql {
         |SELECT d0.doc_id,
         |       CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_dup_tokens,
         |       CAST(coalesce(agg.starts, 0) AS BIGINT) AS n_dup_starts
-        |FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q182_url_normalize" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, url, url_norm, domain FROM dm ORDER BY doc_id""".stripMargin,
+
+    "q183_domain_quota" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, domain, n_chars FROM (
+         |  SELECT doc_id, domain, n_chars,
+         |         row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM dm)
+         |WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+
+    "q184_domain_stats" ->
+      s"""WITH $urlCtes
+         |SELECT domain, count(*) AS n_docs,
+         |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM dm GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q151's chi2/JS machinery keyed by the registered domain; mod-3
+    // snapshot split (co-prime with the generator moduli, so the halves
+    // share domains and the statistics are non-degenerate)
+    "q185_domain_drift" ->
+      s"""WITH $urlCtes,
+         |b AS (SELECT coalesce(domain, '__null__') AS c, count(*) AS cb FROM dm WHERE doc_id % 3 = 0 GROUP BY 1),
+         |c AS (SELECT coalesce(domain, '__null__') AS c, count(*) AS cc FROM dm WHERE doc_id % 3 <> 0 GROUP BY 1),
+         |j AS (SELECT coalesce(b.c, c.c) AS c, coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+         |      FROM b FULL OUTER JOIN c ON b.c = c.c),
+         |t AS (SELECT sum(cb) AS nb, sum(cc) AS nc, count(*) AS k FROM j),
+         |chi AS (
+         |  SELECT round(CAST(sum(CAST(round(
+         |    (CAST(cb AS DOUBLE) - CAST((cb + cc) * nb AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+         |      * (CAST(cb AS DOUBLE) - CAST((cb + cc) * nb AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+         |      / (CAST((cb + cc) * nb AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+         |    + (CAST(cc AS DOUBLE) - CAST((cb + cc) * nc AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+         |      * (CAST(cc AS DOUBLE) - CAST((cb + cc) * nc AS DOUBLE) / CAST(nb + nc AS DOUBLE))
+         |      / (CAST((cb + cc) * nc AS DOUBLE) / CAST(nb + nc AS DOUBLE)), 9) AS DECIMAL(28,12)))
+         |    AS DOUBLE), 9) AS chi2
+         |  FROM j, t),
+         |js AS (
+         |  SELECT round(CAST(sum(CAST(round(
+         |    CASE WHEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) > 0
+         |      THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |           * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |                / ((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) + CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) / 2))
+         |      ELSE 0 END
+         |    + CASE WHEN CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) > 0
+         |      THEN 0.5 * (CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+         |           * ln((CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+         |                / ((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) + CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)) / 2))
+         |      ELSE 0 END, 9) AS DECIMAL(28,12))) AS DOUBLE), 9) AS js_divergence
+         |  FROM j, t)
+         |SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+         |       CAST(k AS BIGINT) AS n_categories, chi2, js_divergence
+         |FROM t, chi, js""".stripMargin
   )
 
   /** Unrolled squared-L2 over `dim` list elements with the SAME left
@@ -3610,6 +3666,47 @@ object OracleSql {
   private def l2SqSql(a: String, b: String, dim: Int): String =
     (0 until dim).map(j => s"($a[${j + 1}] - $b[${j + 1}]) * ($a[${j + 1}] - $b[${j + 1}])")
       .mkString(" + ")
+
+  /** Shared URL-curation CTE chain: rebuilds DocQueries.withSyntheticUrls
+    * byte-for-byte (pure modular arithmetic + concat), then replays
+    * UrlCuration.normalizeUrl (scheme/host lowering, www strip, default
+    * ports, fragment/empty-query drop, one trailing slash) and
+    * registeredDomain (PSL-subset multi-label suffixes) with DuckDB
+    * string ops. `dm` carries (doc_id, url, url_norm, host, domain,
+    * n_chars, source).
+    */
+  private def urlCtes: String =
+    """u AS (SELECT doc_id, source, n_chars,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 8 = 0 THEN 'cdn.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN 'com' WHEN doc_id % 5 = 1 THEN 'org' WHEN doc_id % 5 = 2 THEN 'co.uk' WHEN doc_id % 5 = 3 THEN 'com.au' ELSE 'net' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 1 THEN ':80' WHEN doc_id % 6 = 2 THEN ':8080' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/a/b' || CAST(doc_id % 10 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '?x=' || CAST(doc_id % 4 AS VARCHAR) WHEN doc_id % 9 = 1 THEN '?' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+      |FROM documents),
+      |up AS (SELECT *, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+      |       FROM u),
+      |up2 AS (SELECT *,
+      |  regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')), '^www\.', '') AS host,
+      |  regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+      |  regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+      |  CASE WHEN url LIKE '%?%' THEN regexp_extract(url, '\?([^#]*)', 1) ELSE NULL END AS query
+      |  FROM up),
+      |nrm AS (SELECT doc_id, url, source, n_chars, host,
+      |  scheme || '://' || host ||
+      |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80') AND NOT (scheme = 'https' AND port = '443') THEN ':' || port ELSE '' END) ||
+      |  path ||
+      |  (CASE WHEN query IS NOT NULL AND query <> '' THEN '?' || query ELSE '' END) AS url_norm
+      |  FROM up2),
+      |dm AS (SELECT *,
+      |  CASE WHEN len(string_split(host, '.')) >= 3 AND array_to_string(string_split(host, '.')[-2:], '.') IN ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au','org.au','co.jp','ne.jp','or.jp','com.br','com.mx','co.in','co.nz','com.sg','com.cn') THEN array_to_string(string_split(host, '.')[-3:], '.')
+      |       WHEN len(string_split(host, '.')) >= 2 THEN array_to_string(string_split(host, '.')[-2:], '.')
+      |       ELSE host END AS domain
+      |  FROM nrm)""".stripMargin
 
   /** Shared PQ CTE chain replaying Quantize.pqCodebooks (m=4, subDim=16,
     * k=8): slice → lowest-id seeds with dense 0-based cids → unrolled-L2
