@@ -13,26 +13,48 @@ import pandas as pd
 # the driver's type-sensitive hash. Run strict before claiming a round.
 strict = "--strict" in sys.argv
 argv = [a for a in sys.argv if a != "--strict"]
+# --only q1,q2 subsets the compare (targeted sweeps at bigger SFs, where
+# running every oracle SQL in DuckDB is slow and spill-heavy);
+# --json PATH additionally writes a per-query verdict record
+only = None
+json_out = None
+for i, a in enumerate(list(argv)):
+    if a == "--only":
+        only = set(argv[i + 1].split(","))
+    if a == "--json":
+        json_out = argv[i + 1]
+while "--only" in argv:
+    i = argv.index("--only"); del argv[i:i + 2]
+while "--json" in argv:
+    i = argv.index("--json"); del argv[i:i + 2]
 sfdir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
 outdir = argv[2] if len(argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# spill to /tmp, not the repo cwd (a killed run once left 19 GB of
+# duckdb_temp_storage files in ./.tmp)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
+record = {}
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
         oracle_df = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {e}")
+        record[name] = {"pass": False, "err": f"duckdb: {e}"}
         fail += 1
         continue
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
         print(f"FAIL {name}: no spark output")
+        record[name] = {"pass": False, "err": "no spark output"}
         fail += 1
         continue
     spark_df = pd.concat([pd.read_parquet(f) for f in spark_files])
@@ -40,10 +62,12 @@ for name, sql in sorted(oracle.items()):
     s = spark_df.reindex(sorted(spark_df.columns), axis=1)
     if list(o.columns) != list(s.columns):
         print(f"FAIL {name}: columns differ: oracle={list(o.columns)} spark={list(s.columns)}")
+        record[name] = {"pass": False, "err": "schema mismatch"}
         fail += 1
         continue
     if len(o) != len(s):
         print(f"FAIL {name}: rows differ: oracle={len(o)} spark={len(s)}")
+        record[name] = {"pass": False, "err": f"rows {len(s)} vs oracle {len(o)}"}
         fail += 1
         continue
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
@@ -77,8 +101,15 @@ for name, sql in sorted(oracle.items()):
                 diffs.append(f"col {c} row {bad}: oracle={o[c][bad]!r} spark={s[c][bad]!r}")
     if diffs:
         print(f"FAIL {name}: {('; '.join(diffs[:3]))}")
+        record[name] = {"pass": False, "rows": len(o), "err": "; ".join(diffs[:3])}
         fail += 1
     else:
         print(f"PASS {name} ({len(o)} rows)")
+        record[name] = {"pass": True, "rows": len(o), "err": None}
 print(f"\n{len(oracle) - fail}/{len(oracle)} oracle queries pass")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sfdir, "strict": strict, "queries": record,
+                   "n_pass": len(oracle) - fail, "n_total": len(oracle)}, f, indent=1)
+    print(f"wrote {json_out}")
 sys.exit(1 if fail else 0)
