@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.operators.{AsOfJoin, Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, Profile, RankEval, Rerank, Sampling, Similarity, Skew, TextAnalysis, UrlCuration}
+import graft.operators.{AsOfJoin, Bpe, Curriculum, Dedup, Diff, Drift, Index, PageRank, Privacy, Profile, RankEval, Rerank, Sampling, Similarity, Skew, SuffixDedup, TextAnalysis, UrlCuration}
 
 /** SQL TABLE-function entry points for the curation operator library —
   * the surface that lets a pure-`spark.sql` user run the pipeline
@@ -362,6 +362,18 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  val longestDupFn: TableFn = (
+    FunctionIdentifier("graft_longest_dup"),
+    new ExpressionInfo(SuffixDedup.getClass.getName, "graft_longest_dup"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        "graft_longest_dup takes (table, textCol, idCol, minLen, depth)")
+      SuffixDedup.longestDupPerDoc(table(str(args(0), "table")),
+          str(args(1), "textCol"), str(args(2), "idCol"),
+          int(args(3), "minLen"), int(args(4), "depth"))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
@@ -370,5 +382,5 @@ object GraftTableFunctions {
       contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn,
       pageRankFn, curriculumFn, budgetSelectFn,
       retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn,
-      asOfJoinFn, profileFn, domainQuotaFn)
+      asOfJoinFn, profileFn, domainQuotaFn, longestDupFn)
 }

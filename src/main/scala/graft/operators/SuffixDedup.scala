@@ -87,6 +87,70 @@ object SuffixDedup {
           lcp(col("sfx"), lead(col("sfx"), 1).over(w))).as("dup_len"))
   }
 
+  /** Substring-dedup STRIP (the purpose of the suffix array in Lee et
+    * al. 2022): every position whose suffix shares ≥ `minLen` leading
+    * tokens with an EARLIER occurrence loses that shared prefix, where
+    * "earlier" = smaller (idCol, pos) — the keep-first policy — and the
+    * document's text rebuilds from the surviving token positions.
+    *
+    * The loser test is sorted-neighbor precedence: in block-sorted suffix
+    * order, a row strips `lcp(row, n)` tokens for each adjacent neighbor
+    * `n` that PRECEDES it in (idCol, pos), if that LCP reaches `minLen`.
+    * Within any maximal run of suffixes sharing a duplicated prefix, the
+    * run's (idCol, pos)-minimum row has no preceding neighbor, so the
+    * FIRST occurrence of duplicated content always survives; every later
+    * occurrence strips its shared prefix (an exact-duplicate document
+    * strips to the empty string). Overlapping span families resolve
+    * toward MORE stripping, never against the first occurrence — the
+    * same overlap fuzziness as the paper's byte-range cuts. Null-text
+    * documents pass through as null.
+    *
+    * Shape: the adjacency window partitions by minLen-prefix block,
+    * covered positions explode from loser intervals only (≤ depth rows
+    * per loser), and the rebuild is one anti-join plus a sorted per-doc
+    * aggregation — everything keys on doc or block, no global step.
+    */
+  def stripAllButFirst(df: DataFrame, textCol: String, idCol: String,
+                       minLen: Int = 5, depth: Int = 50): DataFrame = {
+    val sfx = suffixRows(df, textCol, idCol, minLen, depth)
+      .withColumn("__block", concat_ws(" ", slice(col("sfx"), 1, minLen)))
+    val w = Window.partitionBy(col("__block"))
+      .orderBy(col("sfx"), col(idCol), col("pos"))
+    def precedes(nId: Column, nPos: Column): Column =
+      nId < col(idCol) || (nId === col(idCol) && nPos < col("pos"))
+    val stripLen = greatest(
+      when(precedes(lag(col(idCol), 1).over(w), lag(col("pos"), 1).over(w)),
+        lcp(col("sfx"), lag(col("sfx"), 1).over(w))).otherwise(lit(0L)),
+      when(precedes(lead(col(idCol), 1).over(w), lead(col("pos"), 1).over(w)),
+        lcp(col("sfx"), lead(col("sfx"), 1).over(w))).otherwise(lit(0L)))
+    val losers = sfx.select(col(idCol), col("pos"), stripLen.as("__strip"))
+      .where(col("__strip") >= minLen)
+      .select(col(idCol), col("pos"), (col("pos") + col("__strip")).as("__end"))
+    val covered = losers
+      .select(col(idCol), explode(sequence(col("pos"), col("__end") - 1)).as("pos"))
+      .distinct()
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(trim(lower(col(textCol))), "\\s+")))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("__stripped"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol), col(textCol))
+      .join(toks.groupBy(col(idCol)).agg(count(lit(1)).as("__before")),
+        Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__before"), lit(0L)).as("n_tokens_before"),
+        (coalesce(col("__before"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_tokens_removed"),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__stripped"), lit(""))).as("text_stripped"))
+  }
+
   /** Per-document substring-dedup report:
     * `(idCol, longest_dup_tokens, n_dup_starts)` — the longest span (in
     * tokens, ≥ minLen, saturated at depth) shared with any other

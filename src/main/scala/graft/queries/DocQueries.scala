@@ -1674,6 +1674,17 @@ object DocQueries {
         minLen = 5, depth = 30)
       .orderBy("doc_id")
 
+  /** The strip half of the Lee-et-al substring dedup (q181 reports, this
+    * removes): every duplicated-span instance with an earlier identical
+    * occurrence strips from its document, keep-first policy, text rebuilt
+    * from the surviving token positions. Oracle replays spans → loser
+    * intervals → covered positions → anti-join rebuild in DuckDB.
+    */
+  def q186StripDupSpans(spark: SparkSession, dir: String): DataFrame =
+    SuffixDedup.stripAllButFirst(Tables(spark, dir).documents, "text", "doc_id",
+        minLen = 5, depth = 30)
+      .orderBy("doc_id")
+
   /** Deterministic messy-URL fixture over the documents table — the
     * corpus carries no URL metadata, so the curation queries synthesize
     * one crawl URL per document from (doc_id, source) with deliberate

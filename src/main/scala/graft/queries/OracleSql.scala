@@ -3602,6 +3602,45 @@ object OracleSql {
         |       CAST(coalesce(agg.starts, 0) AS BIGINT) AS n_dup_starts
         |FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // the strip half: same suffix adjacency, but the LCP only counts
+    // against a neighbor that PRECEDES the row in (doc_id, pos) — the
+    // keep-first policy — and the text rebuilds from uncovered positions
+    "q186_strip_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS pos
+        |       FROM d WHERE len(toks) >= 5),
+        |s AS (SELECT doc_id, pos, toks[pos : least(pos + 29, len(toks))] AS sfx FROM st),
+        |b AS (SELECT doc_id, pos, sfx, array_to_string(sfx[1:5], ' ') AS blk FROM s),
+        |n AS (SELECT doc_id, pos, sfx,
+        |             lag(sfx) OVER w AS prv, lead(sfx) OVER w AS nxt,
+        |             lag(doc_id) OVER w AS pid, lag(pos) OVER w AS ppos,
+        |             lead(doc_id) OVER w AS nid, lead(pos) OVER w AS npos
+        |      FROM b WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, pos)),
+        |r AS (SELECT doc_id, pos,
+        |        greatest(
+        |          CASE WHEN prv IS NOT NULL AND (pid < doc_id OR (pid = doc_id AND ppos < pos))
+        |               THEN coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(prv))), i -> sfx[i] IS DISTINCT FROM prv[i]), true), 0) - 1, least(len(sfx), len(prv))) ELSE 0 END,
+        |          CASE WHEN nxt IS NOT NULL AND (nid < doc_id OR (nid = doc_id AND npos < pos))
+        |               THEN coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(nxt))), i -> sfx[i] IS DISTINCT FROM nxt[i]), true), 0) - 1, least(len(sfx), len(nxt))) ELSE 0 END
+        |        ) AS strip
+        |      FROM n),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + strip - 1)) AS pos
+        |        FROM r WHERE strip >= 5),
+        |tk AS (SELECT doc_id, t.p AS pos, toks[t.p] AS tok
+        |       FROM d, unnest(generate_series(1, len(toks))) t(p)),
+        |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS stripped, count(*) AS n_kept
+        |         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+        |         WHERE cov.pos IS NULL GROUP BY tk.doc_id),
+        |bef AS (SELECT doc_id, count(*) AS n_before FROM tk GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |       CAST(coalesce(bef.n_before, 0) AS BIGINT) AS n_tokens_before,
+        |       CAST(coalesce(bef.n_before, 0) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+        |       CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(kept.stripped, '') END AS text_stripped
+        |FROM documents d0
+        |LEFT JOIN bef USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q182_url_normalize" ->
       s"""WITH $urlCtes
          |SELECT doc_id, url, url_norm, domain FROM dm ORDER BY doc_id""".stripMargin,

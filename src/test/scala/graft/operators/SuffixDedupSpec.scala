@@ -113,6 +113,45 @@ class SuffixDedupSpec extends SparkTestBase {
     assert(got(10L) === ((0L, 0L)))
   }
 
+  test("stripAllButFirst removes later occurrences, keeps the first, rebuilds text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "intro words then the quick brown fox jumps over the end"),  // shares 7-token span
+      (3L, "the quick brown fox jumps over the lazy dog"),              // exact dup of 1 → strips empty
+      (4L, "totally unrelated content with no shared spans here"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 4, depth = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // doc 1 is the first occurrence everywhere → untouched
+    assert(got(1L) === ((9L, 0L, "the quick brown fox jumps over the lazy dog")))
+    // doc 3 duplicates doc 1 exactly → strips to empty
+    assert(got(3L) === ((9L, 9L, "")))
+    // doc 2's shared "the quick brown fox jumps over the" (7 tokens,
+    // positions 4..10) strips; intro and tail survive
+    assert(got(2L) === ((11L, 7L, "intro words then end")))
+    // untouched docs pass through; null text stays null
+    assert(got(4L)._2 === 0L && got(4L)._3.nonEmpty)
+    assert(got(5L) === ((0L, 0L, null)))
+  }
+
+  test("graft_longest_dup SQL table function plans as the Column API") {
+    graft.GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    corpus.toDF("doc_id", "text").createOrReplaceTempView("docs_tf_sfx_v")
+    val sqlDf = spark.sql(
+      s"SELECT * FROM graft_longest_dup('docs_tf_sfx_v', 'text', 'doc_id', $minLen, $depth)")
+    val apiDf = SuffixDedup.longestDupPerDoc(
+      spark.table("docs_tf_sfx_v"), "text", "doc_id", minLen, depth)
+    assert(sqlDf.queryExecution.optimizedPlan
+        .sameResult(apiDf.queryExecution.optimizedPlan),
+      "SQL longest_dup must plan as the Column API")
+    assert(sqlDf.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      apiDf.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
   test("suffix rows emit only candidate starts with >= minLen tokens, depth-truncated") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val rows = SuffixDedup.suffixRows(df, "text", "doc_id", minLen = 2, depth = 3)
