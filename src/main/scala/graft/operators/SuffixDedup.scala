@@ -80,11 +80,16 @@ object SuffixDedup {
       .withColumn("__block", concat_ws(" ", slice(col("sfx"), 1, minLen)))
     val w = Window.partitionBy(col("__block"))
       .orderBy(col("sfx"), col(idCol), col("pos"))
-    sfx.select(
-        col(idCol), col("pos"),
+    // bind the neighbors ONCE: lcp() references its argument four times,
+    // and inlining the window function there would make the physical
+    // Window evaluate the same lag/lead of a depth-token array four times
+    sfx.select(col(idCol), col("pos"), col("sfx"),
+        lag(col("sfx"), 1).over(w).as("__prv"),
+        lead(col("sfx"), 1).over(w).as("__nxt"))
+      .select(col(idCol), col("pos"),
         greatest(
-          lcp(col("sfx"), lag(col("sfx"), 1).over(w)),
-          lcp(col("sfx"), lead(col("sfx"), 1).over(w))).as("dup_len"))
+          lcp(col("sfx"), col("__prv")),
+          lcp(col("sfx"), col("__nxt"))).as("dup_len"))
   }
 
   /** Substring-dedup STRIP (the purpose of the suffix array in Lee et
@@ -118,12 +123,21 @@ object SuffixDedup {
       .orderBy(col("sfx"), col(idCol), col("pos"))
     def precedes(nId: Column, nPos: Column): Column =
       nId < col(idCol) || (nId === col(idCol) && nPos < col("pos"))
+    // neighbors bound once (see longestDupPrefix), then the precedence-
+    // gated LCPs computed from the materialized columns
+    val bound = sfx.select(col(idCol), col("pos"), col("sfx"),
+      lag(col("sfx"), 1).over(w).as("__prv"),
+      lag(col(idCol), 1).over(w).as("__pid"),
+      lag(col("pos"), 1).over(w).as("__ppos"),
+      lead(col("sfx"), 1).over(w).as("__nxt"),
+      lead(col(idCol), 1).over(w).as("__nid"),
+      lead(col("pos"), 1).over(w).as("__npos"))
     val stripLen = greatest(
-      when(precedes(lag(col(idCol), 1).over(w), lag(col("pos"), 1).over(w)),
-        lcp(col("sfx"), lag(col("sfx"), 1).over(w))).otherwise(lit(0L)),
-      when(precedes(lead(col(idCol), 1).over(w), lead(col("pos"), 1).over(w)),
-        lcp(col("sfx"), lead(col("sfx"), 1).over(w))).otherwise(lit(0L)))
-    val losers = sfx.select(col(idCol), col("pos"), stripLen.as("__strip"))
+      when(precedes(col("__pid"), col("__ppos")),
+        lcp(col("sfx"), col("__prv"))).otherwise(lit(0L)),
+      when(precedes(col("__nid"), col("__npos")),
+        lcp(col("sfx"), col("__nxt"))).otherwise(lit(0L)))
+    val losers = bound.select(col(idCol), col("pos"), stripLen.as("__strip"))
       .where(col("__strip") >= minLen)
       .select(col(idCol), col("pos"), (col("pos") + col("__strip")).as("__end"))
     val covered = losers
