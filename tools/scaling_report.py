@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Per-query sf0.1 -> sf1 scaling report for the 100x rehearsal.
 
-Usage: scaling_report.py BENCH_sf01.json BENCH_sf1.json [threshold=15]
+Usage: scaling_report.py BENCH_small.json BENCH_big.json [threshold=15] [out=SCALING_sf1.json]
 
 Both inputs are graft.Bench full records ({"queries": {...}, ...}),
 ideally measured the SAME DAY on the same host (host drift across days
@@ -17,6 +17,7 @@ def main():
     sf01 = json.load(open(sys.argv[1]))["queries"]
     sf1 = json.load(open(sys.argv[2]))["queries"]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
+    out_path = sys.argv[4] if len(sys.argv) > 4 else "SCALING_sf1.json"
     rows = []
     unscored = []  # (query, reason) — coverage gaps between the two runs
     for q in sorted(set(sf01) | set(sf1)):
@@ -50,7 +51,7 @@ def main():
     print("|---|---|---|---|")
     for q, a, b, f in worst:
         print(f"| {q} | {a:.2f} | {b:.2f} | {f:.1f}x |")
-    with open("SCALING_sf1.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump({
             "threshold": threshold,
             "n_scored": len(scored),
@@ -69,7 +70,7 @@ def main():
                         for q, a, b, fac in scored},
             "unscored": [{"query": q, "reason": why} for q, why in unscored],
         }, f, indent=1)
-    print("\nwrote SCALING_sf1.json")
+    print(f"\nwrote {out_path}")
 
 
 if __name__ == "__main__":
