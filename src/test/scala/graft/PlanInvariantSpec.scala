@@ -103,6 +103,13 @@ class PlanInvariantSpec extends SparkTestBase {
       "s_suppkey <= 5 no longer pushed to the supplier scan")
   }
 
+  test("q184 domain stats never reads the text column (URL synthesis prunes to 3 columns)") {
+    val plan = SparkEntry.queries("q184_domain_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text#"),
+      "q184's documents scan regressed to reading text — column pruning lost")
+  }
+
   test("q02 aggregates map-side before the exchange") {
     val plan = SparkEntry.queries("q02_group_agg")(spark, dir)
       .queryExecution.executedPlan.toString
