@@ -94,17 +94,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
+    // an unreadable/empty baseline (e.g. SPARK_GRAFT_BASELINE=/dev/null to
+    // disable the recheck) must mean "no baseline", not a crash AFTER the
+    // whole sweep already ran
     val baseline: Map[String, Double] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath))) {
         import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(
-            java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))) \ "queries" match {
-          case JObject(fields) => fields.collect {
-            case (k, JDouble(v)) => k -> v
-            case (k, JInt(v)) => k -> v.toDouble
-          }.toMap
-          case _ => Map.empty
-        }
+        scala.util.Try {
+          org.json4s.jackson.JsonMethods.parse(
+              java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))) \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        }.getOrElse(Map.empty)
       } else Map.empty
     // Two recheck triggers: (a) median regressed >25% and >0.2s vs the
     // baseline record; (b) the query has NO baseline entry (first round it
