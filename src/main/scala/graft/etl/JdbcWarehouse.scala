@@ -66,12 +66,36 @@ final case class JdbcWarehouse(
     if (tableExists(c, name))
       scala.util.Using.resource(c.createStatement())(_.executeUpdate(s"DROP TABLE $name"))
 
+  /** A VIEW (or synonym, alias, …) squatting on a name we must own would
+    * make every subsequent write fail with an opaque create-table error —
+    * `dropIfExists` only clears TABLEs on purpose (dropping a user's view
+    * silently would be worse). Detect the collision and say so.
+    */
+  private def failOnNonTableCollision(c: Connection, name: String): Unit = {
+    val anyType = scala.util.Using.resource(
+      c.getMetaData.getTables(null, null, name.toUpperCase, null)) { rs =>
+      if (rs.next()) Option(rs.getString("TABLE_TYPE")) else None
+    }
+    anyType.filter(_ != "TABLE").foreach { t =>
+      throw new IllegalStateException(
+        s"JdbcWarehouse needs '$name' for its truncate-reload swap, but a " +
+          s"non-table object of type $t already holds that name; drop or " +
+          "rename it (JdbcWarehouse will not drop non-TABLE objects)")
+    }
+  }
+
   override def write(name: String, df: DataFrame): Unit = {
     val stage = s"${name}__stage"
     val retire = s"${name}__retire"
     // a previous crashed run may have left stage/retire behind — both are
-    // dead by construction (never the live name), safe to clear
-    withConnection { c => dropIfExists(c, stage); dropIfExists(c, retire) }
+    // dead by construction (never the live name), safe to clear; anything
+    // that is NOT a plain table on these names is a collision we must
+    // surface, not silently fail on at create-table time
+    withConnection { c =>
+      failOnNonTableCollision(c, stage)
+      failOnNonTableCollision(c, retire)
+      dropIfExists(c, stage); dropIfExists(c, retire)
+    }
     df.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
     withConnection { c =>
       c.setAutoCommit(false)

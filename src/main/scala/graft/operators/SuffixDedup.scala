@@ -94,26 +94,42 @@ object SuffixDedup {
 
   /** Substring-dedup STRIP (the purpose of the suffix array in Lee et
     * al. 2022): every position whose suffix shares ≥ `minLen` leading
-    * tokens with an EARLIER occurrence loses that shared prefix, where
-    * "earlier" = smaller (idCol, pos) — the keep-first policy — and the
-    * document's text rebuilds from the surviving token positions.
+    * tokens with an EARLIER occurrence is a LOSER and loses duplicated
+    * content, where "earlier" = smaller (idCol, pos) — the keep-first
+    * policy — and the document's text rebuilds from the surviving token
+    * positions.
     *
-    * The loser test is sorted-neighbor precedence: in block-sorted suffix
-    * order, a row strips `lcp(row, n)` tokens for each adjacent neighbor
-    * `n` that PRECEDES it in (idCol, pos), if that LCP reaches `minLen`.
-    * Within any maximal run of suffixes sharing a duplicated prefix, the
-    * run's (idCol, pos)-minimum row has no preceding neighbor, so the
-    * FIRST occurrence of duplicated content always survives; every later
-    * occurrence strips its shared prefix (an exact-duplicate document
-    * strips to the empty string). Overlapping span families resolve
-    * toward MORE stripping, never against the first occurrence — the
-    * same overlap fuzziness as the paper's byte-range cuts. Null-text
-    * documents pass through as null.
+    * The loser test is exact, via run segmentation: in block-sorted
+    * suffix order, a RUN is a maximal chain of consecutive suffixes whose
+    * adjacent LCPs all reach `minLen`. By the suffix-array range-min
+    * identity, LCP(a, b) = min of the adjacent LCPs between them, so two
+    * suffixes share ≥ minLen leading tokens iff they sit in the same run
+    * — which makes "has an earlier occurrence sharing ≥ minLen" exactly
+    * "is not the run's (idCol, pos)-minimum". The FIRST occurrence of
+    * duplicated content always survives; every later occurrence strips
+    * (an exact-duplicate document strips to the empty string).
     *
-    * Shape: the adjacency window partitions by minLen-prefix block,
-    * covered positions explode from loser intervals only (≤ depth rows
-    * per loser), and the rebuild is one anti-join plus a sorted per-doc
-    * aggregation — everything keys on doc or block, no global step.
+    * Each loser covers exactly `minLen` positions, which yields the SAME
+    * covered-position union as stripping the full shared-prefix length:
+    * if a suffix at `pos` truly shares `s ≥ minLen` tokens with an
+    * earlier occurrence, then for every `q` in `[pos, pos+s)` the window
+    * `[q-minLen+1, q]` lies inside the shared span, so the suffix at
+    * `q-minLen+1` shares ≥ minLen with the earlier occurrence shifted by
+    * the same offset — itself earlier — and is therefore also a loser
+    * covering `q`. The union telescopes to the full span; no position of
+    * non-duplicated content is ever covered because every loser's minLen
+    * window is inside a true shared span. Overlapping span families
+    * resolve toward MORE stripping, never against the first occurrence —
+    * the same overlap fuzziness as the paper's byte-range cuts. Null and
+    * whitespace-only documents pass through as null / 0-token empty.
+    *
+    * Shape: the adjacency + run-segmentation windows partition by
+    * minLen-prefix block (one shuffle; the running sum reuses the sort),
+    * the run-minimum window partitions by (block, run) on a SLIM
+    * projection (the depth-token arrays are dropped first), covered
+    * positions explode exactly minLen rows per loser, and the rebuild is
+    * one anti-join plus a sorted per-doc aggregation — everything keys
+    * on doc, block, or run; no global step.
     */
   def stripAllButFirst(df: DataFrame, textCol: String, idCol: String,
                        minLen: Int = 5, depth: Int = 50): DataFrame = {
@@ -121,29 +137,33 @@ object SuffixDedup {
       .withColumn("__block", concat_ws(" ", slice(col("sfx"), 1, minLen)))
     val w = Window.partitionBy(col("__block"))
       .orderBy(col("sfx"), col(idCol), col("pos"))
-    def precedes(nId: Column, nPos: Column): Column =
-      nId < col(idCol) || (nId === col(idCol) && nPos < col("pos"))
-    // neighbors bound once (see longestDupPrefix), then the precedence-
-    // gated LCPs computed from the materialized columns
-    val bound = sfx.select(col(idCol), col("pos"), col("sfx"),
-      lag(col("sfx"), 1).over(w).as("__prv"),
-      lag(col(idCol), 1).over(w).as("__pid"),
-      lag(col("pos"), 1).over(w).as("__ppos"),
-      lead(col("sfx"), 1).over(w).as("__nxt"),
-      lead(col(idCol), 1).over(w).as("__nid"),
-      lead(col("pos"), 1).over(w).as("__npos"))
-    val stripLen = greatest(
-      when(precedes(col("__pid"), col("__ppos")),
-        lcp(col("sfx"), col("__prv"))).otherwise(lit(0L)),
-      when(precedes(col("__nid"), col("__npos")),
-        lcp(col("sfx"), col("__nxt"))).otherwise(lit(0L)))
-    val losers = bound.select(col(idCol), col("pos"), stripLen.as("__strip"))
-      .where(col("__strip") >= minLen)
-      .select(col(idCol), col("pos"), (col("pos") + col("__strip")).as("__end"))
+    // adjacent-LCP chain gate: a new run starts where the LCP with the
+    // sorted predecessor drops below minLen (lcp() maps the null first
+    // row to 0, so every block opens a run)
+    val runs = sfx
+      .select(col(idCol), col("pos"), col("__block"),
+        lcp(col("sfx"), lag(col("sfx"), 1).over(w)).as("__lprev"),
+        // pin the block-sort rank so the running sum below can reuse the
+        // same (block)-partitioned sort instead of re-deriving the order
+        // from the heavy sfx arrays
+        row_number().over(w).as("__rn"))
+      .withColumn("__run",
+        sum(when(col("__lprev") < minLen, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("__block")).orderBy(col("__rn"))))
+    val wRun = Window.partitionBy(col("__block"), col("__run"))
+    val losers = runs
+      .withColumn("__kmin",
+        min(struct(col(idCol).as("i"), col("pos").as("p"))).over(wRun))
+      .where(col(idCol) =!= col("__kmin.i") || col("pos") =!= col("__kmin.p"))
     val covered = losers
-      .select(col(idCol), explode(sequence(col("pos"), col("__end") - 1)).as("pos"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("pos"))
       .distinct()
-    val toks = df.where(col(textCol).isNotNull)
+    val toks = df
+      // rlike("\\S"): drop null AND whitespace-only text (trim() only
+      // strips spaces, so a tab-only doc would otherwise tokenize to
+      // phantom empty tokens and report a nonzero count)
+      .where(col(textCol).rlike("\\S"))
       .select(col(idCol), posexplode(split(trim(lower(col(textCol))), "\\s+")))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("tok"))
     val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")

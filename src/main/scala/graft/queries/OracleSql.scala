@@ -3602,29 +3602,28 @@ object OracleSql {
         |       CAST(coalesce(agg.starts, 0) AS BIGINT) AS n_dup_starts
         |FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    // the strip half: same suffix adjacency, but the LCP only counts
-    // against a neighbor that PRECEDES the row in (doc_id, pos) — the
-    // keep-first policy — and the text rebuilds from uncovered positions
+    // the strip half, replayed from the TRUE keep-first definition — NOT
+    // the engine's run-segmentation algorithm: a position is a loser iff
+    // its suffix shares >= minLen leading tokens with ANY strictly
+    // earlier (doc_id, pos) suffix, found by a within-block self-join
+    // (cross-block pairs share < minLen by construction), and it strips
+    // its FULL max shared-prefix length. The engine instead strips
+    // exactly minLen per loser; the covered-position UNIONS coincide
+    // (every q inside a true shared span has a loser window
+    // [q-minLen+1, q] inside the span — see SuffixDedup.stripAllButFirst
+    // scaladoc), so this is an independent derivation of the same rows.
     "q186_strip_dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |           FROM documents WHERE text IS NOT NULL),
+        |           FROM documents WHERE regexp_matches(text, '\S')),
         |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS pos
         |       FROM d WHERE len(toks) >= 5),
         |s AS (SELECT doc_id, pos, toks[pos : least(pos + 29, len(toks))] AS sfx FROM st),
         |b AS (SELECT doc_id, pos, sfx, array_to_string(sfx[1:5], ' ') AS blk FROM s),
-        |n AS (SELECT doc_id, pos, sfx,
-        |             lag(sfx) OVER w AS prv, lead(sfx) OVER w AS nxt,
-        |             lag(doc_id) OVER w AS pid, lag(pos) OVER w AS ppos,
-        |             lead(doc_id) OVER w AS nid, lead(pos) OVER w AS npos
-        |      FROM b WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, pos)),
-        |r AS (SELECT doc_id, pos,
-        |        greatest(
-        |          CASE WHEN prv IS NOT NULL AND (pid < doc_id OR (pid = doc_id AND ppos < pos))
-        |               THEN coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(prv))), i -> sfx[i] IS DISTINCT FROM prv[i]), true), 0) - 1, least(len(sfx), len(prv))) ELSE 0 END,
-        |          CASE WHEN nxt IS NOT NULL AND (nid < doc_id OR (nid = doc_id AND npos < pos))
-        |               THEN coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(nxt))), i -> sfx[i] IS DISTINCT FROM nxt[i]), true), 0) - 1, least(len(sfx), len(nxt))) ELSE 0 END
-        |        ) AS strip
-        |      FROM n),
+        |r AS (SELECT l.doc_id, l.pos,
+        |        max(coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(l.sfx), len(e.sfx))), i -> l.sfx[i] IS DISTINCT FROM e.sfx[i]), true), 0) - 1, least(len(l.sfx), len(e.sfx)))) AS strip
+        |      FROM b l JOIN b e ON l.blk = e.blk
+        |        AND (e.doc_id < l.doc_id OR (e.doc_id = l.doc_id AND e.pos < l.pos))
+        |      GROUP BY l.doc_id, l.pos),
         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + strip - 1)) AS pos
         |        FROM r WHERE strip >= 5),
         |tk AS (SELECT doc_id, t.p AS pos, toks[t.p] AS tok

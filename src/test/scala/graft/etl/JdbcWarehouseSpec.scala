@@ -57,9 +57,13 @@ class JdbcWarehouseSpec extends SparkTestBase {
       scala.util.Using.resource(c.createStatement())(
         _.executeUpdate("CREATE VIEW t_atomic__stage AS SELECT * FROM t_atomic"))
     } finally c.close()
-    intercept[Exception] {
+    // the collision is detected up front with a clear message, not a
+    // downstream opaque create-table failure
+    val e = intercept[IllegalStateException] {
       wh.write("t_atomic", Seq((9L, "new")).toDF("id", "v"))
     }
+    assert(e.getMessage.contains("t_atomic__stage")
+      && e.getMessage.contains("non-table"), e.getMessage)
     val rows = wh.read("t_atomic").orderBy("id").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L),
       "failed load must leave the previous table intact")

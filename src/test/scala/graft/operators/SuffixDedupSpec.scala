@@ -136,6 +136,105 @@ class SuffixDedupSpec extends SparkTestBase {
     assert(got(5L) === ((0L, 0L, null)))
   }
 
+  test("strip: later occurrence with NO earlier adjacent neighbor still strips " +
+      "(earliest occurrence sorts last in the block)") {
+    // block "p q": sorted continuations m < x < z, and the EARLIEST
+    // occurrence (doc 1, "p q z") sorts LAST. A pairwise-adjacent
+    // precedence rule misses doc 2 ("p q m"): its only neighbor in
+    // sorted order is doc 3, which does not precede it. The exact
+    // run-minimum rule strips both docs 2 and 3.
+    val df = Seq(
+      (1L, "p q z"),
+      (2L, "p q m"),
+      (3L, "p q x")
+    ).toDF("doc_id", "text")
+    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 2, depth = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((3L, 0L, "p q z")))
+    assert(got(2L) === ((3L, 2L, "m")))
+    assert(got(3L) === ((3L, 2L, "x")))
+  }
+
+  /** True-contract brute force for the strip: a position is a loser iff
+    * its depth-truncated suffix shares ≥ minLen leading tokens with ANY
+    * strictly earlier (doc, pos) suffix; it covers its FULL max shared
+    * prefix. The engine strips exactly minLen per loser — the covered
+    * unions must coincide (the scaladoc telescoping argument).
+    */
+  private def bruteStrip(corpus: Seq[(Long, String)], minLen: Int, depth: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = corpus.map { case (id, t) => id -> tokens(t) }.toMap
+    val starts = for {
+      (id, ts) <- toks.toSeq
+      pos <- 1 to ts.length - minLen + 1
+      if ts.length >= minLen && !(ts.length == 1 && ts(0).isEmpty)
+    } yield (id, pos, ts.slice(pos - 1, math.min(pos - 1 + depth, ts.length)))
+    def common(a: Array[String], b: Array[String]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      i
+    }
+    val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+    for ((id, pos, sfx) <- starts) {
+      val best = starts.collect {
+        case (id2, pos2, sfx2) if id2 < id || (id2 == id && pos2 < pos) =>
+          common(sfx, sfx2)
+      }
+      val strip = if (best.isEmpty) 0 else best.max
+      if (strip >= minLen) (pos until pos + strip).foreach(p => covered += ((id, p)))
+    }
+    corpus.map { case (id, t) =>
+      val ts = toks(id)
+      if (t == null) id -> ((0L, 0L, null: String))
+      else if (ts.length == 1 && ts(0).isEmpty) id -> ((0L, 0L, ""))
+      else {
+        val kept = ts.zipWithIndex.collect {
+          case (tok, i) if !covered.contains((id, i + 1)) => tok }
+        id -> ((ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" ")))
+      }
+    }.toMap
+  }
+
+  test("stripAllButFirst matches the true keep-first contract on randomized corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 1 to 8) {
+      val shared = Array.fill(rnd.nextInt(6) + 3)(vocab(rnd.nextInt(vocab.length)))
+      val corpus = (1L to 8L).map { id =>
+        val n = rnd.nextInt(12) + 1
+        val own = Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+        // half the docs embed the shared span at a random offset, so
+        // cross-doc runs with shuffled (id, pos) orderings are common
+        val t = if (rnd.nextBoolean()) {
+          val cut = rnd.nextInt(own.length + 1)
+          (own.take(cut) ++ shared ++ own.drop(cut)).mkString(" ")
+        } else own.mkString(" ")
+        (id, t)
+      }
+      val got = SuffixDedup.stripAllButFirst(
+          corpus.toDF("doc_id", "text"), "text", "doc_id", minLen = 3, depth = 5)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
+      val want = bruteStrip(corpus, minLen = 3, depth = 5)
+      for ((id, w) <- want)
+        assert(got(id) === w,
+          s"trial $trial doc $id: got ${got(id)}, true contract says $w " +
+            s"(corpus: ${corpus.toMap.get(id)})")
+    }
+  }
+
+  test("whitespace-only and empty documents report 0 tokens and empty stripped text") {
+    val df = Seq((1L, "some real tokens here okay"), (2L, ""), (3L, "   \t  "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 3, depth = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(got(2L) === ((0L, 0L, "")))
+    assert(got(3L) === ((0L, 0L, "")))
+    assert(got(4L) === ((0L, 0L, null)))
+    assert(got(1L) === ((5L, 0L, "some real tokens here okay")))
+  }
+
   test("graft_longest_dup SQL table function plans as the Column API") {
     graft.GraftTableFunctions.all.foreach { case (ident, info, builder) =>
       spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)

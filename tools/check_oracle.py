@@ -18,17 +18,24 @@ argv = [a for a in sys.argv if a != "--strict"]
 # --json PATH additionally writes a per-query verdict record
 only = None
 json_out = None
-for i, a in enumerate(list(argv)):
-    if a == "--only":
-        only = set(argv[i + 1].split(","))
-    if a == "--json":
-        json_out = argv[i + 1]
-while "--only" in argv:
-    i = argv.index("--only"); del argv[i:i + 2]
-while "--json" in argv:
-    i = argv.index("--json"); del argv[i:i + 2]
-sfdir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
-outdir = argv[2] if len(argv) > 2 else "/tmp/verify_out"
+positional = [argv[0]]
+i = 1
+while i < len(argv):
+    a = argv[i]
+    if a in ("--only", "--json"):
+        if i + 1 >= len(argv):
+            sys.exit(f"usage: check_oracle.py [SFDIR] [OUTDIR] [--strict] "
+                     f"[--only q1,q2] [--json PATH]  ({a} needs a value)")
+        if a == "--only":
+            only = set(argv[i + 1].split(","))
+        else:
+            json_out = argv[i + 1]
+        i += 2
+    else:
+        positional.append(a)
+        i += 1
+sfdir = positional[1] if len(positional) > 1 else "/root/testdata/sf0.001"
+outdir = positional[2] if len(positional) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
 # spill to /tmp, not the repo cwd (a killed run once left 19 GB of
