@@ -69,6 +69,14 @@ object SriMain {
 
     val secs = (System.nanoTime() - started) / 1e9
     println(f"[sri-etl] status=${if (res.validation.passed) "SUCCESS" else "FAILED"} duration=$secs%.1fs")
+    // D4 completion notification (reference dag.py:845-880): the shipped
+    // implementation logs the structured summary, like the reference does
+    new LogNotifier().notify(RunSummary(
+      dagId = "sri_vehiculos_etl_proceso",
+      executionDate = clock,
+      status = if (res.validation.passed) "EXITOSO" else "FALLIDO",
+      durationSecs = secs,
+      finishedAt = java.time.Instant.now()))
     graft.Sessions.release(spark, owned)
     // sys.exit would tear down a host JVM (e.g. a test runner); only a
     // standalone CLI run — one that owned its session — may exit.
