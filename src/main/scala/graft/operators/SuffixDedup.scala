@@ -68,11 +68,59 @@ object SuffixDedup {
   /** Per suffix row, the length (in tokens, saturated at `depth`) of the
     * longest prefix that occurs ANYWHERE else in the corpus (another
     * document or another position of the same document):
-    * `(idCol, pos, dup_len)`. Rows below `minLen` agreement report their
-    * raw neighbor LCP (< minLen); consumers threshold.
+    * `(idCol, pos, dup_len, dup_len_capped)`. Rows below `minLen`
+    * agreement report their raw neighbor LCP (< minLen); consumers
+    * threshold.
+    *
+    * Block-skew guard (`maxBlockDf`): the sorted-neighbor window
+    * partitions by minLen-prefix block, so ONE pathologically frequent
+    * minLen-gram (the boilerplate sentence of a 100-TB crawl) would
+    * otherwise buffer-and-sort its whole block in one task. Blocks whose
+    * suffix count exceeds `maxBlockDf` never enter the sort; their rows
+    * resolve in two exact-or-bounded tiers instead:
+    *
+    *   - a row whose FULL depth-truncated suffix occurs ≥ 2 times has an
+    *     identical twin, so dup_len = size(sfx) EXACTLY (this is the
+    *     common pathology: verbatim boilerplate). The twin count is a
+    *     map-side-combinable groupBy on the suffix itself — identical
+    *     suffixes collapse before the shuffle, no skew survives.
+    *   - a unique-suffix row in a hot block still shares its first
+    *     minLen tokens with every other block row, so dup_len ≥ minLen
+    *     is PROVEN; it reports that lower bound with
+    *     `dup_len_capped = true` — quarantine-style accounting, not a
+    *     silent truncation.
+    *
+    * The hot-block key set is tiny by construction (only pathological
+    * grams exceed the cap), so the routing join broadcasts.
     */
   def longestDupPrefix(df: DataFrame, textCol: String, idCol: String,
-                       minLen: Int = 5, depth: Int = 50): DataFrame = {
+                       minLen: Int = 5, depth: Int = 50,
+                       maxBlockDf: Long = 1L << 20): DataFrame = {
+    // Hot-block probe, two sound layers (the Components eager-gate
+    // precedent: cheap driver-side cardinalities decide the plan):
+    //
+    //   1. A block's df can never exceed the corpus's TOTAL suffix-row
+    //      count, so if that total is <= maxBlockDf — one scan-and-sum,
+    //      no explode, no shuffle beyond a 1-row agg — no block can be
+    //      hot and the plain single-window plan runs untouched. This is
+    //      the common case at test scales and keeps the guard ~free.
+    //   2. Otherwise, count dfs on minLen-SHINGLES, not full suffixes:
+    //      the block df equals the gram df (one suffix row per position
+    //      with >= minLen tokens left) and a depth=minLen generator is
+    //      ~depth/minLen times lighter. Map-side-combinable count, so a
+    //      hot gram collapses per map partition before the shuffle.
+    val totalPositions = df
+      .where(col(textCol).rlike("\\S"))
+      .agg(coalesce(sum(greatest(
+        size(split(trim(lower(col(textCol))), "\\s+")) - lit(minLen - 1),
+        lit(0))), lit(0L)))
+      .head().getLong(0)
+    lazy val hot = suffixRows(df, textCol, idCol, minLen, minLen)
+      .select(concat_ws(" ", col("sfx")).as("__block"))
+      .groupBy(col("__block")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxBlockDf)
+      .select(col("__block"))
+    val anyHot = totalPositions > maxBlockDf && !hot.isEmpty
     val sfx = suffixRows(df, textCol, idCol, minLen, depth)
       // block key: the first minLen tokens, space-joined (tokens carry no
       // whitespace post-split, so the join is injective on exactly-minLen
@@ -83,13 +131,35 @@ object SuffixDedup {
     // bind the neighbors ONCE: lcp() references its argument four times,
     // and inlining the window function there would make the physical
     // Window evaluate the same lag/lead of a depth-token array four times
-    sfx.select(col(idCol), col("pos"), col("sfx"),
-        lag(col("sfx"), 1).over(w).as("__prv"),
-        lead(col("sfx"), 1).over(w).as("__nxt"))
-      .select(col(idCol), col("pos"),
-        greatest(
-          lcp(col("sfx"), col("__prv")),
-          lcp(col("sfx"), col("__nxt"))).as("dup_len"))
+    def sorted(rows: DataFrame): DataFrame =
+      rows.select(col(idCol), col("pos"), col("sfx"),
+          lag(col("sfx"), 1).over(w).as("__prv"),
+          lead(col("sfx"), 1).over(w).as("__nxt"))
+        .select(col(idCol), col("pos"),
+          greatest(
+            lcp(col("sfx"), col("__prv")),
+            lcp(col("sfx"), col("__nxt"))).as("dup_len"),
+          lit(false).as("dup_len_capped"))
+    if (!anyHot) sorted(sfx)
+    else {
+      val cold = sfx.join(broadcast(hot), Seq("__block"), "left_anti")
+      val hotRows = sfx.join(broadcast(hot), Seq("__block"), "left_semi")
+      // tier 1: an identical depth-truncated twin (>= 2 occurrences of
+      // the full suffix) pins dup_len = size(sfx) exactly — and the
+      // sorted-neighbor answer could never exceed it. The count groups
+      // by the suffix itself, so identical boilerplate collapses
+      // map-side; no skew reaches the shuffle.
+      val twins = hotRows.groupBy(col("sfx")).agg(count(lit(1)).as("__n"))
+      val hotOut = hotRows.join(twins, Seq("sfx"))
+        .select(col(idCol), col("pos"),
+          when(col("__n") >= 2, size(col("sfx")).cast("long"))
+            // tier 2: unique suffix in a hot block — sharing the block's
+            // minLen-gram with > maxBlockDf other rows proves
+            // dup_len >= minLen; report the bound, flag it capped
+            .otherwise(lit(minLen.toLong)).as("dup_len"),
+          (col("__n") < 2).as("dup_len_capped"))
+      sorted(cold).unionByName(hotOut)
+    }
   }
 
   /** Substring-dedup STRIP (the purpose of the suffix array in Lee et
@@ -99,15 +169,14 @@ object SuffixDedup {
     * policy — and the document's text rebuilds from the surviving token
     * positions.
     *
-    * The loser test is exact, via run segmentation: in block-sorted
-    * suffix order, a RUN is a maximal chain of consecutive suffixes whose
-    * adjacent LCPs all reach `minLen`. By the suffix-array range-min
-    * identity, LCP(a, b) = min of the adjacent LCPs between them, so two
-    * suffixes share ≥ minLen leading tokens iff they sit in the same run
-    * — which makes "has an earlier occurrence sharing ≥ minLen" exactly
-    * "is not the run's (idCol, pos)-minimum". The FIRST occurrence of
-    * duplicated content always survives; every later occurrence strips
-    * (an exact-duplicate document strips to the empty string).
+    * The loser test is exact and SORT-FREE: two suffixes share ≥ minLen
+    * leading tokens iff they carry the same minLen-gram, so "has an
+    * earlier occurrence sharing ≥ minLen" is exactly "is not the
+    * (idCol, pos)-minimum of its minLen-gram group". No suffix sorting,
+    * no LCP, no depth-token arrays — the operator needs only each
+    * position's minLen-token shingle. The FIRST occurrence of duplicated
+    * content always survives; every later occurrence strips (an
+    * exact-duplicate document strips to the empty string).
     *
     * Each loser covers exactly `minLen` positions, which yields the SAME
     * covered-position union as stripping the full shared-prefix length:
@@ -118,42 +187,33 @@ object SuffixDedup {
     * the same offset — itself earlier — and is therefore also a loser
     * covering `q`. The union telescopes to the full span; no position of
     * non-duplicated content is ever covered because every loser's minLen
-    * window is inside a true shared span. Overlapping span families
-    * resolve toward MORE stripping, never against the first occurrence —
-    * the same overlap fuzziness as the paper's byte-range cuts. Null and
-    * whitespace-only documents pass through as null / 0-token empty.
+    * window is inside a true shared span. This is also why no `depth`
+    * parameter exists: span length never enters the computation.
+    * Overlapping span families resolve toward MORE stripping, never
+    * against the first occurrence — the same overlap fuzziness as the
+    * paper's byte-range cuts. Null and whitespace-only documents pass
+    * through as null / 0-token empty.
     *
-    * Shape: the adjacency + run-segmentation windows partition by
-    * minLen-prefix block (one shuffle; the running sum reuses the sort),
-    * the run-minimum window partitions by (block, run) on a SLIM
-    * projection (the depth-token arrays are dropped first), covered
-    * positions explode exactly minLen rows per loser, and the rebuild is
-    * one anti-join plus a sorted per-doc aggregation — everything keys
-    * on doc, block, or run; no global step.
+    * Scale shape — deliberately skew-proof for boilerplate-heavy
+    * corpora: the first-occurrence-per-gram table is a
+    * map-side-combinable min (a gram occurring 10M times contributes ONE
+    * row per map partition to the shuffle), singleton grams drop before
+    * the join (most grams are unique), the losers join is an equi-join
+    * AQE can skew-split, covered positions explode exactly minLen rows
+    * per loser, and the rebuild is one anti-join plus a sorted per-doc
+    * aggregation — everything keys on doc or gram; no global step, no
+    * sort, no window.
     */
   def stripAllButFirst(df: DataFrame, textCol: String, idCol: String,
-                       minLen: Int = 5, depth: Int = 50): DataFrame = {
-    val sfx = suffixRows(df, textCol, idCol, minLen, depth)
-      .withColumn("__block", concat_ws(" ", slice(col("sfx"), 1, minLen)))
-    val w = Window.partitionBy(col("__block"))
-      .orderBy(col("sfx"), col(idCol), col("pos"))
-    // adjacent-LCP chain gate: a new run starts where the LCP with the
-    // sorted predecessor drops below minLen (lcp() maps the null first
-    // row to 0, so every block opens a run)
-    val runs = sfx
-      .select(col(idCol), col("pos"), col("__block"),
-        lcp(col("sfx"), lag(col("sfx"), 1).over(w)).as("__lprev"),
-        // pin the block-sort rank so the running sum below can reuse the
-        // same (block)-partitioned sort instead of re-deriving the order
-        // from the heavy sfx arrays
-        row_number().over(w).as("__rn"))
-      .withColumn("__run",
-        sum(when(col("__lprev") < minLen, 1L).otherwise(0L))
-          .over(Window.partitionBy(col("__block")).orderBy(col("__rn"))))
-    val wRun = Window.partitionBy(col("__block"), col("__run"))
-    val losers = runs
-      .withColumn("__kmin",
-        min(struct(col(idCol).as("i"), col("pos").as("p"))).over(wRun))
+                       minLen: Int = 5): DataFrame = {
+    val grams = suffixRows(df, textCol, idCol, minLen, minLen)
+      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("__gram"))
+    val firsts = grams.groupBy(col("__gram"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__kmin"),
+        count(lit(1)).as("__df"))
+      .where(col("__df") >= 2) // a gram seen once has no later occurrence
+      .select(col("__gram"), col("__kmin"))
+    val losers = grams.join(firsts, Seq("__gram"))
       .where(col(idCol) =!= col("__kmin.i") || col("pos") =!= col("__kmin.p"))
     val covered = losers
       .select(col(idCol),
@@ -186,21 +246,28 @@ object SuffixDedup {
   }
 
   /** Per-document substring-dedup report:
-    * `(idCol, longest_dup_tokens, n_dup_starts)` — the longest span (in
-    * tokens, ≥ minLen, saturated at depth) shared with any other
-    * occurrence in the corpus, and how many token positions start such a
-    * span (the Lee-et-al strip-candidate count). Documents with no
-    * qualifying span — including those shorter than minLen — report 0/0.
+    * `(idCol, longest_dup_tokens, n_dup_starts, n_capped_starts)` — the
+    * longest span (in tokens, ≥ minLen, saturated at depth) shared with
+    * any other occurrence in the corpus, how many token positions start
+    * such a span (the Lee-et-al strip-candidate count), and how many of
+    * those starts carry a capped lower-bound answer because their
+    * minLen-gram block exceeded `maxBlockDf` (see [[longestDupPrefix]] —
+    * 0 everywhere unless the corpus has a pathologically frequent gram).
+    * Documents with no qualifying span — including those shorter than
+    * minLen — report 0/0/0.
     */
   def longestDupPerDoc(df: DataFrame, textCol: String, idCol: String,
-                       minLen: Int = 5, depth: Int = 50): DataFrame = {
-    val dup = longestDupPrefix(df, textCol, idCol, minLen, depth)
+                       minLen: Int = 5, depth: Int = 50,
+                       maxBlockDf: Long = 1L << 20): DataFrame = {
+    val dup = longestDupPrefix(df, textCol, idCol, minLen, depth, maxBlockDf)
       .where(col("dup_len") >= minLen)
       .groupBy(col(idCol))
-      .agg(max(col("dup_len")).as("__longest"), count(lit(1)).as("__starts"))
+      .agg(max(col("dup_len")).as("__longest"), count(lit(1)).as("__starts"),
+        sum(when(col("dup_len_capped"), 1L).otherwise(0L)).as("__capped"))
     df.select(col(idCol)).join(dup, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__longest"), lit(0L)).as("longest_dup_tokens"),
-        coalesce(col("__starts"), lit(0L)).as("n_dup_starts"))
+        coalesce(col("__starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("__capped"), lit(0L)).as("n_capped_starts"))
   }
 }

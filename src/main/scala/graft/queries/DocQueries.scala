@@ -1682,7 +1682,7 @@ object DocQueries {
     */
   def q186StripDupSpans(spark: SparkSession, dir: String): DataFrame =
     SuffixDedup.stripAllButFirst(Tables(spark, dir).documents, "text", "doc_id",
-        minLen = 5, depth = 30)
+        minLen = 5)
       .orderBy("doc_id")
 
   /** Deterministic messy-URL fixture over the documents table — the

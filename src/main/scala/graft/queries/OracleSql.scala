@@ -3577,6 +3577,12 @@ object OracleSql {
     // full: suffix slices (depth=30, minLen=5), minLen-prefix blocks,
     // block-sorted lag/lead adjacency, token-wise LCP (nullif: DuckDB's
     // list_position signals not-found as 0), per-doc threshold rollup.
+    // hot-block routing (df_blk > 1048576, the engine's default
+    // maxBlockDf): rows in a pathologically frequent minLen-gram block
+    // skip the sorted-neighbor formula — an identical-suffix twin pins
+    // dup_len = len(sfx) exactly; a unique suffix reports the proven
+    // minLen lower bound, counted in n_capped_starts. At oracle scales
+    // no block is hot, so the CASE routing exercises the cold branch.
     "q181_longest_dup_span" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |           FROM documents WHERE text IS NOT NULL),
@@ -3585,21 +3591,28 @@ object OracleSql {
         |s AS (SELECT doc_id, pos, toks[pos : least(pos + 29, len(toks))] AS sfx FROM st),
         |b AS (SELECT doc_id, pos, sfx, array_to_string(sfx[1:5], ' ') AS blk FROM s),
         |n AS (SELECT doc_id, pos, sfx,
-        |             lag(sfx) OVER w AS prv, lead(sfx) OVER w AS nxt
+        |             lag(sfx) OVER w AS prv, lead(sfx) OVER w AS nxt,
+        |             count(*) OVER (PARTITION BY blk) AS df_blk,
+        |             count(*) OVER (PARTITION BY sfx) AS df_sfx
         |      FROM b WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, pos)),
         |r AS (SELECT doc_id, pos,
-        |        greatest(
+        |        CASE WHEN df_blk > 1048576 THEN
+        |          CASE WHEN df_sfx >= 2 THEN len(sfx) ELSE 5 END
+        |        ELSE greatest(
         |          CASE WHEN prv IS NULL THEN 0
         |               ELSE coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(prv))), i -> sfx[i] IS DISTINCT FROM prv[i]), true), 0) - 1, least(len(sfx), len(prv))) END,
         |          CASE WHEN nxt IS NULL THEN 0
         |               ELSE coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(sfx), len(nxt))), i -> sfx[i] IS DISTINCT FROM nxt[i]), true), 0) - 1, least(len(sfx), len(nxt))) END
-        |        ) AS dup_len
+        |        ) END AS dup_len,
+        |        (df_blk > 1048576 AND df_sfx < 2) AS capped
         |      FROM n),
-        |agg AS (SELECT doc_id, max(dup_len) AS longest, count(*) AS starts
+        |agg AS (SELECT doc_id, max(dup_len) AS longest, count(*) AS starts,
+        |               sum(CASE WHEN capped THEN 1 ELSE 0 END) AS n_capped
         |        FROM r WHERE dup_len >= 5 GROUP BY doc_id)
         |SELECT d0.doc_id,
         |       CAST(coalesce(agg.longest, 0) AS BIGINT) AS longest_dup_tokens,
-        |       CAST(coalesce(agg.starts, 0) AS BIGINT) AS n_dup_starts
+        |       CAST(coalesce(agg.starts, 0) AS BIGINT) AS n_dup_starts,
+        |       CAST(coalesce(agg.n_capped, 0) AS BIGINT) AS n_capped_starts
         |FROM documents d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the strip half, replayed from the TRUE keep-first definition — NOT

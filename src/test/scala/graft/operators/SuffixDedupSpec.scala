@@ -121,7 +121,7 @@ class SuffixDedupSpec extends SparkTestBase {
       (4L, "totally unrelated content with no shared spans here"),
       (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
-    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 4, depth = 20)
+    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 4)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
     // doc 1 is the first occurrence everywhere → untouched
@@ -148,7 +148,7 @@ class SuffixDedupSpec extends SparkTestBase {
       (2L, "p q m"),
       (3L, "p q x")
     ).toDF("doc_id", "text")
-    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 2, depth = 10)
+    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     assert(got(1L) === ((3L, 0L, "p q z")))
     assert(got(2L) === ((3L, 2L, "m")))
@@ -212,7 +212,7 @@ class SuffixDedupSpec extends SparkTestBase {
         (id, t)
       }
       val got = SuffixDedup.stripAllButFirst(
-          corpus.toDF("doc_id", "text"), "text", "doc_id", minLen = 3, depth = 5)
+          corpus.toDF("doc_id", "text"), "text", "doc_id", minLen = 3)
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
       val want = bruteStrip(corpus, minLen = 3, depth = 5)
@@ -226,13 +226,47 @@ class SuffixDedupSpec extends SparkTestBase {
   test("whitespace-only and empty documents report 0 tokens and empty stripped text") {
     val df = Seq((1L, "some real tokens here okay"), (2L, ""), (3L, "   \t  "),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 3, depth = 10)
+    val got = SuffixDedup.stripAllButFirst(df, "text", "doc_id", minLen = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
     assert(got(2L) === ((0L, 0L, "")))
     assert(got(3L) === ((0L, 0L, "")))
     assert(got(4L) === ((0L, 0L, null)))
     assert(got(1L) === ((5L, 0L, "some real tokens here okay")))
+  }
+
+  test("df-capped hot blocks: identical twins stay exact, unique suffixes " +
+      "floor at minLen and are accounted") {
+    // Planted hot block at maxBlockDf = 4: the 3-gram "c c c" occurs in
+    // six documents (df = 6 > 4). Docs 1-5 carry VERBATIM boilerplate —
+    // their suffixes have identical twins, so the capped path still
+    // reports the exact span. Doc 6 diverges after 4 shared tokens —
+    // its suffix is unique within the hot block, so the capped path
+    // floors it at minLen and flags it. Docs 7-8 share a span in a COLD
+    // block and must be untouched by the cap.
+    val df = ((1L to 5L).map(id => (id, "c c c b1 b2")) ++ Seq(
+      (6L, "c c c b1 x"),
+      (7L, "z1 z2 z3 z4"),
+      (8L, "z1 z2 z3 z4"))).toDF("doc_id", "text")
+    val capped = SuffixDedup.longestDupPerDoc(df, "text", "doc_id",
+        minLen = 3, depth = 6, maxBlockDf = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // boilerplate docs: every suffix has a twin -> exact, nothing capped
+    for (id <- 1L to 5L)
+      assert(capped(id) === ((5L, 3L, 0L)), s"doc $id under cap")
+    // divergent doc: true longest is 4 ("c c c b1"), floored to minLen=3,
+    // both qualifying starts accounted as capped
+    assert(capped(6L) === ((3L, 2L, 2L)))
+    // cold block: exact neighbor answer, no capping
+    assert(capped(7L) === ((4L, 2L, 0L)))
+    assert(capped(8L) === ((4L, 2L, 0L)))
+    // with the default (high) cap the same corpus reports doc 6's true
+    // 4-token span and zero capped starts anywhere
+    val uncapped = SuffixDedup.longestDupPerDoc(df, "text", "doc_id",
+        minLen = 3, depth = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(uncapped(6L) === ((4L, 0L)))
+    assert(uncapped.values.forall(_._2 === 0L))
   }
 
   test("graft_longest_dup SQL table function plans as the Column API") {
