@@ -74,13 +74,20 @@ object Bench {
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
-        try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        val t = try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        // cache hygiene, BETWEEN RUNS (r13 methodology fix): queries that
+        // persist internally (BPE's word table, incremental ER's base
+        // clusters, curation's doc signals) never unpersist. Clearing
+        // only between QUERIES let runs 2..n warm-read run 1's cached
+        // intermediates — the median then timed cache reads, not the
+        // operator, and the CacheManager logged an "already cached"
+        // warning per rerun. Every run now does the real data work on a
+        // warm JVM (JIT/codegen warmth is representative of a live
+        // cluster; cached input data is not). Also stops a 186-query
+        // sweep from accumulating intermediates in the storage layer.
+        spark.catalog.clearCache()
+        t
       }.sorted
-      // cache hygiene: queries that persist internally (BPE's word table,
-      // encodeTokens' posexplode, LogReg's feature projection) never
-      // unpersist — without this, a 125-query sweep accumulates every
-      // intermediate in the storage layer and pollutes late-run timings
-      spark.catalog.clearCache()
       val failed = runs.contains(-1.0)
       // LOWER median for even run counts: SPARK_GRAFT_RUNS=2 then reports
       // the faster run (the old min-of-2 behavior), not the slower
@@ -127,9 +134,10 @@ object Bench {
     val recheck = suspects.map { case (name, med, _) =>
       System.gc()
       val iso = (1 to nRuns).map { _ =>
-        try time(sink(selected(name)(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        val t = try time(sink(selected(name)(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        spark.catalog.clearCache() // between runs, same as the sweep loop
+        t
       }.filter(_ >= 0)
-      spark.catalog.clearCache()
       val isoMin = if (iso.isEmpty) -1.0 else iso.min
       val b = baseline.getOrElse(name, -1.0)
       // the codified rule: an isolated re-run that lands within 5% of
