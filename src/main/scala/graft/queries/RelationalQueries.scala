@@ -974,11 +974,20 @@ object RelationalQueries {
     val cust = Tables(spark, dir).customer.where(col("c_custkey") < 2500)
     val existing = cust.where(col("c_custkey") % 2 === 0)
     val increment = cust.where(col("c_custkey") % 2 === 1)
+    // Yesterday's state is STORED state in the simulated scenario — a
+    // production run reads the assignment and variant tables from the
+    // warehouse, it does not re-derive them. Materialize eagerly:
+    // truthful to the scenario, computes the existing resolve ONCE
+    // instead of per-reference inside resolveIncrement, and cuts the
+    // deep resolve lineage out of downstream task binaries (this query
+    // was the sweep's only >4 MiB task-binary emitter).
     val existingAssign = graft.operators.EntityResolution
       .resolve(existing, "c_name", "c_custkey", "c_acctbal", t = 1)
       .select(col("id"), col("entity"))
+      .localCheckpoint(true)
     val existingVariants = graft.operators.FuzzyJoin
       .deletionVariants(existing, "c_name", "c_custkey", t = 1)
+      .localCheckpoint(true)
     graft.operators.EntityResolution
       .resolveIncrement(existingAssign, existingVariants, increment,
         "c_name", "c_custkey", t = 1)
