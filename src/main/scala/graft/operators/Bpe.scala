@@ -109,6 +109,24 @@ object Bpe {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** [[train]] on a deterministic md5-bucket document sample — the
+    * 100-TB lever for BPE training. `train`'s data side is already
+    * vocabulary-bounded, but each merge is a driver-coordinated round
+    * over the FULL corpus's distinct-word table; at cluster scale the
+    * per-round latency (and the word table's size) dominates. Pair
+    * statistics are frequency ESTIMATES by nature — a ~10% sample ranks
+    * frequent pairs nearly identically (BPE quality is insensitive to
+    * corpus subsampling; tokenizers are routinely trained on corpus
+    * slices) — so sample documents with [[Sampling.deterministicSample]]
+    * (pure md5 row function: same sample on any partitioning, any
+    * engine), train on the sample, and encode the full corpus with the
+    * resulting merge table. Sampling is BEFORE wordTable, so the
+    * per-round word table shrinks with the sample, not the corpus.
+    */
+  def trainSampled(df: DataFrame, textCol: String, idCol: String,
+                   nMerges: Int, fraction: Double): DataFrame =
+    train(Sampling.deterministicSample(df, idCol, fraction), textCol, nMerges)
+
   /** Replay a merge table over one word's character symbols — the exact
     * greedy-leftmost semantics of [[mergePair]] (same accumulator scan,
     * same overlap behavior), as a plain Scala loop. Runs on executors

@@ -1075,15 +1075,41 @@ object DocQueries {
     * shapes — unchanged. The encoded frame is persisted: it feeds both
     * the vocab head and the encode join.
     */
-  def q121BpePackedSequences(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val bpe = Bpe.encode(docs, "text", "doc_id", q121Merges)
+  def q121BpePackedSequences(spark: SparkSession, dir: String): DataFrame =
+    bpePackedWithMerges(Tables(spark, dir).documents, q121Merges)
+
+  /** The q121 encode→vocab→pack chain for an arbitrary merge table. */
+  private def bpePackedWithMerges(docs: DataFrame,
+                                  merges: Seq[(String, String)]): DataFrame = {
+    val bpe = Bpe.encode(docs, "text", "doc_id", merges)
       .select(col("doc_id"), array_join(col("bpe_tokens"), " ").as("bpe_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = TextAnalysis.buildVocab(bpe, "bpe_text", vocabSize = 16)
     Sharding.packedTokenSequencesWithVocab(bpe, "bpe_text", "doc_id", vocab,
         numShards = 8, seqLen = 128)
       .orderBy("shard", "seq_idx")
+  }
+
+  /** q121's TRAINING scale sibling (Bpe.trainSampled): the 8 merges are
+    * TRAINED — not fixed — on the deterministic 10% md5-bucket document
+    * sample, then the FULL corpus encodes and packs through the
+    * identical q121 chain. Training cost scales with the sample's
+    * vocabulary instead of the corpus's (the 100-TB lever for the
+    * driver-coordinated merge rounds); encode stays corpus-linear via
+    * the distinct-word kernel. The DuckDB oracle replays the WHOLE
+    * thing — eight unrolled pair-count → argmax → greedy-merge
+    * iterations on the sampled word table (the trained merge table has
+    * never been oracle-checked before; q108 only covered the pair
+    * kernel), then the full-corpus replay with the trained merges as
+    * scalar subqueries feeding the q121 pack machinery.
+    */
+  def q187BpeSampledTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val trained = Bpe.trainSampled(docs, "text", "doc_id",
+        nMerges = 8, fraction = 0.10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    bpePackedWithMerges(docs, trained)
   }
 
   /** Exact-substring dedup rewrite (TextAnalysis.stripRepeatedSpans):

@@ -489,19 +489,67 @@ object OracleSql {
     * BPE token stream (ordered by word pos, then within-word pos)
     * replacing the word stream, vocab 16, OOV → 0.
     */
-  private val bpePackedSql: String = {
-    val sep = "chr(31)"
-    val init = s"$sep || array_to_string(list_transform(" +
-      s"generate_series(1, length(word)), i -> substr(word, i, 1)), $sep || $sep) || $sep"
-    val replay = DocQueries.q121Merges.foldLeft(init) { case (acc, (a, b)) =>
-      s"replace($acc, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+  private val bpeSep = "chr(31)"
+
+  /** One word's characters wrapped in chr(31) separators — every token
+    * carries its OWN leading and trailing separator (doubled between
+    * tokens), so one replace() pass of `⟂a⟂⟂b⟂ -> ⟂ab⟂` merges exactly
+    * the greedy-leftmost non-overlapping occurrences, boundary-sharing
+    * repeats included (each occurrence owns its delimiters).
+    */
+  private val bpeInitState = s"$bpeSep || array_to_string(list_transform(" +
+    s"generate_series(1, length(word)), i -> substr(word, i, 1)), $bpeSep || $bpeSep) || $bpeSep"
+
+  /** The q187 training replay, unrolled: iteration i reads sw(i-1)
+    * (the sampled distinct-word table with its corpus counts and wrapped
+    * symbol state), counts corpus-weighted adjacent pairs, picks the
+    * argmax under the engine's exact tie-break (count desc, lhs, rhs),
+    * and rewrites every word's state via the separator-replace merge.
+    * A merge that finds no pairs (exhausted corpus) leaves m{i} empty;
+    * the coalesce(chr(30)) sentinels make the replace a no-op then,
+    * matching train()'s early stop.
+    */
+  private def bpeSampledTrainCtes(nMerges: Int, sampleBuckets: Int): String = {
+    val iters = (1 to nMerges).map { i =>
+      val prev = s"sw${i - 1}"
+      s"""tl$i AS MATERIALIZED (SELECT word, cnt,
+         |             string_split(substr(state, 2, length(state) - 2), $bpeSep || $bpeSep) AS toks
+         |      FROM $prev),
+         |pp$i AS MATERIALIZED (SELECT pr['lhs'] AS lhs, pr['rhs'] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |       FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                    j -> {'lhs': toks[j], 'rhs': toks[j + 1]})) AS pr
+         |             FROM tl$i WHERE len(toks) >= 2)
+         |       GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, lhs || rhs AS merged FROM pp$i
+         |      ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |sw$i AS MATERIALIZED (SELECT word, cnt,
+         |             replace(state,
+         |               $bpeSep || coalesce((SELECT lhs FROM m$i), chr(30)) || $bpeSep || $bpeSep || coalesce((SELECT rhs FROM m$i), chr(30)) || $bpeSep,
+         |               $bpeSep || coalesce((SELECT merged FROM m$i), chr(30)) || $bpeSep) AS state
+         |      FROM $prev)""".stripMargin
     }
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+    s"""sd AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |       WHERE text IS NOT NULL
+       |         AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+       |             % 10000 < $sampleBuckets),
+       |sw0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt, $bpeInitState AS state
+       |        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM sd)
+       |        WHERE word <> '' GROUP BY word),
+       |${iters.mkString(",\n")},
+       |""".stripMargin
+  }
+
+  /** The shared q121/q187 chain: `replay` rewrites one word's wrapped
+    * char state with the merge table (literal or trained-by-CTE), then
+    * vocab-16 id encoding and md5-sharded 128-token packing.
+    */
+  private def bpePackedSqlFrom(prefixCtes: String, replay: String): String =
+    s"""WITH ${prefixCtes}w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
        |           FROM documents WHERE text IS NOT NULL),
        |wp AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos FROM w),
        |st AS (SELECT doc_id, wpos, $replay AS state FROM wp WHERE word <> ''),
        |tl AS (SELECT doc_id, wpos,
-       |              string_split(substr(state, 2, length(state) - 2), $sep || $sep) AS wtoks
+       |              string_split(substr(state, 2, length(state) - 2), $bpeSep || $bpeSep) AS wtoks
        |       FROM st),
        |wt AS (SELECT doc_id, wpos, unnest(wtoks) AS tok, generate_subscripts(wtoks, 1) AS tpos
        |       FROM tl),
@@ -531,6 +579,24 @@ object OracleSql {
        |SELECT shard, seq_idx, array_to_string(list(tid ORDER BY off), ',') AS token_ids
        |FROM s GROUP BY 1, 2 HAVING count(*) = 128
        |ORDER BY shard, seq_idx""".stripMargin
+
+  private val bpePackedSql: String = {
+    val replay = DocQueries.q121Merges.foldLeft(bpeInitState) { case (acc, (a, b)) =>
+      s"replace($acc, $bpeSep || '$a' || $bpeSep || $bpeSep || '$b' || $bpeSep, $bpeSep || '$a$b' || $bpeSep)"
+    }
+    bpePackedSqlFrom("", replay)
+  }
+
+  /** q187: the full-corpus replay takes its merges from the trained
+    * m1..m8 CTEs as scalar subqueries (chr(30) sentinels neutralize an
+    * exhausted iteration), stacked on the training unroll.
+    */
+  private val bpeSampledPackedSql: String = {
+    val replay = (1 to 8).foldLeft(bpeInitState) { (acc, i) =>
+      s"replace($acc, $bpeSep || coalesce((SELECT lhs FROM m$i), chr(30)) || $bpeSep || $bpeSep || coalesce((SELECT rhs FROM m$i), chr(30)) || $bpeSep, " +
+        s"$bpeSep || coalesce((SELECT merged FROM m$i), chr(30)) || $bpeSep)"
+    }
+    bpePackedSqlFrom(bpeSampledTrainCtes(nMerges = 8, sampleBuckets = 1000), replay)
   }
 
   /** q120: candidate pairs (the q27 chain) classified by the unordered
@@ -1135,6 +1201,7 @@ object OracleSql {
     "q119_vocab_coverage" -> vocabCoverageSql,
     "q120_split_leakage" -> splitLeakageSql,
     "q121_bpe_packed_sequences" -> bpePackedSql,
+    "q187_bpe_sampled_train" -> bpeSampledPackedSql,
     "q61_dedup_retention" -> dedupRetentionSql,
     "q70_retain_canonical" -> retainCanonicalSql,
     "q83_curation" -> curationSql,

@@ -137,6 +137,7 @@ class PlanInvariantSpec extends SparkTestBase {
     "q105_packed_sequences" -> "vocab id rank over the DISTINCT-token table — vocabulary cardinality, not corpus",
     "q95_vocab_encode" -> "same vocabulary rank as q105 (shared vocab build)",
     "q121_bpe_packed_sequences" -> "same vocabulary rank as q105, over the BPE-merged vocab",
+    "q187_bpe_sampled_train" -> "q121's chain with trained merges — same bounded vocab rank",
     "q115_budget_select" -> "cumulative sum over the nBuckets-row quantile-fence table",
     "q127_logreg_eval" -> "ROC cumulative sums over the quantized score table (<= 1e6+1 rows by construction)",
     "q96_hybrid_retrieval" -> "rrfFuse head ranks over the two <= k retrieval heads (bounded-input contract ENFORCED in Index.rrfFuse)",

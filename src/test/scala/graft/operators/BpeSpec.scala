@@ -135,6 +135,28 @@ class BpeSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("trainSampled == train on the deterministic md5 sample, and the " +
+      "sample genuinely shrinks the training corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = Sampling.deterministicSample(docs, "doc_id", 0.5)
+    val nAll = docs.count()
+    val nSample = sample.count()
+    assert(nSample > 0 && nSample < nAll,
+      s"sample must be a proper subset: $nSample of $nAll")
+    val viaWrapper = Bpe.trainSampled(docs, "text", "doc_id",
+        nMerges = 4, fraction = 0.5)
+      .collect().map(_.toString).toSeq
+    val direct = Bpe.train(sample, "text", nMerges = 4)
+      .collect().map(_.toString).toSeq
+    assert(viaWrapper === direct)
+    // determinism under partitioning: the md5 sample is a pure row
+    // function, so the trained merges cannot depend on layout
+    val repart = Bpe.trainSampled(docs.repartition(13), "text", "doc_id",
+        nMerges = 4, fraction = 0.5)
+      .collect().map(_.toString).toSeq
+    assert(viaWrapper === repart)
+  }
+
   test("pair counting plans row-local pair explosion — no window, no extra exchange") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Bpe.pairCounts(Bpe.wordTable(d, "text"))
