@@ -110,8 +110,16 @@ object PageRank {
         .withColumn("__t", lit(1.0))), Seq("id"), "left")
       .select(col("id"), coalesce(col("__t"), lit(0.0)).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The initial rank vector is an alias-only projection of the CACHED
+    // teleport table, and Spark's cache lookup strips cosmetic aliases —
+    // persisting it would map to teleport's own cache entry ("already
+    // cached" warning), and worse, the generation handover's unpersist
+    // would then EVICT teleport while later iterations still read it.
+    // So generation handover tracks only the frames this loop itself
+    // persisted; iteration 1 reads ranks straight through teleport's
+    // existing cache.
     var ranks = teleport.select(col("id"), col("t").as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevOwned: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
       val contrib = withDeg
@@ -127,7 +135,8 @@ object PageRank {
             + lit(damping) * coalesce(col("__s"), lit(0.0)), 9).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
-      ranks.unpersist()
+      prevOwned.foreach(_.unpersist())
+      prevOwned = Some(next)
       ranks = next
       i += 1
     }
