@@ -86,25 +86,32 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     var words = wordTable(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    // ONE pass per round: the argmax collect is itself the action that
+    // materializes the current generation's cache, so no separate
+    // count() job runs. The unpersist is DELAYED one generation — the
+    // previous generation stays cached until the argmax has fully
+    // materialized the current one (evicting it earlier would cascade a
+    // recompute through the whole merge lineage).
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     for (i <- 1 to nMerges if !exhausted) {
       val top = pairCounts(words)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      // `words` is materialized now; its predecessor can go
+      prev.foreach(_.unpersist())
+      prev = Some(words)
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top.head.getAs[String]("lhs"),
           top.head.getAs[String]("rhs"), top.head.getAs[Long]("pair_count"))
         merges += ((i, a, b, a + b, c))
-        val next = words.withColumn("symbols", mergePair(col("symbols"), a, b))
+        words = words.withColumn("symbols", mergePair(col("symbols"), a, b))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist()
-        words = next
       }
     }
+    prev.foreach(_.unpersist())
     words.unpersist()
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
