@@ -48,7 +48,6 @@ object Hits {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     var h = e.select(col("__s")).distinct().withColumn("__h", lit(1.0))
       .localCheckpoint(true)
-    var a: DataFrame = null
     // each half-step's edge-join aggregation runs exactly ONCE: the raw
     // vertex table (O(|vertices|), tiny beside the edge join that builds
     // it) is eagerly checkpointed and its L1 normalizer read back as a
@@ -62,28 +61,34 @@ object Hits {
       val r = vec.agg(sum(col(c)).cast("double")).head()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
+    // The normalized vector is a scalar-division PROJECTION of the
+    // checkpointed raw table — it stays LAZY (each consumer re-applies
+    // one narrow map over the checkpoint) instead of paying a second
+    // full materialization per half-step; unpersist tracks the raw
+    // frames, the only ones actually holding blocks.
+    var aRawPrev: DataFrame = null
+    var hRawPrev: DataFrame = null
+    var a: DataFrame = null
     var i = 0
     while (i < iterations) {
       val aRaw = e.join(h, Seq("__s"))
         .groupBy(col("__d"))
         .agg(sum(col("__h").cast("decimal(20,9)")).as("__ar"))
         .localCheckpoint(true)
-      val aNext = aRaw
+      if (aRawPrev != null) aRawPrev.unpersist()
+      aRawPrev = aRaw
+      a = aRaw
         .select(col("__d"),
           round(col("__ar").cast("double") / lit(l1(aRaw, "__ar")), 9).as("__a"))
-        .localCheckpoint(true)
-      if (a != null) a.unpersist()
-      a = aNext
       val hRaw = e.join(a, Seq("__d"))
         .groupBy(col("__s"))
         .agg(sum(col("__a").cast("decimal(20,9)")).as("__hr"))
         .localCheckpoint(true)
-      val hNext = hRaw
+      if (i == 0) h.unpersist() else if (hRawPrev != null) hRawPrev.unpersist()
+      hRawPrev = hRaw
+      h = hRaw
         .select(col("__s"),
           round(col("__hr").cast("double") / lit(l1(hRaw, "__hr")), 9).as("__h"))
-        .localCheckpoint(true)
-      h.unpersist()
-      h = hNext
       i += 1
     }
     h.select(lit("hub").as("kind"), col("__s").as("id"), col("__h").as("score"))
