@@ -219,6 +219,16 @@ object SuffixDedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("pos"))
       .distinct()
+    rebuildStripped(df, textCol, idCol, covered)
+  }
+
+  /** Rebuild each document from its uncovered token positions:
+    * `(idCol, n_tokens_before, n_tokens_removed, text_stripped)` — the
+    * shared tail of [[stripAllButFirst]] and [[stripIncrement]]. One
+    * anti-join plus a sorted per-doc aggregation.
+    */
+  private def rebuildStripped(df: DataFrame, textCol: String, idCol: String,
+                              covered: DataFrame): DataFrame = {
     val toks = df
       // rlike("\\S"): drop null AND whitespace-only text (trim() only
       // strips spaces, so a tab-only doc would otherwise tokenize to
@@ -243,6 +253,80 @@ object SuffixDedup {
           .as("n_tokens_removed"),
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("__stripped"), lit(""))).as("text_stripped"))
+  }
+
+  /** The STORABLE substring-dedup state for [[stripIncrement]]: the
+    * first (idCol, pos) occurrence of every minLen-gram in the corpus —
+    * `(gram, first_id, first_pos)`. One map-side-combinable min per
+    * gram; singletons are KEPT (unlike the batch strip's df ≥ 2 pruning)
+    * because a gram seen once in the stored corpus must still defeat a
+    * later occurrence arriving in an increment. Write it to the
+    * warehouse next to the corpus; tomorrow's batch strips against it
+    * without touching today's documents.
+    */
+  def gramFirsts(df: DataFrame, textCol: String, idCol: String,
+                 minLen: Int = 5): DataFrame =
+    suffixRows(df, textCol, idCol, minLen, minLen)
+      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__f"))
+      .select(col("gram"), col("__f.i").as("first_id"), col("__f.p").as("first_pos"))
+
+  /** Merge an increment's gram-first table into the stored state — the
+    * O(increment ∪ touched-grams) state update: per gram, the smaller
+    * (id, pos) wins. Full-outer on the gram so unseen grams enter and
+    * untouched grams pass through.
+    */
+  def mergeFirsts(stored: DataFrame, incFirsts: DataFrame): DataFrame = {
+    val s = stored.select(col("gram"),
+      struct(col("first_id").as("i"), col("first_pos").as("p")).as("__s"))
+    val n = incFirsts.select(col("gram"),
+      struct(col("first_id").as("i"), col("first_pos").as("p")).as("__n"))
+    s.join(n, Seq("gram"), "full_outer")
+      .select(col("gram"),
+        least(col("__s"), col("__n")).as("__f"))
+      .select(col("gram"), col("__f.i").as("first_id"), col("__f.p").as("first_pos"))
+  }
+
+  /** Incremental keep-first substring-dedup STRIP — [[stripAllButFirst]]
+    * for a NEW batch against a stored corpus, in O(increment) work: the
+    * increment never re-reads yesterday's documents, only the stored
+    * [[gramFirsts]] table. A position in the increment is a loser iff
+    * the global first occurrence of its minLen-gram — the minimum of the
+    * stored first and the increment's own first, one left join on the
+    * gram — is not itself. This is EXACT (incremental == full recompute
+    * restricted to increment documents) with no id-ordering assumption
+    * for the increment's own results: the merged min IS the global min.
+    * (Reusing yesterday's stored OUTPUTS unchanged does assume increment
+    * ids sort after stored ids — the monotone-ingest snapshot contract
+    * of the other incremental families.)
+    *
+    * Scale shape: the increment's grams join the stored firsts on the
+    * gram (broadcast or shuffle join by size, AQE skew-split applies);
+    * shuffle ∝ increment tokens + touched stored grams, never the
+    * corpus.
+    */
+  def stripIncrement(storedFirsts: DataFrame, inc: DataFrame,
+                     textCol: String, idCol: String,
+                     minLen: Int = 5): DataFrame = {
+    val grams = suffixRows(inc, textCol, idCol, minLen, minLen)
+      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("gram"))
+    val incFirsts = grams.groupBy(col("gram"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__n"))
+    val combined = incFirsts
+      .join(storedFirsts.select(col("gram"),
+        struct(col("first_id").as("i"), col("first_pos").as("p")).as("__s")),
+        Seq("gram"), "left")
+      .select(col("gram"),
+        when(col("__s").isNull, col("__n"))
+          .otherwise(least(col("__s"), col("__n"))).as("__kmin"))
+    val losers = grams.join(combined, Seq("gram"))
+      .where(col(idCol) =!= col("__kmin.i") || col("pos") =!= col("__kmin.p"))
+    val covered = losers
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("pos"))
+      .distinct()
+    rebuildStripped(inc, textCol, idCol, covered)
   }
 
   /** Per-document substring-dedup report:

@@ -1112,6 +1112,28 @@ object DocQueries {
     bpePackedWithMerges(docs, trained)
   }
 
+  /** q186's INCREMENTAL sibling (SuffixDedup.stripIncrement): even-key
+    * documents are YESTERDAY'S corpus — only their stored gram-firsts
+    * table (SuffixDedup.gramFirsts, materialized like q146's stored
+    * state) survives; odd keys are today's batch, stripped in
+    * O(increment) against the stored firsts without re-reading a single
+    * stored document. Exact by construction: the merged per-gram minimum
+    * IS the global first occurrence, so the oracle computes the FULL
+    * keep-first strip over the whole corpus and restricts to the
+    * increment — a hash match is the incremental==full theorem, the
+    * substring-dedup member of the q72/q107/q146/q157 incremental
+    * family.
+    */
+  def q188StripIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val stored = SuffixDedup.gramFirsts(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id", minLen = 5)
+      .localCheckpoint(true)
+    SuffixDedup.stripIncrement(stored,
+        docs.where(col("doc_id") % 2 === 1), "text", "doc_id", minLen = 5)
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring dedup rewrite (TextAnalysis.stripRepeatedSpans):
     * every 8-token window recurring in ≥2 distinct documents is removed
     * from every document carrying it, and the survivors are rejoined in

@@ -587,6 +587,42 @@ object OracleSql {
     bpePackedSqlFrom("", replay)
   }
 
+  /** The q186/q188 strip replay from the TRUE keep-first definition — a
+    * within-block self-join finds every position's max LCP against any
+    * strictly earlier (doc_id, pos) suffix over the WHOLE corpus (see
+    * the q186 comment above for why the covered unions coincide with the
+    * engine's minLen-window form); `docFilter` restricts the OUTPUT rows
+    * only, which is how q188's increment-only report replays.
+    */
+  private def stripDupSpansSql(docFilter: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |           FROM documents WHERE regexp_matches(text, '\\S')),
+       |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS pos
+       |       FROM d WHERE len(toks) >= 5),
+       |s AS (SELECT doc_id, pos, toks[pos : least(pos + 29, len(toks))] AS sfx FROM st),
+       |b AS (SELECT doc_id, pos, sfx, array_to_string(sfx[1:5], ' ') AS blk FROM s),
+       |r AS (SELECT l.doc_id, l.pos,
+       |        max(coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(l.sfx), len(e.sfx))), i -> l.sfx[i] IS DISTINCT FROM e.sfx[i]), true), 0) - 1, least(len(l.sfx), len(e.sfx)))) AS strip
+       |      FROM b l JOIN b e ON l.blk = e.blk
+       |        AND (e.doc_id < l.doc_id OR (e.doc_id = l.doc_id AND e.pos < l.pos))
+       |      GROUP BY l.doc_id, l.pos),
+       |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + strip - 1)) AS pos
+       |        FROM r WHERE strip >= 5),
+       |tk AS (SELECT doc_id, t.p AS pos, toks[t.p] AS tok
+       |       FROM d, unnest(generate_series(1, len(toks))) t(p)),
+       |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS stripped, count(*) AS n_kept
+       |         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+       |         WHERE cov.pos IS NULL GROUP BY tk.doc_id),
+       |bef AS (SELECT doc_id, count(*) AS n_before FROM tk GROUP BY doc_id)
+       |SELECT d0.doc_id,
+       |       CAST(coalesce(bef.n_before, 0) AS BIGINT) AS n_tokens_before,
+       |       CAST(coalesce(bef.n_before, 0) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       |       CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(kept.stripped, '') END AS text_stripped
+       |FROM documents d0
+       |LEFT JOIN bef USING (doc_id) LEFT JOIN kept USING (doc_id)
+       |WHERE $docFilter
+       |ORDER BY doc_id""".stripMargin
+
   /** q187: the full-corpus replay takes its merges from the trained
     * m1..m8 CTEs as scalar subqueries (chr(30) sentinels neutralize an
     * exhausted iteration), stacked on the training unroll.
@@ -3692,33 +3728,12 @@ object OracleSql {
     // (every q inside a true shared span has a loser window
     // [q-minLen+1, q] inside the span — see SuffixDedup.stripAllButFirst
     // scaladoc), so this is an independent derivation of the same rows.
-    "q186_strip_dup_spans" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |           FROM documents WHERE regexp_matches(text, '\S')),
-        |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS pos
-        |       FROM d WHERE len(toks) >= 5),
-        |s AS (SELECT doc_id, pos, toks[pos : least(pos + 29, len(toks))] AS sfx FROM st),
-        |b AS (SELECT doc_id, pos, sfx, array_to_string(sfx[1:5], ' ') AS blk FROM s),
-        |r AS (SELECT l.doc_id, l.pos,
-        |        max(coalesce(nullif(list_position(list_transform(generate_series(1, greatest(len(l.sfx), len(e.sfx))), i -> l.sfx[i] IS DISTINCT FROM e.sfx[i]), true), 0) - 1, least(len(l.sfx), len(e.sfx)))) AS strip
-        |      FROM b l JOIN b e ON l.blk = e.blk
-        |        AND (e.doc_id < l.doc_id OR (e.doc_id = l.doc_id AND e.pos < l.pos))
-        |      GROUP BY l.doc_id, l.pos),
-        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + strip - 1)) AS pos
-        |        FROM r WHERE strip >= 5),
-        |tk AS (SELECT doc_id, t.p AS pos, toks[t.p] AS tok
-        |       FROM d, unnest(generate_series(1, len(toks))) t(p)),
-        |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS stripped, count(*) AS n_kept
-        |         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
-        |         WHERE cov.pos IS NULL GROUP BY tk.doc_id),
-        |bef AS (SELECT doc_id, count(*) AS n_before FROM tk GROUP BY doc_id)
-        |SELECT d0.doc_id,
-        |       CAST(coalesce(bef.n_before, 0) AS BIGINT) AS n_tokens_before,
-        |       CAST(coalesce(bef.n_before, 0) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_tokens_removed,
-        |       CASE WHEN d0.text IS NULL THEN NULL ELSE coalesce(kept.stripped, '') END AS text_stripped
-        |FROM documents d0
-        |LEFT JOIN bef USING (doc_id) LEFT JOIN kept USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q186_strip_dup_spans" -> stripDupSpansSql("TRUE"),
+
+    // q188: the SAME full-corpus keep-first computation restricted to the
+    // odd-key increment — the engine's stripIncrement must match it from
+    // the stored even-key gram-firsts alone (incremental == full)
+    "q188_strip_increment" -> stripDupSpansSql("d0.doc_id % 2 = 1"),
 
     "q182_url_normalize" ->
       s"""WITH $urlCtes

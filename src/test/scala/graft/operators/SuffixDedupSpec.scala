@@ -10,6 +10,7 @@ import graft.SparkTestBase
   */
 class SuffixDedupSpec extends SparkTestBase {
   import spark.implicits._
+  import org.apache.spark.sql.functions.col
 
   private val minLen = 3
   private val depth = 6
@@ -267,6 +268,64 @@ class SuffixDedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(uncapped(6L) === ((4L, 0L)))
     assert(uncapped.values.forall(_._2 === 0L))
+  }
+
+  test("stripIncrement == full stripAllButFirst restricted to the increment, " +
+      "and mergeFirsts == firsts of the union") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val shared = Array.fill(rnd.nextInt(5) + 3)(vocab(rnd.nextInt(vocab.length)))
+      val corpus = (1L to 10L).map { id =>
+        val own = Array.fill(rnd.nextInt(10) + 1)(vocab(rnd.nextInt(vocab.length)))
+        val t = if (rnd.nextBoolean()) {
+          val cut = rnd.nextInt(own.length + 1)
+          (own.take(cut) ++ shared ++ own.drop(cut)).mkString(" ")
+        } else own.mkString(" ")
+        (id, t)
+      }
+      val all = corpus.toDF("doc_id", "text")
+      // EVEN ids are the stored corpus, ODD the increment — deliberately
+      // interleaved, the merged per-gram min needs no id ordering
+      val stored = SuffixDedup.gramFirsts(
+        all.where(col("doc_id") % 2 === 0), "text", "doc_id", minLen = 3)
+      val inc = all.where(col("doc_id") % 2 === 1)
+      val got = SuffixDedup.stripIncrement(stored, inc, "text", "doc_id", minLen = 3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val want = SuffixDedup.stripAllButFirst(all, "text", "doc_id", minLen = 3)
+        .where(col("doc_id") % 2 === 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got === want, s"trial $trial: incremental != full-restricted")
+      // state update: merging the increment's firsts into the stored
+      // state reproduces the from-scratch firsts of the union
+      val merged = SuffixDedup.mergeFirsts(stored,
+          SuffixDedup.gramFirsts(inc, "text", "doc_id", minLen = 3))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val scratch = SuffixDedup.gramFirsts(all, "text", "doc_id", minLen = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(merged === scratch, s"trial $trial: merged state != from-scratch state")
+    }
+  }
+
+  test("stripIncrement handles increment-only grams and null/short docs") {
+    val stored = SuffixDedup.gramFirsts(
+      Seq((2L, "x y z w")).toDF("doc_id", "text"), "text", "doc_id", minLen = 3)
+    val inc = Seq(
+      (5L, "x y z w tail"),          // stored gram "x y z" earlier at doc 2 → strips
+      (7L, "p q r p q r"),           // increment-only self-repeat → later occurrence strips
+      (9L, null.asInstanceOf[String]),
+      (11L, "too short")
+    ).toDF("doc_id", "text")
+    val got = SuffixDedup.stripIncrement(stored, inc, "text", "doc_id", minLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // doc 5: positions 1..2 are losers vs the stored corpus ("x y z",
+    // "y z w" both first-seen in doc 2) → covered 1..4, "tail" survives
+    assert(got(5L) === ((5L, 4L, "tail")))
+    // doc 7: the second "p q r" loses to the first WITHIN the increment
+    assert(got(7L) === ((6L, 3L, "p q r")))
+    assert(got(9L) === ((0L, 0L, null)))
+    assert(got(11L) === ((2L, 0L, "too short")))
   }
 
   test("graft_longest_dup SQL table function plans as the Column API") {
