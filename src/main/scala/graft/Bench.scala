@@ -83,8 +83,11 @@ object Bench {
         // operator, and the CacheManager logged an "already cached"
         // warning per rerun. Every run now does the real data work on a
         // warm JVM (JIT/codegen warmth is representative of a live
-        // cluster; cached input data is not). Also stops a 186-query
-        // sweep from accumulating intermediates in the storage layer.
+        // cluster; cached input data is not). Also stops catalog-cached
+        // intermediates from accumulating across the sweep. (Eager
+        // localCheckpoint blocks are NOT covered — those free only when
+        // the ContextCleaner GCs the owning RDDs; the queries that use
+        // them hold at most a few generations of small state.)
         spark.catalog.clearCache()
         t
       }.sorted

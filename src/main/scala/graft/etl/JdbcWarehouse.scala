@@ -56,11 +56,28 @@ final case class JdbcWarehouse(
 
   /** JDBC identifiers are folded to upper case by Derby (and most
     * warehouses) when unquoted; Spark's JDBC writer emits unquoted names,
-    * so existence checks must match that folding.
+    * so existence checks must match that folding. The metadata lookup's
+    * name argument is a LIKE pattern where '_' is a single-char wildcard
+    * — and every stage/retire name contains '__' — so results are
+    * re-filtered by EXACT name and fully scanned, never trusted from the
+    * pattern match (a wildcard hit on some OTHER object would otherwise
+    * fake existence, and type rows sort TABLE-first so a one-row peek
+    * could hide a squatting view).
     */
-  private def tableExists(c: Connection, name: String): Boolean =
+  private def objectTypes(c: Connection, name: String): Seq[String] = {
+    val target = name.toUpperCase
     scala.util.Using.resource(
-      c.getMetaData.getTables(null, null, name.toUpperCase, Array("TABLE")))(_.next())
+      c.getMetaData.getTables(null, null, target, null)) { rs =>
+      val types = Seq.newBuilder[String]
+      while (rs.next())
+        if (rs.getString("TABLE_NAME") == target)
+          types += rs.getString("TABLE_TYPE")
+      types.result()
+    }
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean =
+    objectTypes(c, name).contains("TABLE")
 
   private def dropIfExists(c: Connection, name: String): Unit =
     if (tableExists(c, name))
@@ -71,18 +88,13 @@ final case class JdbcWarehouse(
     * `dropIfExists` only clears TABLEs on purpose (dropping a user's view
     * silently would be worse). Detect the collision and say so.
     */
-  private def failOnNonTableCollision(c: Connection, name: String): Unit = {
-    val anyType = scala.util.Using.resource(
-      c.getMetaData.getTables(null, null, name.toUpperCase, null)) { rs =>
-      if (rs.next()) Option(rs.getString("TABLE_TYPE")) else None
-    }
-    anyType.filter(_ != "TABLE").foreach { t =>
+  private def failOnNonTableCollision(c: Connection, name: String): Unit =
+    objectTypes(c, name).find(_ != "TABLE").foreach { t =>
       throw new IllegalStateException(
         s"JdbcWarehouse needs '$name' for its truncate-reload swap, but a " +
           s"non-table object of type $t already holds that name; drop or " +
           "rename it (JdbcWarehouse will not drop non-TABLE objects)")
     }
-  }
 
   override def write(name: String, df: DataFrame): Unit = {
     val stage = s"${name}__stage"

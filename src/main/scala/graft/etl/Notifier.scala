@@ -23,10 +23,14 @@ trait Notifier {
 
 /** The reference's actual shipped behavior: log the summary fields.
   * The sink is injectable (the F10 injectable-dependency doctrine) so
-  * specs can pin the exact payload without capturing stdout.
+  * specs can pin the exact payload without capturing stdout. The
+  * duration formats under Locale.ROOT — the line is a machine-readable
+  * payload, and a comma-decimal default locale must not change it.
   */
 final class LogNotifier(sink: String => Unit = println) extends Notifier {
   override def notify(s: RunSummary): Unit =
-    sink(f"[sri-etl] notify dag_id=${s.dagId} execution_date=${s.executionDate} " +
-      f"status=${s.status} duration=${s.durationSecs}%.1fs finished_at=${s.finishedAt}")
+    sink(s"[sri-etl] notify dag_id=${s.dagId} execution_date=${s.executionDate} " +
+      s"status=${s.status} duration=" +
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(s.durationSecs)) +
+      s"s finished_at=${s.finishedAt}")
 }

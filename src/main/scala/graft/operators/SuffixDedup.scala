@@ -115,12 +115,19 @@ object SuffixDedup {
         size(split(trim(lower(col(textCol))), "\\s+")) - lit(minLen - 1),
         lit(0))), lit(0L)))
       .head().getLong(0)
-    lazy val hot = suffixRows(df, textCol, idCol, minLen, minLen)
-      .select(concat_ws(" ", col("sfx")).as("__block"))
-      .groupBy(col("__block")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxBlockDf)
-      .select(col("__block"))
-    val anyHot = totalPositions > maxBlockDf && !hot.isEmpty
+    // The probe COLLECTS the hot keys — at most totalPositions/maxBlockDf
+    // of them, the same driver-size contract a broadcast of the plan
+    // would carry — so the aggregation runs exactly once; re-reading
+    // `hot` as a live plan from the routing joins below would re-run the
+    // probe scan per consumer.
+    val hotKeys: Array[String] =
+      if (totalPositions <= maxBlockDf) Array.empty
+      else suffixRows(df, textCol, idCol, minLen, minLen)
+        .select(concat_ws(" ", col("sfx")).as("__block"))
+        .groupBy(col("__block")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxBlockDf)
+        .select(col("__block"))
+        .collect().map(_.getString(0))
     val sfx = suffixRows(df, textCol, idCol, minLen, depth)
       // block key: the first minLen tokens, space-joined (tokens carry no
       // whitespace post-split, so the join is injective on exactly-minLen
@@ -140,10 +147,16 @@ object SuffixDedup {
             lcp(col("sfx"), col("__prv")),
             lcp(col("sfx"), col("__nxt"))).as("dup_len"),
           lit(false).as("dup_len_capped"))
-    if (!anyHot) sorted(sfx)
+    if (hotKeys.isEmpty) sorted(sfx)
     else {
-      val cold = sfx.join(broadcast(hot), Seq("__block"), "left_anti")
-      val hotRows = sfx.join(broadcast(hot), Seq("__block"), "left_semi")
+      import df.sparkSession.implicits._
+      val hot = broadcast(hotKeys.toSeq.toDF("__block"))
+      val cold = sfx.join(hot, Seq("__block"), "left_anti")
+      // hotRows derives from a FULL corpus suffix scan; it feeds two
+      // consumers (the twin count and the output probe), so materialize
+      // it once rather than paying the scan twice
+      val hotRows = sfx.join(hot, Seq("__block"), "left_semi")
+        .localCheckpoint(true)
       // tier 1: an identical depth-truncated twin (>= 2 occurrences of
       // the full suffix) pins dup_len = size(sfx) exactly — and the
       // sorted-neighbor answer could never exceed it. The count groups
@@ -206,21 +219,36 @@ object SuffixDedup {
     */
   def stripAllButFirst(df: DataFrame, textCol: String, idCol: String,
                        minLen: Int = 5): DataFrame = {
-    val grams = suffixRows(df, textCol, idCol, minLen, minLen)
-      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("__gram"))
+    val grams = gramRows(df, textCol, idCol, minLen)
     val firsts = grams.groupBy(col("__gram"))
       .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__kmin"),
         count(lit(1)).as("__df"))
       .where(col("__df") >= 2) // a gram seen once has no later occurrence
       .select(col("__gram"), col("__kmin"))
-    val losers = grams.join(firsts, Seq("__gram"))
+    rebuildStripped(df, textCol, idCol,
+      coveredPositions(grams, firsts, idCol, minLen))
+  }
+
+  /** One `(idCol, pos, __gram)` row per candidate start — the shared
+    * shingle feed of both strip forms.
+    */
+  private def gramRows(df: DataFrame, textCol: String, idCol: String,
+                       minLen: Int): DataFrame =
+    suffixRows(df, textCol, idCol, minLen, minLen)
+      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("__gram"))
+
+  /** The shared loser rule of both strip forms: a position is covered
+    * iff it falls in the minLen window of a row that is NOT the
+    * `__kmin` first occurrence of its gram (grams absent from `firsts`
+    * have no earlier occurrence and survive via the inner join).
+    */
+  private def coveredPositions(grams: DataFrame, firsts: DataFrame,
+                               idCol: String, minLen: Int): DataFrame =
+    grams.join(firsts, Seq("__gram"))
       .where(col(idCol) =!= col("__kmin.i") || col("pos") =!= col("__kmin.p"))
-    val covered = losers
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("pos"))
       .distinct()
-    rebuildStripped(df, textCol, idCol, covered)
-  }
 
   /** Rebuild each document from its uncovered token positions:
     * `(idCol, n_tokens_before, n_tokens_removed, text_stripped)` — the
@@ -266,9 +294,8 @@ object SuffixDedup {
     */
   def gramFirsts(df: DataFrame, textCol: String, idCol: String,
                  minLen: Int = 5): DataFrame =
-    suffixRows(df, textCol, idCol, minLen, minLen)
-      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("gram"))
-      .groupBy(col("gram"))
+    gramRows(df, textCol, idCol, minLen)
+      .groupBy(col("__gram").as("gram"))
       .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__f"))
       .select(col("gram"), col("__f.i").as("first_id"), col("__f.p").as("first_pos"))
 
@@ -309,24 +336,18 @@ object SuffixDedup {
   def stripIncrement(storedFirsts: DataFrame, inc: DataFrame,
                      textCol: String, idCol: String,
                      minLen: Int = 5): DataFrame = {
-    val grams = suffixRows(inc, textCol, idCol, minLen, minLen)
-      .select(col(idCol), col("pos"), concat_ws(" ", col("sfx")).as("gram"))
-    val incFirsts = grams.groupBy(col("gram"))
+    val grams = gramRows(inc, textCol, idCol, minLen)
+    val incFirsts = grams.groupBy(col("__gram"))
       .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__n"))
+    // least() skips nulls (the mergeFirsts contract), so a gram the
+    // stored corpus never saw resolves to the increment's own first
     val combined = incFirsts
-      .join(storedFirsts.select(col("gram"),
+      .join(storedFirsts.select(col("gram").as("__gram"),
         struct(col("first_id").as("i"), col("first_pos").as("p")).as("__s")),
-        Seq("gram"), "left")
-      .select(col("gram"),
-        when(col("__s").isNull, col("__n"))
-          .otherwise(least(col("__s"), col("__n"))).as("__kmin"))
-    val losers = grams.join(combined, Seq("gram"))
-      .where(col(idCol) =!= col("__kmin.i") || col("pos") =!= col("__kmin.p"))
-    val covered = losers
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("pos"))
-      .distinct()
-    rebuildStripped(inc, textCol, idCol, covered)
+        Seq("__gram"), "left")
+      .select(col("__gram"), least(col("__s"), col("__n")).as("__kmin"))
+    rebuildStripped(inc, textCol, idCol,
+      coveredPositions(grams, combined, idCol, minLen))
   }
 
   /** Per-document substring-dedup report:
