@@ -66,11 +66,22 @@ final case class JdbcWarehouse(
     */
   private def objectTypes(c: Connection, name: String): Seq[String] = {
     val target = name.toUpperCase
+    // Scope to the connection's CURRENT schema: the stage/retire DDL runs
+    // unqualified, so it resolves there — a same-named table/view in ANY
+    // other schema (user or system) must neither fake existence for
+    // tableExists nor trip failOnNonTableCollision (ADVICE r13). getSchema
+    // may be null (driver without a current-schema notion); then the
+    // unqualified-DDL target is genuinely ambiguous and the unfiltered
+    // scan is the conservative read. The schema is applied as an EXACT
+    // row filter, never as the metadata schemaPattern — same LIKE-wildcard
+    // ('_' in "MY_SCHEMA") reason the name is re-filtered below.
+    val schema = Option(c.getSchema)
     scala.util.Using.resource(
       c.getMetaData.getTables(null, null, target, null)) { rs =>
       val types = Seq.newBuilder[String]
       while (rs.next())
-        if (rs.getString("TABLE_NAME") == target)
+        if (rs.getString("TABLE_NAME") == target &&
+            schema.forall(_ == rs.getString("TABLE_SCHEM")))
           types += rs.getString("TABLE_TYPE")
       types.result()
     }

@@ -96,6 +96,13 @@ object SuffixDedup {
   def longestDupPrefix(df: DataFrame, textCol: String, idCol: String,
                        minLen: Int = 5, depth: Int = 50,
                        maxBlockDf: Long = 1L << 20): DataFrame = {
+    // Tier 2's dup_len >= minLen floor is proven by ">= 2 rows share the
+    // hot block's gram", which needs df > maxBlockDf to imply df >= 2: a
+    // non-positive cap would route SINGLETON blocks hot and report a
+    // never-duplicated suffix as dup_len = minLen (ADVICE r13).
+    require(maxBlockDf >= 1,
+      s"maxBlockDf must be >= 1 (got $maxBlockDf): the hot-block floor is " +
+        "only sound when a hot block provably holds >= 2 suffix rows")
     // Hot-block probe, two sound layers (the Components eager-gate
     // precedent: cheap driver-side cardinalities decide the plan):
     //
@@ -364,6 +371,8 @@ object SuffixDedup {
   def longestDupPerDoc(df: DataFrame, textCol: String, idCol: String,
                        minLen: Int = 5, depth: Int = 50,
                        maxBlockDf: Long = 1L << 20): DataFrame = {
+    require(maxBlockDf >= 1,
+      s"maxBlockDf must be >= 1 (got $maxBlockDf); see longestDupPrefix")
     val dup = longestDupPrefix(df, textCol, idCol, minLen, depth, maxBlockDf)
       .where(col("dup_len") >= minLen)
       .groupBy(col(idCol))

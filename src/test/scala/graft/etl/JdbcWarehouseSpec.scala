@@ -74,6 +74,32 @@ class JdbcWarehouseSpec extends SparkTestBase {
     finally c2.close()
   }
 
+  test("metadata checks are scoped to the connection's current schema") {
+    // a same-named TABLE and a same-named __stage VIEW in a DIFFERENT
+    // schema must neither fake existence nor trip the collision abort —
+    // the unqualified swap DDL resolves in the connection's current
+    // schema only (ADVICE r13)
+    val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/wh")
+    try scala.util.Using.resource(c.createStatement()) { st =>
+      st.executeUpdate("CREATE SCHEMA XOTHER")
+      st.executeUpdate("CREATE TABLE XOTHER.T_XSCHEMA(id INT)")
+      st.executeUpdate(
+        "CREATE VIEW XOTHER.T_XSCHEMA__STAGE AS SELECT * FROM XOTHER.T_XSCHEMA")
+    } finally c.close()
+    wh.write("t_xschema", Seq((1L, "a")).toDF("id", "v"))
+    wh.write("t_xschema", Seq((2L, "b")).toDF("id", "v"))
+    assert(wh.read("t_xschema").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // and the foreign-schema objects survive untouched
+    val c2 = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/wh")
+    try scala.util.Using.resource(
+      c2.getMetaData.getTables(null, "XOTHER", "%", null)) { rs =>
+      val names = Seq.newBuilder[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      assert(names.result().toSet === Set("T_XSCHEMA", "T_XSCHEMA__STAGE"),
+        "both XOTHER objects must still exist")
+    } finally c2.close()
+  }
+
   test("readPartitioned splits the scan and returns the same rows") {
     val df = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
     wh.write("t_part", df)

@@ -236,6 +236,28 @@ class SuffixDedupSpec extends SparkTestBase {
     assert(got(1L) === ((5L, 0L, "some real tokens here okay")))
   }
 
+  test("a non-positive maxBlockDf is rejected up front") {
+    // with maxBlockDf = 0 a SINGLETON gram block (df = 1) would route hot
+    // and tier 2's ">= 2 rows share the gram" floor proof would not hold —
+    // a never-duplicated suffix would be reported as dup_len = minLen
+    // (ADVICE r13). The guard must reject it before any scan runs.
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    for (bad <- Seq(0L, -1L)) {
+      val e1 = intercept[IllegalArgumentException] {
+        SuffixDedup.longestDupPrefix(df, "text", "doc_id", 3, 10, bad)
+      }
+      assert(e1.getMessage.contains("maxBlockDf"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        SuffixDedup.longestDupPerDoc(df, "text", "doc_id", 3, 10, bad)
+      }
+      assert(e2.getMessage.contains("maxBlockDf"), e2.getMessage)
+    }
+    // and the smallest legal cap still computes (everything routes hot,
+    // twins stay exact, uniques floor-and-account — soundly, since df >= 2)
+    assert(SuffixDedup.longestDupPerDoc(df, "text", "doc_id", 3, 10, 1L)
+      .count() === 1L)
+  }
+
   test("df-capped hot blocks: identical twins stay exact, unique suffixes " +
       "floor at minLen and are accounted") {
     // Planted hot block at maxBlockDf = 4: the 3-gram "c c c" occurs in
