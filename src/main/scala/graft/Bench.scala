@@ -28,6 +28,18 @@ import org.apache.spark.sql.SparkSession
   * is a numeric rule, never a per-round judgment call (rounds 9 and 10
   * both flagged the free-text margin; this pins it).
   * The primary queries/spread/total numbers stay untouched measurements.
+  *
+  * r14 additions:
+  *   - "regression" pre-verdicts are SELF-ADJUDICATED to a "final" of
+  *     "drift" or "code" by re-running the flagged queries from the
+  *     pinned baseline jar in a child JVM ([[BaselineJar]]) — the manual
+  *     worktree bisect of rounds 11-13, automated.
+  *   - a runtime window census ([[WindowWarnCensus]]) counts WindowExec's
+  *     "No Partition Defined" warning per query (silencing the tail
+  *     noise); "window_warns" records the counts and "window_unaudited"
+  *     names any warning query missing from
+  *     [[graft.queries.WindowAudits]] — the stdout line carries the
+  *     count so an unbounded global window is an alarm, not noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,6 +62,10 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "262144")
       )
     spark.sparkContext.setLogLevel("WARN")
+    // runtime window census (r13 verdict item 3): silences the audited
+    // "No Partition Defined" tail noise while COUNTING every occurrence
+    // per query, so an unaudited global window is an alarm, not noise
+    val windowWarnCount = WindowWarnCensus.install()
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -73,6 +89,7 @@ object Bench {
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val warnsBefore = windowWarnCount()
       val runs = (1 to nRuns).map { _ =>
         val t = try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         // cache hygiene, BETWEEN RUNS (r13 methodology fix): queries that
@@ -95,14 +112,28 @@ object Bench {
       // LOWER median for even run counts: SPARK_GRAFT_RUNS=2 then reports
       // the faster run (the old min-of-2 behavior), not the slower
       val med = if (failed) -1.0 else runs((runs.size - 1) / 2)
-      (name, med, if (failed) (-1.0, -1.0) else (runs.head, runs.last))
+      (name, med, if (failed) (-1.0, -1.0) else (runs.head, runs.last),
+        windowWarnCount() - warnsBefore)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, med, (mn, mx)) =>
+    val spread = results.map { case (k, med, (mn, mx), _) =>
       "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query partition-less-window warning counts (cumulative across
+    // the query's runs); any warning query not audited in WindowAudits is
+    // the alarm this census exists for
+    val winWarns = results.collect { case (k, _, _, w) if w > 0 => k -> w }
+    val winJson = winWarns.map { case (k, w) => "\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val unaudited = winWarns.map(_._1)
+      .filterNot(graft.queries.WindowAudits.boundedGlobalWindowByDesign.contains)
+    val unauditedJson = unaudited.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (unaudited.nonEmpty)
+      System.err.println(
+        s"[window-census] UNAUDITED partition-less window warning(s) from: " +
+          unaudited.mkString(", ") + " — audit in WindowAudits or fix the plan")
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
     // an unreadable/empty baseline (e.g. SPARK_GRAFT_BASELINE=/dev/null to
     // disable the recheck) must mean "no baseline", not a crash AFTER the
@@ -128,13 +159,13 @@ object Bench {
     // would otherwise enter the record inflated and unannotated (q117 in
     // round 7: 39s sweep median, 7.6s isolated). A baseline-absent query
     // is judged against its own isolated re-run instead of a baseline.
-    val suspects = results.filter { case (name, med, (mn, _)) =>
+    val suspects = results.filter { case (name, med, (mn, _), _) =>
       med >= 0 && (baseline.get(name) match {
         case Some(b) => b > 0 && med > b * 1.25 && med - b > 0.2
         case None    => mn > 0 && med > mn * 2 && med - mn > 1.0
       })
     }
-    val recheck = suspects.map { case (name, med, _) =>
+    val isoChecked = suspects.map { case (name, med, _, _) =>
       System.gc()
       val iso = (1 to nRuns).map { _ =>
         val t = try time(sink(selected(name)(spark, sfDir))) catch { case _: Throwable => -1.0 }
@@ -153,8 +184,33 @@ object Bench {
       val verdict =
         if (b > 0) { if (isoMin >= 0 && isoMin <= b * 1.05 + 0.05) "contention" else "regression" }
         else { if (isoMin >= 0 && isoMin <= med / 2) "contention" else "unconfirmed" }
+      (name, b, med, isoMin, verdict)
+    }
+    // Self-adjudication (r13 verdict item 8): a "regression" pre-verdict
+    // only proves the number is elevated vs the RECORD — it cannot say
+    // whether the HOST moved or the CODE did (rounds 11-13 each burned a
+    // task hand-bisecting exactly this). One child-JVM Bench sweep of the
+    // flagged queries from the pinned baseline jar answers it in-process:
+    // same host, same hour, old binary. `final` carries the adjudicated
+    // verdict; `verdict` stays the mechanical pre-verdict for continuity.
+    val regressed = isoChecked.collect { case (n, _, _, _, "regression") => n }
+    val jarMinima: Map[String, Double] =
+      if (regressed.isEmpty) Map.empty
+      else BaselineJar.resolve() match {
+        case Some(jar) => BaselineJar.benchMinima(jar, sfDir, regressed, nRuns, cpus)
+        case None => Map.empty
+      }
+    val recheck = isoChecked.map { case (name, b, med, isoMin, verdict) =>
+      val (jarField, finalV) = verdict match {
+        case "regression" => jarMinima.get(name) match {
+          case Some(c) =>
+            (s""","baseline_jar_min":$c""", BaselineJar.adjudicate(isoMin, c))
+          case None => ("", "regression") // no jar / old registry lacks it
+        }
+        case v => ("", v)
+      }
       "\"" + name +
-        s"""":{"baseline":$b,"med":$med,"isolated_min":$isoMin,"verdict":"$verdict"}"""
+        s"""":{"baseline":$b,"med":$med,"isolated_min":$isoMin,"verdict":"$verdict"$jarField,"final":"$finalV"}"""
     }.mkString("{", ",", "}")
     // Two output surfaces (round-7 driver artifact lesson: BENCH_r07.json
     // captured only a truncated text tail of stdout, so `parsed` came back
@@ -164,7 +220,7 @@ object Bench {
     // LAST, after the session is released, so no Spark shutdown logging
     // can interleave into or follow the parseable line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"window_warns":$winJson,"window_unaudited":$unauditedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     Sessions.release(spark, owned)
@@ -172,6 +228,6 @@ object Bench {
     // ~5KB and the driver's 2000-char stdout tail head-truncates it, so
     // `parsed` came back null in rounds 7 AND 8. Per-query detail lives in
     // the full record written above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$nRuns,"sf":"$sfDir","detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$nRuns,"window_unaudited":${unaudited.size},"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

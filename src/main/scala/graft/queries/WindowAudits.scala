@@ -1,0 +1,40 @@
+package graft.queries
+
+/** The audited partition-less-window registry, shared by the two gates
+  * that enforce it (moved out of test code in r14 so both can see it):
+  *
+  *   - `PlanInvariantSpec`'s window census fails on any registered query
+  *     that PLANS an unaudited partition-less `WindowExec` — and on any
+  *     stale entry whose query no longer plans one.
+  *   - `graft.Bench`'s runtime window census ([[graft.WindowWarnCensus]])
+  *     counts `WindowExec`'s "No Partition Defined" warnings per query
+  *     during the sweep and reports any query that WARNS without being
+  *     audited here. This closes the census's one blind spot: queries
+  *     that are eager by construction (plan census skips them) still
+  *     execute their windows under the bench and get counted.
+  *
+  * Every entry documents WHY the single-partition window is bounded —
+  * these sit over vocabulary/centroid/bucket-cardinality tables, never
+  * over the corpus. An unbounded global window is a scale-killer (the
+  * whole dataset sorts in ONE task); that is exactly what both censuses
+  * exist to catch.
+  */
+object WindowAudits {
+
+  val boundedGlobalWindowByDesign: Map[String, String] = Map(
+    "q07_dim_dedup_key" -> "surrogate-key rank over the DEDUPED dim table (distinct part attrs) — the presentation form; the scalable two-phase allocator is the same query's documented sibling (SurrogateKeys)",
+    "q100_pq_codebooks" -> "seed rank over the k=8 lowest-id seed rows (LIMIT 8 upstream)",
+    "q101_pq_codes" -> "same k=8 seed rank as q100 (shared pqCodebooks chain)",
+    "q105_packed_sequences" -> "vocab id rank over the DISTINCT-token table — vocabulary cardinality, not corpus",
+    "q95_vocab_encode" -> "same vocabulary rank as q105 (shared vocab build)",
+    "q121_bpe_packed_sequences" -> "same vocabulary rank as q105, over the BPE-merged vocab",
+    "q187_bpe_sampled_train" -> "q121's chain with trained merges — same bounded vocab rank",
+    "q115_budget_select" -> "cumulative sum over the nBuckets-row quantile-fence table",
+    "q127_logreg_eval" -> "ROC cumulative sums over the quantized score table (<= 1e6+1 rows by construction)",
+    "q96_hybrid_retrieval" -> "rrfFuse head ranks over the two <= k retrieval heads (bounded-input contract ENFORCED in Index.rrfFuse)",
+    "q129_hybrid_serving" -> "same rrfFuse <= k head ranks as q96",
+    "q141_zipf_fit" -> "frequency rank over the word-frequency table — vocabulary cardinality",
+    "q166_key_skew" -> "top-K row rank + cumulative mass over the per-key HISTOGRAM (aggregation-bounded; the diagnostic contract)",
+    "q80_mixture_weights" -> "global mass total over the per-source table (n_sources rows)",
+    "q82_lm_buckets" -> "the documented exact-ntile presentation form; q177_lm_buckets_approx is the registered no-global-sort scale sibling")
+}

@@ -124,28 +124,12 @@ class PlanInvariantSpec extends SparkTestBase {
       "top-k regressed to a full global sort")
   }
 
-  /** Queries whose plan legitimately contains a partition-less WindowExec
-    * (Spark's "Moving all data to a single partition" warning). Every
-    * entry must name the BOUNDED subtree the window sits over — a global
-    * window over the corpus itself would be the scale-killer this census
-    * exists to catch. Audited round 12 via `graft.tools.WindowCensus`.
+  /** The audited partition-less-window registry — moved to main code
+    * (graft.queries.WindowAudits) in r14 so graft.Bench's RUNTIME window
+    * census shares the exact same allowlist this plan census enforces.
     */
-  private val boundedGlobalWindowByDesign: Map[String, String] = Map(
-    "q07_dim_dedup_key" -> "surrogate-key rank over the DEDUPED dim table (distinct part attrs) — the presentation form; the scalable two-phase allocator is the same query's documented sibling (SurrogateKeys)",
-    "q100_pq_codebooks" -> "seed rank over the k=8 lowest-id seed rows (LIMIT 8 upstream)",
-    "q101_pq_codes" -> "same k=8 seed rank as q100 (shared pqCodebooks chain)",
-    "q105_packed_sequences" -> "vocab id rank over the DISTINCT-token table — vocabulary cardinality, not corpus",
-    "q95_vocab_encode" -> "same vocabulary rank as q105 (shared vocab build)",
-    "q121_bpe_packed_sequences" -> "same vocabulary rank as q105, over the BPE-merged vocab",
-    "q187_bpe_sampled_train" -> "q121's chain with trained merges — same bounded vocab rank",
-    "q115_budget_select" -> "cumulative sum over the nBuckets-row quantile-fence table",
-    "q127_logreg_eval" -> "ROC cumulative sums over the quantized score table (<= 1e6+1 rows by construction)",
-    "q96_hybrid_retrieval" -> "rrfFuse head ranks over the two <= k retrieval heads (bounded-input contract ENFORCED in Index.rrfFuse)",
-    "q129_hybrid_serving" -> "same rrfFuse <= k head ranks as q96",
-    "q141_zipf_fit" -> "frequency rank over the word-frequency table — vocabulary cardinality",
-    "q166_key_skew" -> "top-K row rank + cumulative mass over the per-key HISTOGRAM (aggregation-bounded; the diagnostic contract)",
-    "q80_mixture_weights" -> "global mass total over the per-source table (n_sources rows)",
-    "q82_lm_buckets" -> "the documented exact-ntile presentation form; q177_lm_buckets_approx is the registered no-global-sort scale sibling")
+  private val boundedGlobalWindowByDesign: Map[String, String] =
+    graft.queries.WindowAudits.boundedGlobalWindowByDesign
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     if (!eagerByConstruction.contains(name)) {
