@@ -66,6 +66,12 @@ object Bench {
     // "No Partition Defined" tail noise while COUNTING every occurrence
     // per query, so an unaudited global window is an alarm, not noise
     val windowWarnCount = WindowWarnCensus.install()
+    // per-query shuffle/spill telemetry (r13 verdict item 6) — headroom
+    // evidence for the scaling rehearsals, captured on every sweep
+    val telemetry = new BenchTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    def drainBus(): Unit =
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -90,6 +96,9 @@ object Bench {
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warnsBefore = windowWarnCount()
+      drainBus() // deliver the previous query's task-end events first
+      val telemetryBefore = telemetry.snapshot()
+      telemetry.resetPeak()
       val runs = (1 to nRuns).map { _ =>
         val t = try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         // cache hygiene, BETWEEN RUNS (r13 methodology fix): queries that
@@ -112,24 +121,27 @@ object Bench {
       // LOWER median for even run counts: SPARK_GRAFT_RUNS=2 then reports
       // the faster run (the old min-of-2 behavior), not the slower
       val med = if (failed) -1.0 else runs((runs.size - 1) / 2)
+      drainBus()
       (name, med, if (failed) (-1.0, -1.0) else (runs.head, runs.last),
-        windowWarnCount() - warnsBefore)
+        windowWarnCount() - warnsBefore, telemetry.deltaJson(telemetryBefore))
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, med, (mn, mx), _) =>
+    val spread = results.map { case (k, med, (mn, mx), _, _) =>
       "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-query partition-less-window warning counts (cumulative across
     // the query's runs); any warning query not audited in WindowAudits is
     // the alarm this census exists for
-    val winWarns = results.collect { case (k, _, _, w) if w > 0 => k -> w }
+    val winWarns = results.collect { case (k, _, _, w, _) if w > 0 => k -> w }
     val winJson = winWarns.map { case (k, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val unaudited = winWarns.map(_._1)
       .filterNot(graft.queries.WindowAudits.boundedGlobalWindowByDesign.contains)
     val unauditedJson = unaudited.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val telemetryJson = results.map { case (k, _, _, _, t) => "\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
     if (unaudited.nonEmpty)
       System.err.println(
         s"[window-census] UNAUDITED partition-less window warning(s) from: " +
@@ -159,13 +171,13 @@ object Bench {
     // would otherwise enter the record inflated and unannotated (q117 in
     // round 7: 39s sweep median, 7.6s isolated). A baseline-absent query
     // is judged against its own isolated re-run instead of a baseline.
-    val suspects = results.filter { case (name, med, (mn, _), _) =>
+    val suspects = results.filter { case (name, med, (mn, _), _, _) =>
       med >= 0 && (baseline.get(name) match {
         case Some(b) => b > 0 && med > b * 1.25 && med - b > 0.2
         case None    => mn > 0 && med > mn * 2 && med - mn > 1.0
       })
     }
-    val isoChecked = suspects.map { case (name, med, _, _) =>
+    val isoChecked = suspects.map { case (name, med, _, _, _) =>
       System.gc()
       val iso = (1 to nRuns).map { _ =>
         val t = try time(sink(selected(name)(spark, sfDir))) catch { case _: Throwable => -1.0 }
@@ -220,7 +232,7 @@ object Bench {
     // LAST, after the session is released, so no Spark shutdown logging
     // can interleave into or follow the parseable line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"window_warns":$winJson,"window_unaudited":$unauditedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"window_warns":$winJson,"telemetry":$telemetryJson,"window_unaudited":$unauditedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     Sessions.release(spark, owned)

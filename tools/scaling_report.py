@@ -12,6 +12,24 @@ data, plus the 10 worst scalers, and writes SCALING_sf1.json.
 import json
 import sys
 
+# Documented expected factors for queries whose x10 cost driver is
+# adjudicated LINEAR but structurally above the 15x threshold's
+# assumption (r13 verdict item 5). q147 decodes one constant-size 32x32
+# PPM per document row from a generated flatMap corpus: per-asset decode
+# dominates, so its measured factor on IDENTICAL code+data straddles the
+# threshold every rehearsal (r11: 12.3x, r13: 15.3x — BASELINE.md) and
+# re-flags adjudicated cost. Entries here are scored on a NORMALIZED
+# factor = raw * 10 / expected, so the threshold still catches a real
+# super-linear regression (e.g. raw 25x -> normalized 18.5x) while the
+# documented envelope stops re-flagging. Both numbers land in the report.
+EXPECTED_FACTORS = {
+    "q147_image_ahash": {
+        "expected": 13.5,
+        "why": "constant-size per-asset decode; measured 12.3-15.3x on "
+               "identical code+data across rehearsals (r11/r13)",
+    },
+}
+
 
 def main():
     sf01 = json.load(open(sys.argv[1]))["queries"]
@@ -32,7 +50,18 @@ def main():
             rows.append((q, t01, t1, t1 / t01))
     scored = [r for r in rows if r[3] is not None]
     worst = sorted(scored, key=lambda r: -r[3])[:10]
-    over = [r for r in scored if r[3] > threshold]
+
+    def scoring_factor(q, raw):
+        exp = EXPECTED_FACTORS.get(q)
+        return raw * 10.0 / exp["expected"] if exp else raw
+
+    over = [r for r in scored if scoring_factor(r[0], r[3]) > threshold]
+    normalized = [
+        {"query": q, "raw_factor": round(f, 2),
+         "normalized_factor": round(scoring_factor(q, f), 2),
+         "expected": EXPECTED_FACTORS[q]["expected"],
+         "why": EXPECTED_FACTORS[q]["why"]}
+        for q, _, _, f in scored if q in EXPECTED_FACTORS]
 
     print(f"queries: {len(scored)} scored / {len(rows) + len(unscored)} total; "
           f"total {sum(r[1] for r in scored):.1f}s (sf0.1) -> "
@@ -54,6 +83,7 @@ def main():
     with open(out_path, "w") as f:
         json.dump({
             "threshold": threshold,
+            "normalized": normalized,
             "n_scored": len(scored),
             "total_sf01_sec": round(sum(r[1] for r in scored), 2),
             "total_sf1_sec": round(sum(r[2] for r in scored), 2),
