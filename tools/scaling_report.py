@@ -31,9 +31,51 @@ EXPECTED_FACTORS = {
 }
 
 
+def telemetry_cols(q, tel01, tel1):
+    """Per-query shuffle/spill columns (r13 verdict item 6): wall-clock
+    factors certify time; these certify STATE growth. Bench records the
+    raw counters under "telemetry"; here each query gains the sf1 values
+    plus the x10 growth factor of shuffle write — the number that must
+    stay near-linear for the 100x claim to hold."""
+    a, b = tel01.get(q), tel1.get(q)
+    if not a or not b:
+        return {}
+    sw01, sw1 = a.get("shuffle_write_bytes", 0), b.get("shuffle_write_bytes", 0)
+    cols = {
+        "sf1_shuffle_write_mb": round(sw1 / 1e6, 2),
+        "sf1_spill_disk_mb": round(b.get("disk_spill_bytes", 0) / 1e6, 2),
+        "sf1_spill_mem_mb": round(b.get("mem_spill_bytes", 0) / 1e6, 2),
+        "sf1_peak_task_mem_mb": round(b.get("peak_task_mem_bytes", 0) / 1e6, 2),
+    }
+    if sw01 > 0:
+        cols["shuffle_write_factor"] = round(sw1 / sw01, 2)
+    return cols
+
+
+def state_flags(scored, tel01, tel1, threshold):
+    """Queries whose shuffle-write bytes grew more than threshold x for
+    10x data AND move at least 100 MB at sf1 — super-linear STATE, the
+    unexplained-growth alarm the rehearsal exists to raise (tiny absolute
+    movers are excluded: a 2 KB -> 80 KB plan-constant change is not
+    state growth)."""
+    flags = []
+    for q, _, _, _ in scored:
+        a, b = tel01.get(q), tel1.get(q)
+        if not a or not b:
+            continue
+        sw01, sw1 = a.get("shuffle_write_bytes", 0), b.get("shuffle_write_bytes", 0)
+        if sw01 > 0 and sw1 >= 100e6 and sw1 / sw01 > threshold:
+            flags.append({"query": q, "shuffle_write_factor": round(sw1 / sw01, 2),
+                          "sf01_mb": round(sw01 / 1e6, 2), "sf1_mb": round(sw1 / 1e6, 2)})
+    return sorted(flags, key=lambda r: -r["shuffle_write_factor"])
+
+
 def main():
-    sf01 = json.load(open(sys.argv[1]))["queries"]
-    sf1 = json.load(open(sys.argv[2]))["queries"]
+    rec01 = json.load(open(sys.argv[1]))
+    rec1 = json.load(open(sys.argv[2]))
+    sf01, sf1 = rec01["queries"], rec1["queries"]
+    tel01 = rec01.get("telemetry", {})
+    tel1 = rec1.get("telemetry", {})
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
     out_path = sys.argv[4] if len(sys.argv) > 4 else "SCALING_sf1.json"
     rows = []
@@ -95,9 +137,13 @@ def main():
                 {"query": q, "sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
                  "factor": round(fac, 2)}
                 for q, a, b, fac in worst],
-            "queries": {q: {"sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
-                            "factor": round(fac, 2)}
+            "queries": {q: dict(
+                {"sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
+                 "factor": round(fac, 2)},
+                **telemetry_cols(q, tel01, tel1))
                         for q, a, b, fac in scored},
+            "state_growth_over_threshold": state_flags(scored, tel01, tel1,
+                                                       threshold),
             "unscored": [{"query": q, "reason": why} for q, why in unscored],
         }, f, indent=1)
     print(f"\nwrote {out_path}")
