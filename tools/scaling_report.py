@@ -1,7 +1,17 @@
 #!/usr/bin/env python3
 """Per-query sf0.1 -> sf1 scaling report for the 100x rehearsal.
 
-Usage: scaling_report.py BENCH_small.json BENCH_big.json [threshold=15] [out=SCALING_sf1.json]
+Usage: scaling_report.py BENCH_small.json BENCH_big.json [threshold=15]
+       [out=SCALING_sf1.json] [--iso BENCH_iso.json]
+
+--iso: a Bench record of ISOLATED re-runs at the big scale. Rounds 11,
+13 and 14 each saw a handful of queries inflate 3-10x in the sf1 sweep
+from same-JVM contention (188 queries share one heap) and return to
+their documented numbers when re-run alone (r11: q89 45x in-sweep, 2.4x
+isolated). For every query present in the iso record, the big-side time
+becomes min(sweep, isolated min) and the sweep number is kept as
+sf1_insweep_sec — the factor then reflects the query, not its sweep
+neighbors' GC debris.
 
 Both inputs are graft.Bench full records ({"queries": {...}, ...}),
 ideally measured the SAME DAY on the same host (host drift across days
@@ -71,13 +81,27 @@ def state_flags(scored, tel01, tel1, threshold):
 
 
 def main():
-    rec01 = json.load(open(sys.argv[1]))
-    rec1 = json.load(open(sys.argv[2]))
+    argv = list(sys.argv)
+    iso = {}
+    if "--iso" in argv:
+        i = argv.index("--iso")
+        iso_rec = json.load(open(argv[i + 1]))
+        iso = {q: s["min"] for q, s in iso_rec.get("spread", {}).items()
+               if s.get("min", -1) >= 0}
+        del argv[i:i + 2]
+    rec01 = json.load(open(argv[1]))
+    rec1 = json.load(open(argv[2]))
     sf01, sf1 = rec01["queries"], rec1["queries"]
     tel01 = rec01.get("telemetry", {})
     tel1 = rec1.get("telemetry", {})
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
-    out_path = sys.argv[4] if len(sys.argv) > 4 else "SCALING_sf1.json"
+    threshold = float(argv[3]) if len(argv) > 3 else 15.0
+    out_path = argv[4] if len(argv) > 4 else "SCALING_sf1.json"
+    insweep = {}
+    for q, t in iso.items():
+        if q in sf1 and sf1[q] > t:
+            insweep[q] = sf1[q]
+            sf1 = dict(sf1)
+            sf1[q] = t
     rows = []
     unscored = []  # (query, reason) — coverage gaps between the two runs
     for q in sorted(set(sf01) | set(sf1)):
@@ -140,8 +164,11 @@ def main():
             "queries": {q: dict(
                 {"sf01_sec": round(a, 3), "sf1_sec": round(b, 3),
                  "factor": round(fac, 2)},
+                **(({"sf1_insweep_sec": round(insweep[q], 3)}
+                    if q in insweep else {})),
                 **telemetry_cols(q, tel01, tel1))
                         for q, a, b, fac in scored},
+            "iso_rechecked": sorted(insweep),
             "state_growth_over_threshold": state_flags(scored, tel01, tel1,
                                                        threshold),
             "unscored": [{"query": q, "reason": why} for q, why in unscored],
