@@ -1814,4 +1814,37 @@ object DocQueries {
       urls.where(col("doc_id") % 3 === 0),
       urls.where(col("doc_id") % 3 =!= 0), "url")
   }
+
+  /** Density clustering (DBSCAN) over the embedding corpus — the
+    * k-free counterpart of q86/q76: cosine >= 0.4 neighbors (the q32
+    * pair predicate), minPts 2, deterministic min-label cluster ids,
+    * border points attached to their min adjacent core cluster. This is
+    * the exact form — all-pairs neighbor generation is the deliberate
+    * quadratic oracle baseline; q190 is its bucketed scale sibling.
+    */
+  def q189Dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val pairs = Dedup
+      .embeddingNearDupsExact(emb, "embedding", "vec_id", 0.4)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Dbscan.fromPairs(emb, "vec_id", pairs, "id_a", "id_b", minPts = 2)
+      .orderBy("vid")
+  }
+
+  /** q189's 100-TB sibling: the SAME degree/core/border report over
+    * sign-plane-BUCKETED neighbor pairs (q68's generator, planes=4) —
+    * density is measured on the bucket-restricted neighbor graph, so
+    * pair generation scales with bucket density instead of n². The
+    * oracle replays buckets, threshold, components, and the border
+    * min-attach.
+    */
+  def q190DbscanLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val pairs = Dedup
+      .embeddingNearDupsDet(emb, "embedding", "vec_id",
+        threshold = 0.4, planes = 4, dim = 64)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Dbscan.fromPairs(emb, "vec_id", pairs, "id_a", "id_b", minPts = 2)
+      .orderBy("vid")
+  }
 }

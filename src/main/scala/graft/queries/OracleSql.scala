@@ -1022,6 +1022,75 @@ object OracleSql {
        |FROM reach GROUP BY id ORDER BY vid""".stripMargin
   }
 
+  /** q189/q190: deterministic DBSCAN replay over a pair CTE. `pairCtes`
+    * must define `e` (vec_id, v DOUBLE[]) and `p` (id_a < id_b neighbor
+    * pairs); the tail computes degrees over the doubled edge list, cores
+    * at minPts=2 (self excluded), components over core-core edges via the
+    * q57 recursive CTE (isolated cores self-label), and border points as
+    * the min cluster among adjacent cores — exactly
+    * graft.operators.Dbscan.fromPairs.
+    */
+  private def dbscanSqlFrom(pairCtes: String): String =
+    s"""WITH RECURSIVE
+       |$pairCtes,
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       |       UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+       |core AS (SELECT id FROM deg WHERE deg >= 2),
+       |ce AS (SELECT p.id_a AS src, p.id_b AS dst FROM p
+       |       JOIN core ca ON ca.id = p.id_a
+       |       JOIN core cb ON cb.id = p.id_b),
+       |ced AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+       |cnodes AS (SELECT DISTINCT src AS id FROM ced),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT ced.dst, reach.lbl FROM reach JOIN ced ON ced.src = reach.id
+       |),
+       |comp AS (SELECT id, min(lbl) AS c FROM reach GROUP BY 1),
+       |corelbl AS (SELECT core.id, coalesce(comp.c, core.id) AS cluster
+       |            FROM core LEFT JOIN comp ON comp.id = core.id),
+       |border AS (SELECT ed.src AS id, min(cl.cluster) AS cluster
+       |           FROM ed JOIN corelbl cl ON cl.id = ed.dst
+       |           WHERE ed.src NOT IN (SELECT id FROM core)
+       |           GROUP BY 1)
+       |SELECT e.vec_id AS vid,
+       |       CASE WHEN cl.id IS NOT NULL THEN 'core'
+       |            WHEN b.id IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       CAST(coalesce(cl.cluster, b.cluster) AS BIGINT) AS cluster
+       |FROM e LEFT JOIN corelbl cl ON cl.id = e.vec_id
+       |LEFT JOIN border b ON b.id = e.vec_id
+       |ORDER BY vid""".stripMargin
+
+  private val dbscanSql: String = dbscanSqlFrom(
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |      WHERE list_dot_product(a.v, b.v) /
+       |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4)""".stripMargin)
+
+  private val dbscanLshSql: String = {
+    val planes = 4
+    val dim = 64
+    val buckets = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val s = graft.operators.Similarity.signPlaneComponent(p, j)
+        s"v[${j + 1}]*$s"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    dbscanSqlFrom(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v,
+         |         $buckets AS bucket
+         |       FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |      WHERE list_dot_product(a.v, b.v) /
+         |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4)""".stripMargin)
+  }
+
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
     */
@@ -3734,6 +3803,10 @@ object OracleSql {
     // odd-key increment — the engine's stripIncrement must match it from
     // the stored even-key gram-firsts alone (incremental == full)
     "q188_strip_increment" -> stripDupSpansSql("d0.doc_id % 2 = 1"),
+
+    // q189/q190: DBSCAN over exact and sign-plane-bucketed neighbor graphs
+    "q189_dbscan" -> dbscanSql,
+    "q190_dbscan_lsh" -> dbscanLshSql,
 
     "q182_url_normalize" ->
       s"""WITH $urlCtes

@@ -78,7 +78,10 @@ class PlanInvariantSpec extends SparkTestBase {
     "q159_lsa_topics", "q162_hits", "q163_label_prop", "q169_kcore",
     // composes q165's PMI (1-row total cross joins) into q155's eager
     // power iteration
-    "q173_ppmi_lsa")
+    "q173_ppmi_lsa",
+    // DBSCAN runs Components at construction; pair generation is guarded
+    // through q32 (exact baseline) / q68 (bucketed sibling)
+    "q189_dbscan", "q190_dbscan_lsh")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
