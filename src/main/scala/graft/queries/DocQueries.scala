@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing, SuffixDedup, UrlCuration}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sharding, Mixture, Quantize, Index, Clustering, Sampling, Bpe, Rerank, RankEval, Curriculum, PageRank, LogReg, ClassifierEval, Pca, RandomProjection, Bucketing, SuffixDedup, UrlCuration, WordPiece}
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline queries over the documents/embeddings tables.
@@ -1813,6 +1813,36 @@ object DocQueries {
     UrlCuration.domainMixDrift(
       urls.where(col("doc_id") % 3 === 0),
       urls.where(col("doc_id") % 3 =!= 0), "url")
+  }
+
+  /** WordPiece vocabulary induction (operators.WordPiece): corpus-weighted
+    * substring statistics on the DISTINCT-word table (the Bpe doctrine —
+    * vocabulary cardinality, never corpus), top-64 pieces up to length 5
+    * by (count desc, piece asc) with a deterministic rank. The top-k is
+    * TakeOrderedAndProject; the rank window runs over the 64 kept rows.
+    */
+  def q191WordpieceVocab(spark: SparkSession, dir: String): DataFrame =
+    WordPiece.induceVocab(Tables(spark, dir).documents, "text",
+        maxPieceLen = 5, vocabSize = 64)
+      .select(col("piece"), col("cnt"), col("rank"))
+      .orderBy("rank")
+
+  /** WordPiece greedy maximal-munch encoding of the corpus against the
+    * q191-induced vocabulary — BERT's tokenizer inference rule as a
+    * distributed program: the greedy scan runs once per DISTINCT word
+    * (Scala kernel over the collected 64-piece vocab, the q187 bounded-
+    * artifact pattern), the corpus pays one equi-join on the word, and
+    * documents stitch in word order. The oracle replays maximal munch as
+    * a per-(word, position) longest-prefix jump table walked by a
+    * recursive CTE — segmentation is checked position by position, not
+    * just counted.
+    */
+  def q192WordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val vocab = WordPiece.induceVocab(docs, "text", maxPieceLen = 5, vocabSize = 64)
+      .orderBy("rank").select("piece").collect().map(_.getString(0)).toSeq
+    WordPiece.encode(docs, "text", "doc_id", vocab, maxPieceLen = 5)
+      .orderBy("doc_id")
   }
 
   /** Density clustering (DBSCAN) over the embedding corpus — the

@@ -1091,6 +1091,72 @@ object OracleSql {
          |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4)""".stripMargin)
   }
 
+  /** q191/q192: the WordPiece vocab CTE chain — distinct lowercased words
+    * with corpus counts, every substring up to length 5 (multiplicity
+    * kept), top-64 pieces by (count desc, piece asc). Shared by the vocab
+    * report and the encode replay.
+    */
+  private val wordpieceVocabCtes: String =
+    s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |       SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |       FROM documents WHERE text IS NOT NULL)
+       |     WHERE word <> '' GROUP BY 1),
+       |sub AS (SELECT unnest(pieces) AS piece, cnt FROM (
+       |       SELECT cnt, flatten(list_transform(generate_series(1, length(word)),
+       |                i -> list_transform(generate_series(1, least(5, length(word) - i + 1)),
+       |                     l -> substr(word, i, l)))) AS pieces
+       |       FROM w)),
+       |pc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+       |vocab AS (SELECT piece, cnt,
+       |                 CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank
+       |          FROM (SELECT * FROM pc ORDER BY cnt DESC, piece LIMIT 64))""".stripMargin
+
+  /** q192: greedy maximal munch replayed position-exactly — for every
+    * (distinct word, position) the longest vocab piece prefixing the
+    * remainder (single-char OOV fallback), then a recursive walk visits
+    * exactly the positions the greedy scan visits, and documents stitch
+    * their words' piece streams in word order. This IS
+    * WordPiece.maxMatch: at a fixed position the longest match is unique,
+    * so jump-table + walk = the left-to-right greedy scan.
+    */
+  private val wordpieceEncodeSql: String =
+    s"""WITH RECURSIVE
+       |$wordpieceVocabCtes,
+       |dw AS (SELECT word FROM w),
+       |pos AS (SELECT word, unnest(generate_series(1, length(word))) AS p FROM dw),
+       |mt AS (SELECT pos.word, pos.p, v.piece, length(v.piece) AS l,
+       |              row_number() OVER (PARTITION BY pos.word, pos.p
+       |                                 ORDER BY length(v.piece) DESC) AS rn
+       |       FROM pos JOIN vocab v ON substr(pos.word, pos.p, length(v.piece)) = v.piece),
+       |jmp AS (SELECT pos.word, pos.p,
+       |               coalesce(m.piece, substr(pos.word, pos.p, 1)) AS piece,
+       |               coalesce(m.l, 1) AS l,
+       |               CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END AS oov
+       |        FROM pos LEFT JOIN (SELECT word, p, piece, l FROM mt WHERE rn = 1) m
+       |          ON m.word = pos.word AND m.p = pos.p),
+       |walk(word, p) AS (
+       |  SELECT word, 1 FROM dw
+       |  UNION ALL
+       |  SELECT j.word, wk.p + j.l FROM walk wk JOIN jmp j
+       |    ON j.word = wk.word AND j.p = wk.p
+       |  WHERE wk.p + j.l <= length(j.word)),
+       |seg AS (SELECT walk.word, walk.p, j.piece, j.oov FROM walk
+       |        JOIN jmp j ON j.word = walk.word AND j.p = walk.p),
+       |enc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces,
+       |               CAST(sum(oov) AS BIGINT) AS n_oov,
+       |               string_agg(piece, ' ' ORDER BY p) AS pieces
+       |        FROM seg GROUP BY word),
+       |ws AS (SELECT doc_id, unnest(wlist) AS word, generate_subscripts(wlist, 1) AS wpos
+       |       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS wlist
+       |             FROM documents WHERE text IS NOT NULL))
+       |SELECT doc_id,
+       |       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(e.n_oov) AS BIGINT) AS n_oov,
+       |       string_agg(e.pieces, ' ' ORDER BY wpos) AS pieces
+       |FROM ws JOIN enc e ON e.word = ws.word
+       |WHERE ws.word <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
     */
@@ -3807,6 +3873,12 @@ object OracleSql {
     // q189/q190: DBSCAN over exact and sign-plane-bucketed neighbor graphs
     "q189_dbscan" -> dbscanSql,
     "q190_dbscan_lsh" -> dbscanLshSql,
+
+    // q191/q192: WordPiece vocab induction + maximal-munch encode replay
+    "q191_wordpiece_vocab" ->
+      s"""WITH $wordpieceVocabCtes
+         |SELECT piece, cnt, rank FROM vocab ORDER BY rank""".stripMargin,
+    "q192_wordpiece_encode" -> wordpieceEncodeSql,
 
     "q182_url_normalize" ->
       s"""WITH $urlCtes

@@ -36,5 +36,7 @@ object WindowAudits {
     "q141_zipf_fit" -> "frequency rank over the word-frequency table — vocabulary cardinality",
     "q166_key_skew" -> "top-K row rank + cumulative mass over the per-key HISTOGRAM (aggregation-bounded; the diagnostic contract)",
     "q80_mixture_weights" -> "global mass total over the per-source table (n_sources rows)",
-    "q82_lm_buckets" -> "the documented exact-ntile presentation form; q177_lm_buckets_approx is the registered no-global-sort scale sibling")
+    "q82_lm_buckets" -> "the documented exact-ntile presentation form; q177_lm_buckets_approx is the registered no-global-sort scale sibling",
+    "q191_wordpiece_vocab" -> "vocab rank over the top-64 piece rows (LIMIT 64 upstream of the window)",
+    "q192_wordpiece_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the returned encode plan itself is window-free)")
 }

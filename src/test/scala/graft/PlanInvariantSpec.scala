@@ -81,7 +81,10 @@ class PlanInvariantSpec extends SparkTestBase {
     "q173_ppmi_lsa",
     // DBSCAN runs Components at construction; pair generation is guarded
     // through q32 (exact baseline) / q68 (bucketed sibling)
-    "q189_dbscan", "q190_dbscan_lsh")
+    "q189_dbscan", "q190_dbscan_lsh",
+    // collects the 64-piece vocabulary at construction (the q187 bounded-
+    // artifact pattern); the vocab build's plan is guarded through q191
+    "q192_wordpiece_encode")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned

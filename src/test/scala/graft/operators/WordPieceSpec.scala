@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WordPieceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("substringCounts weights by corpus count and keeps multiplicity") {
+    // corpus: "aa aa b" -> words aa(x2), b(x1)
+    val df = Seq("aa aa b").toDF("text")
+    val got = WordPiece.substringCounts(df, "text", maxPieceLen = 2)
+      .as[(String, Long)].collect().toMap
+    // aa: substrings a(i=1), a(i=2), aa -> a counts 2 per word occurrence x2 = 4
+    assert(got == Map("a" -> 4L, "aa" -> 2L, "b" -> 1L))
+  }
+
+  test("induceVocab ranks by count desc then piece asc") {
+    val df = Seq("ab ab cd").toDF("text")
+    val got = WordPiece.induceVocab(df, "text", maxPieceLen = 2, vocabSize = 3)
+      .select("piece", "rank").as[(String, Long)].collect().toMap
+    // counts: a2 b2 ab2 c1 d1 cd1 -> top3 = a,ab,b (count 2, lexicographic)
+    assert(got == Map("a" -> 1L, "ab" -> 2L, "b" -> 3L))
+  }
+
+  test("maxMatch is greedy longest-first with single-char OOV fallback") {
+    val vocab = Set("un", "believ", "able", "a", "b", "l", "e")
+    val (pieces, oov) = WordPiece.maxMatch("unbelievable", vocab, maxPieceLen = 6)
+    assert(pieces.toSeq == Seq("un", "believ", "able") && oov == 0)
+    // 'x' and 'z' not in vocab -> emitted as fallback
+    val (p2, o2) = WordPiece.maxMatch("xaz", vocab, maxPieceLen = 6)
+    assert(p2.toSeq == Seq("x", "a", "z") && o2 == 2)
+  }
+
+  test("greedy maximal munch prefers the longer piece even when shorter pieces chain") {
+    // vocab has both "ab" and "abc"; greedy takes "abc" then falls back on "d"
+    val vocab = Set("ab", "abc", "c", "d")
+    val (pieces, oov) = WordPiece.maxMatch("abcd", vocab, maxPieceLen = 3)
+    assert(pieces.toSeq == Seq("abc", "d") && oov == 0)
+  }
+
+  test("encode stitches pieces per document in word order") {
+    val df = Seq((1L, "abc xy"), (2L, "q")).toDF("doc_id", "text")
+    val got = WordPiece.encode(df, "text", "doc_id",
+        vocab = Seq("ab", "c", "x", "y"), maxPieceLen = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, "ab c x y"),
+      (2L, 1L, 1L, "q")))
+  }
+
+  test("encode end-to-end with an induced vocab matches a direct replay") {
+    val docs = Seq((1L, "the theme thesis"), (2L, "the the them")).toDF("doc_id", "text")
+    val vocabRows = WordPiece.induceVocab(docs, "text", maxPieceLen = 3, vocabSize = 8)
+      .orderBy("rank").select("piece").as[String].collect().toSeq
+    val got = WordPiece.encode(docs, "text", "doc_id", vocabRows, maxPieceLen = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // replay by hand with the same kernel
+    val vs = vocabRows.toSet
+    val want = Seq(1L -> "the theme thesis", 2L -> "the the them").map { case (id, t) =>
+      val ws = t.split("\\s+").toSeq
+      val enc = ws.map(w => WordPiece.maxMatch(w, vs, 3))
+      (id, enc.map(_._1.length.toLong).sum, enc.map(_._2.toLong).sum,
+        enc.flatMap(_._1).mkString(" "))
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("rejects non-positive parameters") {
+    val df = Seq("x").toDF("text")
+    intercept[IllegalArgumentException] { WordPiece.substringCounts(df, "text", 0) }
+    intercept[IllegalArgumentException] { WordPiece.induceVocab(df, "text", 2, 0) }
+  }
+}
