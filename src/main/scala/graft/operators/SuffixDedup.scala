@@ -342,8 +342,35 @@ object SuffixDedup {
     */
   def stripIncrement(storedFirsts: DataFrame, inc: DataFrame,
                      textCol: String, idCol: String,
-                     minLen: Int = 5): DataFrame = {
+                     minLen: Int = 5): DataFrame =
+    stripFromGrams(storedFirsts, inc, textCol, idCol, minLen,
+      gramRows(inc, textCol, idCol, minLen))
+
+  /** [[stripIncrement]] plus the batch's own [[gramFirsts]] table from ONE
+    * materialized gram pass — the streaming-twin form: a micro-batch needs
+    * both the stripped output and its firsts (to append to the stored
+    * state), and computing them separately would explode the batch's
+    * shingles twice. The gram table is localCheckpointed so the two
+    * consumers share it.
+    */
+  def stripIncrementAndFirsts(storedFirsts: DataFrame, inc: DataFrame,
+                              textCol: String, idCol: String,
+                              minLen: Int = 5): (DataFrame, DataFrame) = {
     val grams = gramRows(inc, textCol, idCol, minLen)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = grams.groupBy(col("__gram").as("gram"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__f"))
+      .select(col("gram"), col("__f.i").as("first_id"), col("__f.p").as("first_pos"))
+    (stripFromGrams(storedFirsts, inc, textCol, idCol, minLen, grams), firsts)
+  }
+
+  /** Shared tail of the two increment forms: strip `inc` against the
+    * merged (stored ∪ increment) per-gram minimum, from an already-built
+    * gram table.
+    */
+  private def stripFromGrams(storedFirsts: DataFrame, inc: DataFrame,
+                             textCol: String, idCol: String, minLen: Int,
+                             grams: DataFrame): DataFrame = {
     val incFirsts = grams.groupBy(col("__gram"))
       .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__n"))
     // least() skips nulls (the mergeFirsts contract), so a gram the
