@@ -56,9 +56,16 @@ object Dbscan {
   def fromPairs(points: DataFrame, idCol: String, pairs: DataFrame,
                 idA: String, idB: String, minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    // materialize the pair set ONCE: the three consumers below (degree
+    // count, core-core edge pruning, border attach) each read it 1-2
+    // times, and pair GENERATION is the expensive stage (a cosine
+    // candidate join) — without this checkpoint the generator re-executes
+    // five times per run. Bounded by neighbor-pair cardinality, the same
+    // bound Components' own edge checkpoint lives under.
     val e = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
     // stage 1: degrees — map-side combinable, shuffle carries one count
