@@ -229,7 +229,10 @@ object SparkEntry {
     // WordPiece tokenizer family: substring-statistics vocab induction +
     // greedy maximal-munch encoding (the BERT-tokenizer shelf next to BPE)
     "q191_wordpiece_vocab"  -> (D.q191WordpieceVocab(_, _)),
-    "q192_wordpiece_encode" -> (D.q192WordpieceEncode(_, _))
+    "q192_wordpiece_encode" -> (D.q192WordpieceEncode(_, _)),
+    // q190's incremental sibling: increment-only pair generation against
+    // the stored bucket index + edge state; oracle = the full recompute
+    "q193_incremental_dbscan" -> (D.q193IncrementalDbscan(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -476,6 +476,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** The stored-state side of the INCREMENTAL sign-plane pipeline: the
+    * bucket index [[embeddingNearDupsDetIncrement]] probes —
+    * (__id, __v, __bucket), one row per stored vector. Persist it once;
+    * every increment joins against it without touching stored vectors'
+    * pairwise structure again.
+    */
+  def signPlaneIndex(df: DataFrame, vecCol: String, idCol: String,
+                     planes: Int, dim: Int): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.signPlaneBucket(col(vecCol), planes, dim).as("__bucket"))
+
+  /** Increment-only near-dup pair generation: every
+    * [[embeddingNearDupsDet]] pair with AT LEAST ONE endpoint in `inc`,
+    * found by joining the increment's buckets against the stored
+    * [[signPlaneIndex]] plus the increment itself — never against stored
+    * × stored (those pairs are yesterday's state). Each qualifying pair
+    * emits exactly once: stored×inc pairs appear once by construction
+    * (the increment is always the probe side), and inc×inc pairs keep
+    * only the probe-id < build-id orientation. Shuffle ∝ increment
+    * buckets + touched stored buckets — O(increment), the q72/q146/q188
+    * incremental shape.
+    */
+  def embeddingNearDupsDetIncrement(
+      storedIndex: DataFrame, inc: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, planes: Int, dim: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val incB = signPlaneIndex(inc, vecCol, idCol, planes, dim)
+    val probe = incB.select(col("__bucket"), col("__id").as("__idx"), col("__v").as("__vx"))
+    val build = storedIndex
+      .select(col("__bucket"), col("__id").as("__idy"), col("__v").as("__vy"),
+        lit(true).as("__old"))
+      .unionByName(incB.select(col("__bucket"), col("__id").as("__idy"),
+        col("__v").as("__vy"), lit(false).as("__old")))
+    probe.join(build, Seq("__bucket"))
+      .where(col("__old") || (col("__idx") < col("__idy")))
+      .where(col("__idx") =!= col("__idy"))
+      .withColumn("cos_sim", cosineSim(col("__vx"), col("__vy")))
+      .where(col("cos_sim") >= threshold)
+      .select(least(col("__idx"), col("__idy")).as("id_a"),
+        greatest(col("__idx"), col("__idy")).as("id_b"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** SemDeDup-style semantic dedup decision: cluster embeddings around
     * `numCentroids` deterministic seed centroids
     * ([[Similarity.seedCentroids]] — replayable on any engine), then mark a

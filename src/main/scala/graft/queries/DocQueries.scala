@@ -1845,6 +1845,38 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** q190's INCREMENTAL sibling: even vec_ids are YESTERDAY'S corpus —
+    * only their sign-plane bucket index (Dedup.signPlaneIndex) and their
+    * pair-edge set survive as stored state (materialized like q146's);
+    * odd vec_ids arrive today. New pairs are generated ONLY for the
+    * increment (Dedup.embeddingNearDupsDetIncrement probes the stored
+    * index — stored × stored is never recomputed), appended to the
+    * stored edges, and the linear degree/core/border tail re-runs over
+    * the edge union: pair generation — the only super-linear stage — is
+    * O(increment), while roles may legally change for ANY point (a new
+    * neighbor can upgrade an old noise point to core), which is why the
+    * report covers the full corpus. Oracle = q190's full recompute: a
+    * hash match is the incremental==full theorem.
+    */
+  def q193IncrementalDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val stored = emb.where(col("vec_id") % 2 === 0)
+    val inc = emb.where(col("vec_id") % 2 === 1)
+    val storedIndex = Dedup.signPlaneIndex(stored, "embedding", "vec_id",
+        planes = 4, dim = 64)
+      .localCheckpoint(true)
+    val storedEdges = Dedup.embeddingNearDupsDet(stored, "embedding", "vec_id",
+        threshold = 0.4, planes = 4, dim = 64)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val newEdges = Dedup.embeddingNearDupsDetIncrement(storedIndex, inc,
+        "embedding", "vec_id", threshold = 0.4, planes = 4, dim = 64)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Dbscan.fromPairs(emb, "vec_id",
+        storedEdges.union(newEdges), "id_a", "id_b", minPts = 2)
+      .orderBy("vid")
+  }
+
   /** Density clustering (DBSCAN) over the embedding corpus — the
     * k-free counterpart of q86/q76: cosine >= 0.4 neighbors (the q32
     * pair predicate), minPts 2, deterministic min-label cluster ids,

@@ -3873,6 +3873,10 @@ object OracleSql {
     // q189/q190: DBSCAN over exact and sign-plane-bucketed neighbor graphs
     "q189_dbscan" -> dbscanSql,
     "q190_dbscan_lsh" -> dbscanLshSql,
+    // q193: the oracle IS q190's full recompute — a hash match proves
+    // incremental (increment-only pair generation + stored edge state)
+    // == full, the DBSCAN member of the q72/q146/q157/q188 family
+    "q193_incremental_dbscan" -> dbscanLshSql,
 
     // q191/q192: WordPiece vocab induction + maximal-munch encode replay
     "q191_wordpiece_vocab" ->

@@ -82,6 +82,9 @@ class PlanInvariantSpec extends SparkTestBase {
     // DBSCAN runs Components at construction; pair generation is guarded
     // through q32 (exact baseline) / q68 (bucketed sibling)
     "q189_dbscan", "q190_dbscan_lsh",
+    // materializes the stored bucket index + edge state at construction
+    // (the q146 stored-state pattern), then runs eager Components
+    "q193_incremental_dbscan",
     // collects the 64-piece vocabulary at construction (the q187 bounded-
     // artifact pattern); the vocab build's plan is guarded through q191
     "q192_wordpiece_encode")

@@ -66,6 +66,33 @@ class DbscanSpec extends SparkTestBase {
     assert(got(3L) == (("noise", None)))
   }
 
+  test("increment-only pair generation: stored edges + increment edges == full pair set, each pair once") {
+    // deterministic pseudo-random 24 vectors of dim 8; split even/odd
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(j => (((seed * 31 + j * 17) % 13) - 6).toFloat / 6f)
+    val rows = (0L until 24L).map(i => (i, vec(i)))
+    val all = rows.toDF("vec_id", "embedding")
+    val stored = all.where(col("vec_id") % 2 === 0)
+    val inc = all.where(col("vec_id") % 2 === 1)
+    val full = Dedup.embeddingNearDupsDet(all, "embedding", "vec_id",
+        threshold = 0.2, planes = 2, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val storedEdges = Dedup.embeddingNearDupsDet(stored, "embedding", "vec_id",
+        threshold = 0.2, planes = 2, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val idx = Dedup.signPlaneIndex(stored, "embedding", "vec_id", planes = 2, dim = 8)
+    val newEdges = Dedup.embeddingNearDupsDetIncrement(idx, inc, "embedding", "vec_id",
+        threshold = 0.2, planes = 2, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // no duplicates within or across the two sides, and the union is exact
+    assert(storedEdges.distinct.size == storedEdges.size)
+    assert(newEdges.distinct.size == newEdges.size)
+    assert((storedEdges ++ newEdges).sorted == full.sorted,
+      s"stored=$storedEdges new=$newEdges full=$full")
+    assert(newEdges.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 },
+      "an increment edge must touch the increment")
+  }
+
   test("rejects non-positive minPts") {
     val pts = Seq(1L).toDF("id")
     val p = Seq((1L, 2L)).toDF("id_a", "id_b")
