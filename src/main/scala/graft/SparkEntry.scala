@@ -232,7 +232,12 @@ object SparkEntry {
     "q192_wordpiece_encode" -> (D.q192WordpieceEncode(_, _)),
     // q190's incremental sibling: increment-only pair generation against
     // the stored bucket index + edge state; oracle = the full recompute
-    "q193_incremental_dbscan" -> (D.q193IncrementalDbscan(_, _))
+    "q193_incremental_dbscan" -> (D.q193IncrementalDbscan(_, _)),
+    // leakage-safe splits: the md5 split keyed on the near-dup cluster
+    // canonical, so near-dups can never straddle train/test
+    "q194_cluster_split" -> (D.q194ClusterSplit(_, _)),
+    // tokenizer fertility/OOV per language over the q192 encode
+    "q195_wordpiece_fertility" -> (D.q195WordpieceFertility(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -1877,6 +1877,59 @@ object DocQueries {
       .orderBy("vid")
   }
 
+  /** Dedup-cluster-aware train/validation/test split — the leakage-SAFE
+    * split: q120 MEASURES near-dup leakage across q111's independent
+    * per-document split; this query PREVENTS it by keying the md5 split
+    * on the near-dup cluster's canonical id (q61's candidate → Jaccard →
+    * components chain), so every member of a cluster lands in the same
+    * split by construction. Same pure md5-bucket function, same cutoffs;
+    * singletons key on themselves. Output: the per-document manifest
+    * (doc_id, split_key, split).
+    */
+  def q194ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.minhashCandidatePairsMd5(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val nearDups = Dedup.jaccardOnPairsByContent(cand, docs, "text", "doc_id", k = 5)
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Components.connectedComponents(nearDups, "id_a", "id_b")
+    val keyed = docs
+      .join(comp.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_key"))
+    Sampling.assignSplits(keyed, "split_key",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility by language — the standard tokenizer-quality
+    * report (pieces per word, OOV-fallback rate, per language): a vocab
+    * trained on a mixed corpus over-serves the dominant language, and
+    * this is the measurement that shows it. Composes q192's WordPiece
+    * encode with one per-language aggregation; everything is
+    * map-side-combinable after the encode join.
+    */
+  def q195WordpieceFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val enc = q192WordpieceEncode(spark, dir).select("doc_id", "n_pieces", "n_oov")
+    val words = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= ""))
+          .cast("long").as("__nw"))
+    words.join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_oov")).as("n_oov"),
+        round(sum(col("n_pieces")).cast("double") / sum(col("__nw")), 4).as("fertility"),
+        round(sum(col("n_oov")).cast("double") / sum(col("n_pieces")), 4).as("oov_rate"))
+      .orderBy("lang")
+  }
+
   /** Density clustering (DBSCAN) over the embedding corpus — the
     * k-free counterpart of q86/q76: cosine >= 0.4 neighbors (the q32
     * pair predicate), minPts 2, deterministic min-label cluster ids,

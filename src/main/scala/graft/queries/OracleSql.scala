@@ -1111,17 +1111,17 @@ object OracleSql {
        |                 CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank
        |          FROM (SELECT * FROM pc ORDER BY cnt DESC, piece LIMIT 64))""".stripMargin
 
-  /** q192: greedy maximal munch replayed position-exactly — for every
-    * (distinct word, position) the longest vocab piece prefixing the
-    * remainder (single-char OOV fallback), then a recursive walk visits
-    * exactly the positions the greedy scan visits, and documents stitch
-    * their words' piece streams in word order. This IS
+  /** q192/q195: greedy maximal munch replayed position-exactly — for
+    * every (distinct word, position) the longest vocab piece prefixing
+    * the remainder (single-char OOV fallback), then a recursive walk
+    * visits exactly the positions the greedy scan visits, and documents
+    * stitch their words' piece streams in word order. This IS
     * WordPiece.maxMatch: at a fixed position the longest match is unique,
-    * so jump-table + walk = the left-to-right greedy scan.
+    * so jump-table + walk = the left-to-right greedy scan. Ends in
+    * `docenc` (doc_id, n_words, n_pieces, n_oov, pieces).
     */
-  private val wordpieceEncodeSql: String =
-    s"""WITH RECURSIVE
-       |$wordpieceVocabCtes,
+  private val wordpieceDocEncCtes: String =
+    s"""$wordpieceVocabCtes,
        |dw AS (SELECT word FROM w),
        |pos AS (SELECT word, unnest(generate_series(1, length(word))) AS p FROM dw),
        |mt AS (SELECT pos.word, pos.p, v.piece, length(v.piece) AS l,
@@ -1148,14 +1148,36 @@ object OracleSql {
        |        FROM seg GROUP BY word),
        |ws AS (SELECT doc_id, unnest(wlist) AS word, generate_subscripts(wlist, 1) AS wpos
        |       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS wlist
-       |             FROM documents WHERE text IS NOT NULL))
-       |SELECT doc_id,
-       |       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
-       |       CAST(sum(e.n_oov) AS BIGINT) AS n_oov,
-       |       string_agg(e.pieces, ' ' ORDER BY wpos) AS pieces
-       |FROM ws JOIN enc e ON e.word = ws.word
-       |WHERE ws.word <> ''
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |             FROM documents WHERE text IS NOT NULL)),
+       |docenc AS (SELECT doc_id,
+       |                  CAST(count(*) AS BIGINT) AS n_words,
+       |                  CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       |                  CAST(sum(e.n_oov) AS BIGINT) AS n_oov,
+       |                  string_agg(e.pieces, ' ' ORDER BY wpos) AS pieces
+       |           FROM ws JOIN enc e ON e.word = ws.word
+       |           WHERE ws.word <> ''
+       |           GROUP BY doc_id)""".stripMargin
+
+  private val wordpieceEncodeSql: String =
+    s"""WITH RECURSIVE
+       |$wordpieceDocEncCtes
+       |SELECT doc_id, n_pieces, n_oov, pieces FROM docenc ORDER BY doc_id""".stripMargin
+
+  /** q195: docenc aggregated per language — fertility (pieces per word)
+    * and the OOV-fallback rate, the tokenizer-quality report.
+    */
+  private val wordpieceFertilitySql: String =
+    s"""WITH RECURSIVE
+       |$wordpieceDocEncCtes
+       |SELECT d.lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(de.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(de.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(de.n_oov) AS BIGINT) AS n_oov,
+       |       round(CAST(sum(de.n_pieces) AS DOUBLE) / sum(de.n_words), 4) AS fertility,
+       |       round(CAST(sum(de.n_oov) AS DOUBLE) / sum(de.n_pieces), 4) AS oov_rate
+       |FROM docenc de JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY lang""".stripMargin
 
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
@@ -3883,6 +3905,42 @@ object OracleSql {
       s"""WITH $wordpieceVocabCtes
          |SELECT piece, cnt, rank FROM vocab ORDER BY rank""".stripMargin,
     "q192_wordpiece_encode" -> wordpieceEncodeSql,
+    "q195_wordpiece_fertility" -> wordpieceFertilitySql,
+
+    // q194: q61's near-dup chain -> components -> md5 split keyed on the
+    // cluster canonical (singletons key on themselves), so near-dups can
+    // never straddle splits
+    "q194_cluster_split" ->
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |shd AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      generate_series(1, greatest(len(w) - 4, 1)),
+         |      i -> array_to_string(w[i:i+4], ' '))) AS shs
+         |  FROM words),
+         |nd AS (
+         |  SELECT id_a, id_b
+         |  FROM cand
+         |  JOIN shd da ON da.doc_id = cand.id_a
+         |  JOIN shd db ON db.doc_id = cand.id_b
+         |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(da.shs, db.shs))) >= 0.8),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM nd
+         |       UNION SELECT id_b, id_a FROM nd),
+         |nodes AS (SELECT DISTINCT src AS id FROM ed),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id),
+         |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id, CAST(coalesce(c.lbl, d.doc_id) AS BIGINT) AS split_key
+         |          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, split_key,
+         |       CASE WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 6)) AS BIGINT)
+         |                 % 10000 < 8000 THEN 'train'
+         |            WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 6)) AS BIGINT)
+         |                 % 10000 < 9000 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin,
 
     "q182_url_normalize" ->
       s"""WITH $urlCtes

@@ -87,7 +87,11 @@ class PlanInvariantSpec extends SparkTestBase {
     "q193_incremental_dbscan",
     // collects the 64-piece vocabulary at construction (the q187 bounded-
     // artifact pattern); the vocab build's plan is guarded through q191
-    "q192_wordpiece_encode")
+    "q192_wordpiece_encode",
+    // composes q192 (same eager vocab collect)
+    "q195_wordpiece_fertility",
+    // composes q61's chain into Components (eager), as q142/q194's family
+    "q194_cluster_split")
 
   // Positive shape pins on flagship plans — the properties the 100-TB
   // story depends on, asserted, not just documented. Version-pinned
