@@ -237,7 +237,11 @@ object SparkEntry {
     // canonical, so near-dups can never straddle train/test
     "q194_cluster_split" -> (D.q194ClusterSplit(_, _)),
     // tokenizer fertility/OOV per language over the q192 encode
-    "q195_wordpiece_fertility" -> (D.q195WordpieceFertility(_, _))
+    "q195_wordpiece_fertility" -> (D.q195WordpieceFertility(_, _)),
+    // q49's forensics view: top-3 leaking corpus docs per benchmark item
+    "q196_contamination_attribution" -> (D.q196ContaminationAttribution(_, _)),
+    // q191's incremental sibling: additive substring-count state merge
+    "q197_incremental_wordpiece_vocab" -> (D.q197IncrementalWordpieceVocab(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

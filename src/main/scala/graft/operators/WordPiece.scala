@@ -53,14 +53,34 @@ object WordPiece {
     * window).
     */
   def induceVocab(df: DataFrame, textCol: String, maxPieceLen: Int,
-                  vocabSize: Int): DataFrame = {
+                  vocabSize: Int): DataFrame =
+    vocabFromCounts(substringCounts(df, textCol, maxPieceLen), vocabSize)
+
+  /** [[induceVocab]]'s tail over an existing (piece, cnt) table — shared
+    * with the incremental form.
+    */
+  def vocabFromCounts(counts: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("piece"))
-    substringCounts(df, textCol, maxPieceLen)
+    counts
       .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Merge an increment's substring counts into the stored count state —
+    * substring statistics are ADDITIVE over any document partition, so
+    * one full-outer sum per touched piece makes incremental vocabulary
+    * maintenance EXACT (merged counts == counts of the union, hence the
+    * merged top-k == the full retrain): the tokenizer-shelf member of
+    * the incremental-state family. O(stored pieces ∪ increment pieces),
+    * never re-reads stored documents.
+    */
+  def mergeCounts(stored: DataFrame, incCounts: DataFrame): DataFrame =
+    stored.select(col("piece"), col("cnt").as("__s"))
+      .join(incCounts.select(col("piece"), col("cnt").as("__n")), Seq("piece"), "full_outer")
+      .select(col("piece"),
+        (coalesce(col("__s"), lit(0L)) + coalesce(col("__n"), lit(0L))).as("cnt"))
 
   /** Greedy longest-match-first segmentation of one word: at each
     * position take the longest vocabulary piece prefixing the remainder;

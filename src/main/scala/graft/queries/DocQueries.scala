@@ -1877,6 +1877,47 @@ object DocQueries {
       .orderBy("vid")
   }
 
+  /** Contamination ATTRIBUTION — the forensics view of q49: for every
+    * benchmark document, the top-3 corpus documents by shared
+    * distinct-shingle count (ties to the lower doc_id) — "WHICH training
+    * documents leak this benchmark item", the report a decontamination
+    * incident actually needs. Composes q49's broadcast-bench overlap
+    * with q87's per-group top-k (WindowGroupLimit pre-prune, keyed by
+    * bench_id — never a global window). 3-shingles, not q49's 5: the
+    * attribution view wants SENSITIVITY (rank every plausible leak
+    * source), and at 3 the per-bench candidate lists actually exceed
+    * the quota so the top-k is exercised.
+    */
+  def q196ContaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val overlap = TextAnalysis.contamination(docs, bench, "text", "doc_id", k = 3)
+    Sampling.quotaPerGroup(overlap, "bench_id", quota = 3,
+        preference = Seq(col("n_shared").desc, col("doc_id")))
+      .select(col("bench_id"), col("doc_id"), col("n_shared"))
+      .orderBy("bench_id", "doc_id")
+  }
+
+  /** q191's INCREMENTAL sibling: even doc_ids are YESTERDAY'S corpus —
+    * only their substring-count state survives (materialized like
+    * q146's); odd doc_ids arrive today. Substring statistics are
+    * ADDITIVE over any document partition, so one full-outer per-piece
+    * sum (WordPiece.mergeCounts) makes the merged top-64 EXACTLY the
+    * full retrain — the tokenizer-shelf member of the q72/q107/q146/
+    * q188/q193 incremental family. Oracle = q191's full recompute.
+    */
+  def q197IncrementalWordpieceVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val stored = WordPiece.substringCounts(
+        docs.where(col("doc_id") % 2 === 0), "text", maxPieceLen = 5)
+      .localCheckpoint(true)
+    val incCounts = WordPiece.substringCounts(
+      docs.where(col("doc_id") % 2 === 1), "text", maxPieceLen = 5)
+    WordPiece.vocabFromCounts(WordPiece.mergeCounts(stored, incCounts), vocabSize = 64)
+      .select(col("piece"), col("cnt"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** Dedup-cluster-aware train/validation/test split — the leakage-SAFE
     * split: q120 MEASURES near-dup leakage across q111's independent
     * per-document split; this query PREVENTS it by keying the md5 split

@@ -3907,6 +3907,33 @@ object OracleSql {
     "q192_wordpiece_encode" -> wordpieceEncodeSql,
     "q195_wordpiece_fertility" -> wordpieceFertilitySql,
 
+    // q196: q49's overlap counts (3-shingles for sensitivity) -> top-3
+    // corpus docs per benchmark item
+    "q196_contamination_attribution" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w) - 2, 1)),
+        |         i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |       FROM w),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (SELECT s.doc_id, b.bench_id, count(*) AS n_shared
+        |       FROM sh s JOIN b ON s.shingle = b.shingle AND s.doc_id <> b.bench_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT bench_id, doc_id, n_shared,
+        |             row_number() OVER (PARTITION BY bench_id
+        |                                ORDER BY n_shared DESC, doc_id) AS rn
+        |      FROM ov)
+        |SELECT bench_id, doc_id, n_shared FROM r WHERE rn <= 3
+        |ORDER BY bench_id, doc_id""".stripMargin,
+
+    // q197: the oracle IS q191's full recompute — substring counts are
+    // additive over document partitions, so merged state top-k == full
+    // retrain (the tokenizer-shelf incremental==full theorem)
+    "q197_incremental_wordpiece_vocab" ->
+      s"""WITH $wordpieceVocabCtes
+         |SELECT piece, cnt, rank FROM vocab ORDER BY rank""".stripMargin,
+
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
     // never straddle splits

@@ -39,5 +39,6 @@ object WindowAudits {
     "q82_lm_buckets" -> "the documented exact-ntile presentation form; q177_lm_buckets_approx is the registered no-global-sort scale sibling",
     "q191_wordpiece_vocab" -> "vocab rank over the top-64 piece rows (LIMIT 64 upstream of the window)",
     "q192_wordpiece_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the returned encode plan itself is window-free)",
-    "q195_wordpiece_fertility" -> "composes q192 — the same construction-time 64-piece vocab rank")
+    "q195_wordpiece_fertility" -> "composes q192 — the same construction-time 64-piece vocab rank",
+    "q197_incremental_wordpiece_vocab" -> "q191's vocab rank over the top-64 MERGED piece rows (LIMIT 64 upstream of the window)")
 }

@@ -67,6 +67,25 @@ class WordPieceSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("mergeCounts: incremental vocab == full retrain (additive counts)") {
+    val all = Seq((1L, "aa ab aa"), (2L, "ab bb cc"), (3L, "aa cc cc")).toDF("doc_id", "text")
+    val stored = WordPiece.substringCounts(all.where(col("doc_id") <= 2), "text", 2)
+    val inc = WordPiece.substringCounts(all.where(col("doc_id") > 2), "text", 2)
+    val merged = WordPiece.vocabFromCounts(WordPiece.mergeCounts(stored, inc), 8)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val full = WordPiece.induceVocab(all, "text", 2, 8)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(merged == full)
+  }
+
+  test("mergeCounts handles increment-only and stored-only pieces") {
+    val stored = Seq(("x", 3L), ("y", 1L)).toDF("piece", "cnt")
+    val inc = Seq(("y", 2L), ("z", 5L)).toDF("piece", "cnt")
+    val got = WordPiece.mergeCounts(stored, inc)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 3L, "y" -> 3L, "z" -> 5L))
+  }
+
   test("rejects non-positive parameters") {
     val df = Seq("x").toDF("text")
     intercept[IllegalArgumentException] { WordPiece.substringCounts(df, "text", 0) }
