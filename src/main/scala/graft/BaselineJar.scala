@@ -40,6 +40,20 @@ object BaselineJar {
     else None
   }
 
+  /** HEAD's own code location (the classes directory under sbt, the
+    * assembled jar in production) — lets the recheck run the CURRENT
+    * build in a child JVM through the exact same [[benchMinima]] path as
+    * the pinned jar. Measuring HEAD inside the parent at the END of a
+    * full sweep and the jar in a pristine child is systematically unfair
+    * to HEAD (code-cache/GC/plan-cache pollution): the r14 final sweep
+    * mislabeled 12 queries `code` that way, and the symmetric
+    * fresh-child interleave (tools.Adjudicate) re-adjudicated all 12 to
+    * drift.
+    */
+  def ownCodeLocation: Option[String] =
+    Option(SparkEntry.getClass.getProtectionDomain.getCodeSource)
+      .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+
   /** Directory of the Spark distribution jars for the child classpath.
     * The SparkSession class's code-source parent is the natural answer —
     * but sbt's forked `run` stages each unmanaged jar in its OWN

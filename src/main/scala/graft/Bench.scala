@@ -138,7 +138,7 @@ object Bench {
     val winJson = winWarns.map { case (k, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val unaudited = winWarns.map(_._1)
-      .filterNot(graft.queries.WindowAudits.boundedGlobalWindowByDesign.contains)
+      .filterNot(graft.queries.WindowAudits.allAudited.contains)
     val unauditedJson = unaudited.map("\"" + _ + "\"").mkString("[", ",", "]")
     val telemetryJson = results.map { case (k, _, _, _, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
@@ -206,17 +206,46 @@ object Bench {
     // same host, same hour, old binary. `final` carries the adjudicated
     // verdict; `verdict` stays the mechanical pre-verdict for continuity.
     val regressed = isoChecked.collect { case (n, _, _, _, "regression") => n }
-    val jarMinima: Map[String, Double] =
-      if (regressed.isEmpty) Map.empty
+    // SYMMETRIC adjudication (r14 lesson): the parent JVM at the end of a
+    // full sweep is a polluted measurement environment (code cache, GC,
+    // plan caches) — comparing its HEAD numbers against a PRISTINE child
+    // running the pinned jar mislabeled 12 drift queries `code` in the
+    // r14 final sweep (all 12 re-adjudicated to drift by the fresh-child
+    // interleave). Both sides therefore run through the SAME child-JVM
+    // path: HEAD from its own code location, the baseline from the jar.
+    // Two INTERLEAVED reps per side (head, jar, head, jar), minima merged
+    // per query: a single child launch per side still eats this host's
+    // minute-scale load envelope (adjacent fresh children differ 20-50%
+    // on sub-second queries); interleaving puts both binaries in the
+    // same minutes, the tools.Adjudicate discipline.
+    val (jarMinima, headChildMinima): (Map[String, Double], Map[String, Double]) =
+      if (regressed.isEmpty) (Map.empty, Map.empty)
       else BaselineJar.resolve() match {
-        case Some(jar) => BaselineJar.benchMinima(jar, sfDir, regressed, nRuns, cpus)
-        case None => Map.empty
+        case Some(jar) =>
+          def minMerge(a: Map[String, Double], b: Map[String, Double]) =
+            (a.keySet ++ b.keySet).map { k =>
+              k -> math.min(a.getOrElse(k, Double.MaxValue), b.getOrElse(k, Double.MaxValue))
+            }.toMap
+          val headLoc = BaselineJar.ownCodeLocation
+          var headM = Map.empty[String, Double]
+          var jarM = Map.empty[String, Double]
+          (1 to 2).foreach { _ =>
+            headLoc.foreach { loc =>
+              headM = minMerge(headM, BaselineJar.benchMinima(loc, sfDir, regressed, nRuns, cpus))
+            }
+            jarM = minMerge(jarM, BaselineJar.benchMinima(jar, sfDir, regressed, nRuns, cpus))
+          }
+          (jarM, headM)
+        case None => (Map.empty, Map.empty)
       }
     val recheck = isoChecked.map { case (name, b, med, isoMin, verdict) =>
       val (jarField, finalV) = verdict match {
         case "regression" => jarMinima.get(name) match {
           case Some(c) =>
-            (s""","baseline_jar_min":$c""", BaselineJar.adjudicate(isoMin, c))
+            val headMin = headChildMinima.get(name)
+            val headField = headMin.map(h => s""","head_child_min":$h""").getOrElse("")
+            (s""","baseline_jar_min":$c$headField""",
+              BaselineJar.adjudicate(headMin.getOrElse(isoMin), c))
           case None => ("", "regression") // no jar / old registry lacks it
         }
         case v => ("", v)

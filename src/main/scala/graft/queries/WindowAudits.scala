@@ -41,4 +41,23 @@ object WindowAudits {
     "q192_wordpiece_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the returned encode plan itself is window-free)",
     "q195_wordpiece_fertility" -> "composes q192 — the same construction-time 64-piece vocab rank",
     "q197_incremental_wordpiece_vocab" -> "q191's vocab rank over the top-64 MERGED piece rows (LIMIT 64 upstream of the window)")
+
+  /** Bounded global windows the PLAN census cannot see — they execute
+    * inside internally-persisted (InMemoryRelation) or construction-time
+    * subtrees, so `queryExecution.sparkPlan` never contains the
+    * WindowExec, but the RUNTIME census still counts their warnings.
+    * Kept separate from [[boundedGlobalWindowByDesign]] because the plan
+    * census's stale-entry assertion must keep firing for queries whose
+    * returned plan SHOULD carry the window. First populated from the r14
+    * full-sweep runtime census — the census catching exactly the blind
+    * spot it was built for.
+    */
+  val runtimeOnlyGlobalWindowByDesign: Map[String, String] = Map(
+    "q102_pq_adc_topk" -> "q100's k=8 seed rank, executed when the internally-persisted PQ codes subtree materializes (cached plan — invisible to the plan census)",
+    "q103_pq_rerank" -> "same cached-codes k=8 seed rank as q102 (shared pqTopK chain)",
+    "q134_snapshot_drift" -> "KS cumulative window over the persisted DISTINCT-VALUE count table (bounded by the drifted column's value domain — the q127 contract), executed when driftFromCounts materializes its cache")
+
+  /** The union the RUNTIME census checks against. */
+  val allAudited: Set[String] =
+    boundedGlobalWindowByDesign.keySet ++ runtimeOnlyGlobalWindowByDesign.keySet
 }

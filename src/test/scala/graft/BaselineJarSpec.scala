@@ -10,6 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BaselineJarSpec extends AnyFunSuite {
 
+  test("ownCodeLocation resolves to an existing classes dir or jar") {
+    val loc = BaselineJar.ownCodeLocation
+    assert(loc.nonEmpty, "code source must resolve under sbt and from a jar")
+    assert(new java.io.File(loc.get).exists, s"missing: ${loc.get}")
+  }
+
   test("parseMinima extracts spread minima from a Bench full record") {
     val rec = """{"metric":"total","value":9.9,"queries":{"a":2.0,"b":3.0},
       "spread":{"a":{"min":1.5,"med":2.0,"max":2.5},"b":{"min":3,"med":3.5,"max":4}},

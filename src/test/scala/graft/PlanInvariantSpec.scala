@@ -144,6 +144,13 @@ class PlanInvariantSpec extends SparkTestBase {
   private val boundedGlobalWindowByDesign: Map[String, String] =
     graft.queries.WindowAudits.boundedGlobalWindowByDesign
 
+  test("runtime-only window audits never overlap the plan-census registry") {
+    val overlap = graft.queries.WindowAudits.runtimeOnlyGlobalWindowByDesign.keySet
+      .intersect(boundedGlobalWindowByDesign.keySet)
+    assert(overlap.isEmpty, s"$overlap audited in both registries — a query whose " +
+      "RETURNED plan carries the window belongs in boundedGlobalWindowByDesign only")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     if (!eagerByConstruction.contains(name)) {
       test(s"$name plans without nested-loop/cartesian joins or unaudited global windows") {
