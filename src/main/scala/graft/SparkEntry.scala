@@ -241,7 +241,10 @@ object SparkEntry {
     // q49's forensics view: top-3 leaking corpus docs per benchmark item
     "q196_contamination_attribution" -> (D.q196ContaminationAttribution(_, _)),
     // q191's incremental sibling: additive substring-count state merge
-    "q197_incremental_wordpiece_vocab" -> (D.q197IncrementalWordpieceVocab(_, _))
+    "q197_incremental_wordpiece_vocab" -> (D.q197IncrementalWordpieceVocab(_, _)),
+    // optimal (Viterbi) segmentation: fewest pieces, then min rank sum —
+    // the DP the greedy q192 approximates, layer-replayed in the oracle
+    "q198_viterbi_encode" -> (D.q198ViterbiEncode(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -108,6 +108,103 @@ object WordPiece {
     (out.toArray, oov)
   }
 
+  /** Optimal (Viterbi) segmentation of one word under integer costs:
+    * fewest pieces first, then the smallest vocabulary-rank sum — the
+    * unigram-LM inference shape (frequent pieces preferred) made exactly
+    * replayable by using integer RANKS instead of float log-probs (no
+    * cross-engine ln/tie hazard exists because no float exists).
+    * Unmatched positions fall back to the single character at
+    * `fallbackRank` (> any vocab rank, so a vocab single-char always
+    * dominates its own fallback). Backward DP over positions; the choice
+    * at each position is the option minimizing (piece count, rank sum)
+    * with immediate-rank tie-break — a total order (ranks are unique),
+    * so the segmentation is deterministic and the oracle can replay the
+    * DP layer by layer. Returns (pieces, n_oov, rank_sum).
+    */
+  private[operators] def viterbiSegment(word: String, ranks: Map[String, Int],
+                                        maxPieceLen: Int,
+                                        fallbackRank: Int): (Array[String], Int, Long) = {
+    val n = word.length
+    val Count = 100000L // count weight: dominates any rank sum (ranks < 1e5/len)
+    val best = new Array[Long](n + 1)
+    val choicePiece = new Array[String](n)
+    val choiceRank = new Array[Int](n)
+    var p = n - 1
+    while (p >= 0) {
+      var bestCost = Long.MaxValue
+      var bestRank = Int.MaxValue
+      var bestPiece: String = null
+      var l = math.min(maxPieceLen, n - p)
+      while (l >= 1) {
+        val cand = word.substring(p, p + l)
+        val r = ranks.getOrElse(cand, 0)
+        if (r > 0) {
+          val cost = Count + r + best(p + l)
+          if (cost < bestCost || (cost == bestCost && r < bestRank)) {
+            bestCost = cost; bestRank = r; bestPiece = cand
+          }
+        }
+        l -= 1
+      }
+      val fcost = Count + fallbackRank + best(p + 1)
+      if (fcost < bestCost || (fcost == bestCost && fallbackRank < bestRank)) {
+        bestCost = fcost; bestRank = fallbackRank; bestPiece = word.substring(p, p + 1)
+      }
+      best(p) = bestCost; choicePiece(p) = bestPiece; choiceRank(p) = bestRank
+      p -= 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var oov = 0
+    var rankSum = 0L
+    var q = 0
+    while (q < n) {
+      out += choicePiece(q)
+      if (choiceRank(q) == fallbackRank) oov += 1
+      rankSum += choiceRank(q)
+      q += choicePiece(q).length
+    }
+    (out.toArray, oov, rankSum)
+  }
+
+  /** Encode the corpus by OPTIMAL segmentation ([[viterbiSegment]]) —
+    * the inference rule under which [[encode]]'s greedy maximal munch is
+    * an approximation: greedy "abc"+fallback loses to "ab"+"cd" when the
+    * vocabulary carries both splits. Same scale shape as [[encode]]: the
+    * DP runs once per DISTINCT word over a broadcast-sized rank map, the
+    * corpus pays one equi-join on the word. Output: (idCol, n_pieces,
+    * n_oov, rank_sum, pieces).
+    */
+  def viterbiEncode(df: DataFrame, textCol: String, idCol: String,
+                    vocabRanked: Seq[(String, Int)], maxPieceLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = vocabRanked.toMap
+    require(ranks.size == vocabRanked.size, "vocab pieces must be unique")
+    require(ranks.values.forall(_ >= 1), "ranks must be >= 1")
+    val fallbackRank = if (ranks.isEmpty) 1 else ranks.values.max + 1
+    val words = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__w")))
+      .where(col("__w") =!= "")
+    val encoded = words.select(col("__w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          val (pieces, oov, rankSum) = viterbiSegment(w, ranks, maxPieceLen, fallbackRank)
+          (w, pieces, oov, rankSum)
+        }
+      }
+      .toDF("__w", "__pieces", "__oov", "__rsum")
+    words.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("__pieces"))).cast("long").as("n_pieces"),
+        sum(col("__oov")).cast("long").as("n_oov"),
+        sum(col("__rsum")).cast("long").as("rank_sum"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__pieces")))),
+          p => p.getField("__pieces"))), " ").as("pieces"))
+  }
+
   /** Encode the corpus against a piece vocabulary: greedy maximal munch
     * per DISTINCT word (Scala kernel, vocabulary as a broadcast-sized
     * set), then one equi-join on the word and a per-document stitch in

@@ -1918,6 +1918,27 @@ object DocQueries {
       .orderBy("rank")
   }
 
+  /** OPTIMAL-segmentation encoding (WordPiece.viterbiEncode) against the
+    * q191 vocabulary — the third tokenizer inference rule on the shelf
+    * (BPE merge replay q121, greedy maximal munch q192, optimal DP
+    * here): fewest pieces first, then the smallest vocab-rank sum — the
+    * unigram-LM Viterbi shape with integer ranks standing in for float
+    * log-probs, which is what makes the DP exactly replayable (no
+    * cross-engine ln/tie hazard exists because no float exists). The
+    * oracle replays the BACKWARD DP layer by layer (12 unrolled
+    * suffix-length layers — corpus words are <= 8 chars — then the same
+    * recursive-CTE jump walk as q192), so the optimality of every
+    * chosen piece is hash-checked, not just the totals.
+    */
+  def q198ViterbiEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val vocab = WordPiece.induceVocab(docs, "text", maxPieceLen = 5, vocabSize = 64)
+      .orderBy("rank").select("piece", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt)).toSeq
+    WordPiece.viterbiEncode(docs, "text", "doc_id", vocab, maxPieceLen = 5)
+      .orderBy("doc_id")
+  }
+
   /** Dedup-cluster-aware train/validation/test split — the leakage-SAFE
     * split: q120 MEASURES near-dup leakage across q111's independent
     * per-document split; this query PREVENTS it by keying the md5 split

@@ -1179,6 +1179,76 @@ object OracleSql {
        |FROM docenc de JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** q198: the optimal-segmentation DP replayed LAYER BY LAYER. vopt is
+    * every (word, position) option — vocab pieces prefixing the
+    * remainder plus the single-char fallback at rank max(vocab)+1; cost
+    * = 100000·pieces + rank (integer, count-dominant). Layer d computes
+    * the best suffix cost for positions with d characters remaining from
+    * the cumulative table of layers < d (backward DP unrolled — corpus
+    * words are <= 8 chars, 12 layers carried for headroom); vch picks
+    * each position's argmin option under (total cost, immediate rank) —
+    * a total order because ranks are unique — and the q192 recursive
+    * walk emits exactly the chosen positions.
+    */
+  private val viterbiEncodeSql: String = {
+    val nLayers = 12
+    val layers = (2 to nLayers).map { d =>
+      s"""vb$d AS MATERIALIZED (SELECT o.word, o.p, min(o.rcost + coalesce(b.cost, 0)) AS cost
+         |        FROM vopt o LEFT JOIN vle${d - 1} b ON b.word = o.word AND b.p = o.p + o.l
+         |        WHERE length(o.word) - o.p + 1 = $d
+         |          AND (o.p + o.l > length(o.word) OR b.cost IS NOT NULL)
+         |        GROUP BY 1, 2),
+         |vle$d AS MATERIALIZED (SELECT * FROM vle${d - 1} UNION ALL SELECT * FROM vb$d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$wordpieceVocabCtes,
+       |dw AS MATERIALIZED (SELECT word FROM w),
+       |pos AS MATERIALIZED (SELECT word, unnest(generate_series(1, length(word))) AS p FROM dw),
+       |fb AS (SELECT coalesce((SELECT max(rank) FROM vocab), 0) + 1 AS frank),
+       |vopt AS MATERIALIZED (
+       |  SELECT pos.word, pos.p, v.piece, length(v.piece) AS l,
+       |         v.rank, 100000 + v.rank AS rcost
+       |  FROM pos JOIN vocab v ON substr(pos.word, pos.p, length(v.piece)) = v.piece
+       |  UNION ALL
+       |  SELECT word, p, substr(word, p, 1), 1, fb.frank, 100000 + fb.frank
+       |  FROM pos, fb),
+       |vb1 AS MATERIALIZED (SELECT word, p, min(rcost) AS cost FROM vopt
+       |        WHERE length(word) - p + 1 = 1 GROUP BY 1, 2),
+       |vle1 AS MATERIALIZED (SELECT * FROM vb1),
+       |$layers,
+       |vch AS MATERIALIZED (SELECT word, p, piece, l, rank FROM (
+       |    SELECT o.word, o.p, o.piece, o.l, o.rank,
+       |           row_number() OVER (PARTITION BY o.word, o.p
+       |             ORDER BY o.rcost + coalesce(b.cost, 0), o.rank) AS rn
+       |    FROM vopt o LEFT JOIN vle$nLayers b ON b.word = o.word AND b.p = o.p + o.l
+       |    WHERE o.p + o.l > length(o.word) OR b.cost IS NOT NULL) WHERE rn = 1),
+       |walk(word, p) AS (
+       |  SELECT word, 1 FROM dw
+       |  UNION ALL
+       |  SELECT j.word, wk.p + j.l FROM walk wk JOIN vch j
+       |    ON j.word = wk.word AND j.p = wk.p
+       |  WHERE wk.p + j.l <= length(j.word)),
+       |seg AS (SELECT walk.word, walk.p, j.piece, j.rank,
+       |               CASE WHEN j.rank = (SELECT frank FROM fb) THEN 1 ELSE 0 END AS oov
+       |        FROM walk JOIN vch j ON j.word = walk.word AND j.p = walk.p),
+       |venc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces,
+       |                CAST(sum(oov) AS BIGINT) AS n_oov,
+       |                CAST(sum(rank) AS BIGINT) AS rank_sum,
+       |                string_agg(piece, ' ' ORDER BY p) AS pieces
+       |         FROM seg GROUP BY word),
+       |ws AS (SELECT doc_id, unnest(wlist) AS word, generate_subscripts(wlist, 1) AS wpos
+       |       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS wlist
+       |             FROM documents WHERE text IS NOT NULL))
+       |SELECT doc_id,
+       |       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(e.n_oov) AS BIGINT) AS n_oov,
+       |       CAST(sum(e.rank_sum) AS BIGINT) AS rank_sum,
+       |       string_agg(e.pieces, ' ' ORDER BY wpos) AS pieces
+       |FROM ws JOIN venc e ON e.word = ws.word
+       |WHERE ws.word <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
     */
@@ -3933,6 +4003,9 @@ object OracleSql {
     "q197_incremental_wordpiece_vocab" ->
       s"""WITH $wordpieceVocabCtes
          |SELECT piece, cnt, rank FROM vocab ORDER BY rank""".stripMargin,
+
+    // q198: optimal segmentation — the backward DP unrolled per layer
+    "q198_viterbi_encode" -> viterbiEncodeSql,
 
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can

@@ -40,7 +40,8 @@ object WindowAudits {
     "q191_wordpiece_vocab" -> "vocab rank over the top-64 piece rows (LIMIT 64 upstream of the window)",
     "q192_wordpiece_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the returned encode plan itself is window-free)",
     "q195_wordpiece_fertility" -> "composes q192 — the same construction-time 64-piece vocab rank",
-    "q197_incremental_wordpiece_vocab" -> "q191's vocab rank over the top-64 MERGED piece rows (LIMIT 64 upstream of the window)")
+    "q197_incremental_wordpiece_vocab" -> "q191's vocab rank over the top-64 MERGED piece rows (LIMIT 64 upstream of the window)",
+    "q198_viterbi_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the q192 pattern)")
 
   /** Bounded global windows the PLAN census cannot see — they execute
     * inside internally-persisted (InMemoryRelation) or construction-time

@@ -90,6 +90,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q192_wordpiece_encode",
     // composes q192 (same eager vocab collect)
     "q195_wordpiece_fertility",
+    // same eager vocab collect feeding the Viterbi kernel
+    "q198_viterbi_encode",
     // composes q61's chain into Components (eager), as q142/q194's family
     "q194_cluster_split")
 

@@ -67,6 +67,41 @@ class WordPieceSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("viterbiSegment beats greedy where maximal munch is suboptimal") {
+    // vocab: ab(1), abc(2), cd(3). Greedy on "abcd": abc + fallback d.
+    // Optimal: ab + cd (same piece count, smaller rank sum, no OOV).
+    val ranks = Map("ab" -> 1, "abc" -> 2, "cd" -> 3)
+    val (pieces, oov, rsum) = WordPiece.viterbiSegment("abcd", ranks, 3, fallbackRank = 4)
+    assert(pieces.toSeq == Seq("ab", "cd") && oov == 0 && rsum == 4L)
+    val (greedy, goov) = WordPiece.maxMatch("abcd", ranks.keySet, 3)
+    assert(greedy.toSeq == Seq("abc", "d") && goov == 1)
+  }
+
+  test("viterbiSegment minimizes piece count before rank sum") {
+    // "aaaa": vocab aaaa(9), a(1). One rank-9 piece beats four rank-1s.
+    val ranks = Map("aaaa" -> 9, "a" -> 1)
+    val (pieces, oov, rsum) = WordPiece.viterbiSegment("aaaa", ranks, 4, fallbackRank = 10)
+    assert(pieces.toSeq == Seq("aaaa") && oov == 0 && rsum == 9L)
+  }
+
+  test("viterbiSegment falls back per character and counts OOV") {
+    val ranks = Map("b" -> 1)
+    val (pieces, oov, rsum) = WordPiece.viterbiSegment("xbz", ranks, 2, fallbackRank = 2)
+    assert(pieces.toSeq == Seq("x", "b", "z") && oov == 2 && rsum == 2L + 1L + 2L)
+  }
+
+  test("viterbiEncode stitches per document and accounts ranks") {
+    val df = Seq((1L, "abcd b"), (2L, "zz")).toDF("doc_id", "text")
+    val got = WordPiece.viterbiEncode(df, "text", "doc_id",
+        Seq("ab" -> 1, "abc" -> 2, "cd" -> 3, "b" -> 4), maxPieceLen = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: abcd -> ab cd (ranks 1+3), b -> b (rank 4); doc 2: z z fallback rank 5
+    assert(got == Seq(
+      (1L, 3L, 0L, 8L, "ab cd b"),
+      (2L, 2L, 2L, 10L, "z z")))
+  }
+
   test("mergeCounts: incremental vocab == full retrain (additive counts)") {
     val all = Seq((1L, "aa ab aa"), (2L, "ab bb cc"), (3L, "aa cc cc")).toDF("doc_id", "text")
     val stored = WordPiece.substringCounts(all.where(col("doc_id") <= 2), "text", 2)
