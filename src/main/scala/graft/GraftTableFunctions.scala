@@ -374,6 +374,40 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  /** `graft_dbscan(pointsTable, idCol, pairsTable, idA, idB, minPts)` —
+    * [[graft.operators.Dbscan.fromPairs]]: the q189/q190 density
+    * clustering from SQL, over any neighbor-pair table (exact, bucketed,
+    * or incremental — the pair generator stays the caller's choice).
+    * Eager like `graft_pagerank` (Components runs at analysis).
+    */
+  val dbscanFn: TableFn = (
+    FunctionIdentifier("graft_dbscan"),
+    new ExpressionInfo(operators.Dbscan.getClass.getName, "graft_dbscan"),
+    (args: Seq[Expression]) => {
+      require(args.length == 6,
+        "graft_dbscan takes (pointsTable, idCol, pairsTable, idA, idB, minPts)")
+      operators.Dbscan.fromPairs(table(str(args(0), "pointsTable")),
+          str(args(1), "idCol"), table(str(args(2), "pairsTable")),
+          str(args(3), "idA"), str(args(4), "idB"), int(args(5), "minPts"))
+        .queryExecution.analyzed
+    })
+
+  /** `graft_wordpiece_vocab(table, textCol, maxPieceLen, vocabSize)` —
+    * [[graft.operators.WordPiece.induceVocab]]: the q191 piece
+    * vocabulary from SQL.
+    */
+  val wordpieceVocabFn: TableFn = (
+    FunctionIdentifier("graft_wordpiece_vocab"),
+    new ExpressionInfo(operators.WordPiece.getClass.getName, "graft_wordpiece_vocab"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_wordpiece_vocab takes (table, textCol, maxPieceLen, vocabSize)")
+      operators.WordPiece.induceVocab(table(str(args(0), "table")),
+          str(args(1), "textCol"), int(args(2), "maxPieceLen"),
+          int(args(3), "vocabSize"))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
@@ -382,5 +416,6 @@ object GraftTableFunctions {
       contaminateFn, bpePairsFn, hardNegativesFn, mmrFn, rankEvalFn, assignSplitsFn,
       pageRankFn, curriculumFn, budgetSelectFn,
       retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn,
-      asOfJoinFn, profileFn, domainQuotaFn, longestDupFn)
+      asOfJoinFn, profileFn, domainQuotaFn, longestDupFn,
+      dbscanFn, wordpieceVocabFn)
 }

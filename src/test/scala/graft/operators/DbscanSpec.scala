@@ -93,6 +93,21 @@ class DbscanSpec extends SparkTestBase {
       "an increment edge must touch the increment")
   }
 
+  test("graft_dbscan SQL table function equals the Column API") {
+    graft.GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    Seq(1L, 2L, 3L, 4L, 9L).toDF("id").createOrReplaceTempView("dbscan_pts_v")
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+      .createOrReplaceTempView("dbscan_pairs_v")
+    val sqlDf = spark.sql(
+      "SELECT * FROM graft_dbscan('dbscan_pts_v', 'id', 'dbscan_pairs_v', 'id_a', 'id_b', 2)")
+    val apiDf = Dbscan.fromPairs(spark.table("dbscan_pts_v"), "id",
+      spark.table("dbscan_pairs_v"), "id_a", "id_b", 2)
+    assert(sqlDf.orderBy("vid").collect().map(_.toString).toSeq ==
+      apiDf.orderBy("vid").collect().map(_.toString).toSeq)
+  }
+
   test("rejects non-positive minPts") {
     val pts = Seq(1L).toDF("id")
     val p = Seq((1L, 2L)).toDF("id_a", "id_b")
