@@ -65,13 +65,19 @@ object Bench {
     // runtime window census (r13 verdict item 3): silences the audited
     // "No Partition Defined" tail noise while COUNTING every occurrence
     // per query, so an unaudited global window is an alarm, not noise
-    val windowWarnCount = WindowWarnCensus.install()
+    // SPARK_GRAFT_NO_TELEMETRY=1 disables the census + task listener +
+    // bus drains — the A/B lever for measuring the instrumentation's own
+    // cost (it should be ~zero: 5 atomic adds per task end on the async
+    // bus, drains outside the timed region)
+    val noTelemetry = sys.env.get("SPARK_GRAFT_NO_TELEMETRY").contains("1")
+    val windowWarnCount =
+      if (noTelemetry) () => 0L else WindowWarnCensus.install()
     // per-query shuffle/spill telemetry (r13 verdict item 6) — headroom
     // evidence for the scaling rehearsals, captured on every sweep
     val telemetry = new BenchTelemetry
-    spark.sparkContext.addSparkListener(telemetry)
+    if (!noTelemetry) spark.sparkContext.addSparkListener(telemetry)
     def drainBus(): Unit =
-      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      if (!noTelemetry) org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
