@@ -235,11 +235,20 @@ object Bench {
           val headLoc = BaselineJar.ownCodeLocation
           var headM = Map.empty[String, Double]
           var jarM = Map.empty[String, Double]
-          (1 to 2).foreach { _ =>
-            headLoc.foreach { loc =>
-              headM = minMerge(headM, BaselineJar.benchMinima(loc, sfDir, regressed, nRuns, cpus))
-            }
-            jarM = minMerge(jarM, BaselineJar.benchMinima(jar, sfDir, regressed, nRuns, cpus))
+          // ALTERNATE which side launches first per rep: the child that
+          // runs right after the parent's sweep (or after another child's
+          // teardown) eats that teardown's residual load; with a fixed
+          // head-first order that tax lands on HEAD every rep and minima
+          // can't wash it out (observed as a uniform ~15-25% head-child
+          // overhead across unrelated queries in the r14 final sweeps —
+          // every instance re-adjudicated to drift by tools.Adjudicate)
+          (1 to 2).foreach { rep =>
+            val sides: Seq[() => Unit] = Seq(
+              () => headLoc.foreach { loc =>
+                headM = minMerge(headM, BaselineJar.benchMinima(loc, sfDir, regressed, nRuns, cpus))
+              },
+              () => { jarM = minMerge(jarM, BaselineJar.benchMinima(jar, sfDir, regressed, nRuns, cpus)) })
+            (if (rep % 2 == 1) sides else sides.reverse).foreach(_.apply())
           }
           (jarM, headM)
         case None => (Map.empty, Map.empty)
