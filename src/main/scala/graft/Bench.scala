@@ -34,6 +34,16 @@ import org.apache.spark.sql.SparkSession
   *     "drift" or "code" by re-running the flagged queries from the
   *     pinned baseline jar in a child JVM ([[BaselineJar]]) — the manual
   *     worktree bisect of rounds 11-13, automated.
+  * r15 addition — the WALL-CLOCK BUDGET (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
+  * default 600): the r14 driver bench timed out (rc 124) because sweep
+  * wall time grows with the registry. The sweep now degrades per-query
+  * run counts (nRuns→…→1) when its remaining-work projection would
+  * overrun 80% of the budget, stops isolation rechecks past 92%, and
+  * launches the child-JVM adjudication only if its cost estimate fits —
+  * recording every decision under "budget"/"runs_used" so a degraded
+  * number is never mistaken for a full median. Local full-fidelity
+  * sweeps set the budget high (e.g. 36000).
+  *
   *   - a runtime window census ([[WindowWarnCensus]]) counts WindowExec's
   *     "No Partition Defined" warning per query (silencing the tail
   *     noise); "window_warns" records the counts and "window_unaudited"
@@ -100,12 +110,49 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
+    // Wall-clock budget (VERDICT r14 item 1): the r14 driver bench timed
+    // out (rc 124) — sweep wall time grows linearly with the registry
+    // (198 queries × 3 runs + rechecks + adjudication child JVMs no
+    // longer fit the driver's window), and it gets worse every round
+    // queries are added. The budget makes the sweep SELF-LIMITING instead
+    // of hoping the window is big enough: per-query run counts degrade
+    // nRuns→…→1 when the remaining-work projection overruns the sweep's
+    // 80% share, the post-sweep isolation rechecks stop past 92% of
+    // budget, and the child-JVM adjudication only launches if its
+    // estimated cost still fits. Every decision is RECORDED ("budget"
+    // object + "runs_used" per degraded query) so a 1-run number is never
+    // mistaken for a 3-run median. Default 600 s in-JVM leaves JVM +
+    // session startup headroom under the driver's observed >=14-minute
+    // cap; local full-fidelity sweeps override with a large value.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(600.0)
+    require(budgetSec > 0, s"SPARK_GRAFT_BENCH_BUDGET_SEC must be > 0, got $budgetSec")
+    val tWall0 = System.nanoTime()
+    def wallElapsed(): Double = (System.nanoTime() - tWall0) / 1e9
+    val sweepBudget = budgetSec * 0.80
+    var runSecsSum = 0.0 // all successful run seconds so far (for per-run avg)
+    var runCount = 0
+    var doneQ = 0
+    val totalQ = selected.size
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warnsBefore = windowWarnCount()
       drainBus() // deliver the previous query's task-end events first
       val telemetryBefore = telemetry.snapshot()
       telemetry.resetPeak()
-      val runs = (1 to nRuns).map { _ =>
+      // how many runs fit: divide the sweep budget remainder evenly over
+      // the remaining queries at the observed per-run average (plus a
+      // 50 ms fixed-overhead epsilon so a registry of sub-ms queries
+      // can't project zero). The first query always gets full runs — no
+      // average exists yet and it pays the JIT bill for everyone.
+      val runsThis =
+        if (runCount == 0) nRuns
+        else {
+          val perRun = runSecsSum / runCount + 0.05
+          val remainQ = totalQ - doneQ
+          val fit = ((sweepBudget - wallElapsed()) / (perRun * remainQ)).toInt
+          math.max(1, math.min(nRuns, fit))
+        }
+      val runs = (1 to runsThis).map { _ =>
         val t = try time(sink(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         // cache hygiene, BETWEEN RUNS (r13 methodology fix): queries that
         // persist internally (BPE's word table, incremental ER's base
@@ -128,25 +175,33 @@ object Bench {
       // the faster run (the old min-of-2 behavior), not the slower
       val med = if (failed) -1.0 else runs((runs.size - 1) / 2)
       drainBus()
+      runSecsSum += runs.filter(_ >= 0).sum
+      runCount += runs.count(_ >= 0)
+      doneQ += 1
       (name, med, if (failed) (-1.0, -1.0) else (runs.head, runs.last),
-        windowWarnCount() - warnsBefore, telemetry.deltaJson(telemetryBefore))
+        windowWarnCount() - warnsBefore, telemetry.deltaJson(telemetryBefore),
+        runsThis)
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    val sweepWall = wallElapsed()
+    val degraded = results.collect { case (k, _, _, _, _, r) if r < nRuns => k -> r }
+    val runsUsedJson = degraded.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, med, (mn, mx), _, _) =>
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, med, (mn, mx), _, _, _) =>
       "\"" + k + s"""":{"min":$mn,"med":$med,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-query partition-less-window warning counts (cumulative across
     // the query's runs); any warning query not audited in WindowAudits is
     // the alarm this census exists for
-    val winWarns = results.collect { case (k, _, _, w, _) if w > 0 => k -> w }
+    val winWarns = results.collect { case (k, _, _, w, _, _) if w > 0 => k -> w }
     val winJson = winWarns.map { case (k, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val unaudited = winWarns.map(_._1)
       .filterNot(graft.queries.WindowAudits.allAudited.contains)
     val unauditedJson = unaudited.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val telemetryJson = results.map { case (k, _, _, _, t) => "\"" + k + "\":" + t }
+    val telemetryJson = results.map { case (k, _, _, _, t, _) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     if (unaudited.nonEmpty)
       System.err.println(
@@ -177,13 +232,21 @@ object Bench {
     // would otherwise enter the record inflated and unannotated (q117 in
     // round 7: 39s sweep median, 7.6s isolated). A baseline-absent query
     // is judged against its own isolated re-run instead of a baseline.
-    val suspects = results.filter { case (name, med, (mn, _), _, _) =>
+    val suspects = results.filter { case (name, med, (mn, _), _, _, _) =>
       med >= 0 && (baseline.get(name) match {
         case Some(b) => b > 0 && med > b * 1.25 && med - b > 0.2
         case None    => mn > 0 && med > mn * 2 && med - mn > 1.0
       })
     }
-    val isoChecked = suspects.map { case (name, med, _, _, _) =>
+    var isoSkipped = 0
+    val isoChecked = suspects.map { case (name, med, _, _, _, _) =>
+      val b0 = baseline.getOrElse(name, -1.0)
+      // budget gate: isolation re-runs past 92% of budget would push the
+      // process into the driver's kill window — record the skip instead
+      if (wallElapsed() > budgetSec * 0.92) {
+        isoSkipped += 1
+        (name, b0, med, -1.0, "budget_skipped")
+      } else {
       System.gc()
       val iso = (1 to nRuns).map { _ =>
         val t = try time(sink(selected(name)(spark, sfDir))) catch { case _: Throwable => -1.0 }
@@ -191,7 +254,7 @@ object Bench {
         t
       }.filter(_ >= 0)
       val isoMin = if (iso.isEmpty) -1.0 else iso.min
-      val b = baseline.getOrElse(name, -1.0)
+      val b = b0
       // the codified rule: an isolated re-run that lands within 5% of
       // baseline PLUS a 0.05s absolute epsilon proves the sweep number
       // was contention; anything above is an honest regression to chase.
@@ -203,6 +266,7 @@ object Bench {
         if (b > 0) { if (isoMin >= 0 && isoMin <= b * 1.05 + 0.05) "contention" else "regression" }
         else { if (isoMin >= 0 && isoMin <= med / 2) "contention" else "unconfirmed" }
       (name, b, med, isoMin, verdict)
+      }
     }
     // Self-adjudication (r13 verdict item 8): a "regression" pre-verdict
     // only proves the number is elevated vs the RECORD — it cannot say
@@ -212,6 +276,22 @@ object Bench {
     // same host, same hour, old binary. `final` carries the adjudicated
     // verdict; `verdict` stays the mechanical pre-verdict for continuity.
     val regressed = isoChecked.collect { case (n, _, _, _, "regression") => n }
+    // budget gate for the 4 child-JVM launches (2 reps × 2 sides): each
+    // pays ~25 s JVM+session startup plus the flagged queries' run time;
+    // if the estimate no longer fits, skip and RECORD it — a "regression"
+    // final without adjudication is then explicitly unadjudicated-by-
+    // budget, not a code verdict
+    val regressedMedSum =
+      isoChecked.collect { case (n, _, med, _, "regression") if med > 0 => med }.sum
+    val adjEstimate = 4 * (25.0 + regressedMedSum * nRuns)
+    val adjFits = wallElapsed() + adjEstimate <= budgetSec
+    val adjStatus =
+      if (regressed.isEmpty) "none"
+      else if (adjFits) "run"
+      else { System.err.println(
+        s"[bench-budget] skipping child-JVM adjudication of ${regressed.size} " +
+          f"regression pre-verdict(s): elapsed ${wallElapsed()}%.0f s + estimate " +
+          f"$adjEstimate%.0f s exceeds budget $budgetSec%.0f s"); "budget_skipped" }
     // SYMMETRIC adjudication (r14 lesson): the parent JVM at the end of a
     // full sweep is a polluted measurement environment (code cache, GC,
     // plan caches) — comparing its HEAD numbers against a PRISTINE child
@@ -219,13 +299,13 @@ object Bench {
     // r14 final sweep (all 12 re-adjudicated to drift by the fresh-child
     // interleave). Both sides therefore run through the SAME child-JVM
     // path: HEAD from its own code location, the baseline from the jar.
-    // Two INTERLEAVED reps per side (head, jar, head, jar), minima merged
+    // Two INTERLEAVED reps per side (head, jar / jar, head), minima merged
     // per query: a single child launch per side still eats this host's
     // minute-scale load envelope (adjacent fresh children differ 20-50%
     // on sub-second queries); interleaving puts both binaries in the
     // same minutes, the tools.Adjudicate discipline.
     val (jarMinima, headChildMinima): (Map[String, Double], Map[String, Double]) =
-      if (regressed.isEmpty) (Map.empty, Map.empty)
+      if (adjStatus != "run") (Map.empty, Map.empty)
       else BaselineJar.resolve() match {
         case Some(jar) =>
           def minMerge(a: Map[String, Double], b: Map[String, Double]) =
@@ -275,8 +355,10 @@ object Bench {
     // documented contract shape: metric/value/unit/queries/sf) printed
     // LAST, after the session is released, so no Spark shutdown logging
     // can interleave into or follow the parseable line.
+    val budgetJson =
+      s"""{"budget_sec":$budgetSec,"sweep_wall_sec":$sweepWall,"wall_sec":${wallElapsed()},"degraded_queries":${degraded.size},"iso_skipped":$isoSkipped,"adjudication":"$adjStatus"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"recheck":$recheck,"window_warns":$winJson,"telemetry":$telemetryJson,"window_unaudited":$unauditedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"runs_used":$runsUsedJson,"budget":$budgetJson,"recheck":$recheck,"window_warns":$winJson,"telemetry":$telemetryJson,"window_unaudited":$unauditedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     Sessions.release(spark, owned)
@@ -284,6 +366,6 @@ object Bench {
     // ~5KB and the driver's 2000-char stdout tail head-truncates it, so
     // `parsed` came back null in rounds 7 AND 8. Per-query detail lives in
     // the full record written above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$nRuns,"window_unaudited":${unaudited.size},"sf":"$sfDir","detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$nRuns,"degraded":${degraded.size},"budget_sec":$budgetSec,"window_unaudited":${unaudited.size},"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

@@ -46,6 +46,7 @@ object Dbscan {
     *               [[Dedup.embeddingNearDupsDet]]. Duplicate rows would
     *               inflate degrees; generators emitting id_a < id_b once
     *               per pair (both of the above) are safe by construction.
+    *               Self-loops (idA = idB) are dropped defensively below.
     * @param minPts core threshold: a point is core iff it has >= minPts
     *               neighbors (itself excluded)
     * @return (vid LONG, role STRING in core|border|noise, cluster LONG
@@ -64,7 +65,11 @@ object Dbscan {
     // bound Components' own edge checkpoint lives under.
     val e = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
+      // self-loops (src = dst) would add 2 to a point's degree and could
+      // silently promote it to core — the in-repo pair generators emit
+      // id_a < id_b and cannot produce one, but fromPairs accepts ANY
+      // pair table (graft_dbscan SQL), so drop them here (ADVICE r14)
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 

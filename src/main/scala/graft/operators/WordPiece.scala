@@ -125,7 +125,16 @@ object WordPiece {
                                         maxPieceLen: Int,
                                         fallbackRank: Int): (Array[String], Int, Long) = {
     val n = word.length
-    val Count = 100000L // count weight: dominates any rank sum (ranks < 1e5/len)
+    val Count = 100000L // count weight: must dominate any achievable rank sum
+    // Dominance guard (ADVICE r14): "fewest pieces first" holds only while
+    // the worst-case rank sum of a segmentation — at most fallbackRank per
+    // position, fallbackRank > every vocab rank — stays under one Count
+    // unit. A BERT-scale vocabulary (~30k ranks) on a long word would
+    // otherwise silently reorder segmentations; fail loudly instead.
+    require(fallbackRank.toLong * n < Count,
+      s"viterbiSegment dominance violated: fallbackRank=$fallbackRank * wordLen=$n" +
+        s" >= $Count — piece-count ordering would silently break; use a larger" +
+        " count weight (and mirror it in the oracle) for this vocabulary/word size")
     val best = new Array[Long](n + 1)
     val choicePiece = new Array[String](n)
     val choiceRank = new Array[Int](n)

@@ -1033,13 +1033,14 @@ object OracleSql {
   private def dbscanSqlFrom(pairCtes: String): String =
     s"""WITH RECURSIVE
        |$pairCtes,
-       |ed AS (SELECT id_a AS src, id_b AS dst FROM p
-       |       UNION ALL SELECT id_b, id_a FROM p),
+       |pp AS (SELECT id_a, id_b FROM p WHERE id_a <> id_b),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pp
+       |       UNION ALL SELECT id_b, id_a FROM pp),
        |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
        |core AS (SELECT id FROM deg WHERE deg >= 2),
-       |ce AS (SELECT p.id_a AS src, p.id_b AS dst FROM p
-       |       JOIN core ca ON ca.id = p.id_a
-       |       JOIN core cb ON cb.id = p.id_b),
+       |ce AS (SELECT pp.id_a AS src, pp.id_b AS dst FROM pp
+       |       JOIN core ca ON ca.id = pp.id_a
+       |       JOIN core cb ON cb.id = pp.id_b),
        |ced AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
        |cnodes AS (SELECT DISTINCT src AS id FROM ced),
        |reach(id, lbl) AS (
@@ -1185,7 +1186,9 @@ object OracleSql {
     * = 100000·pieces + rank (integer, count-dominant). Layer d computes
     * the best suffix cost for positions with d characters remaining from
     * the cumulative table of layers < d (backward DP unrolled — corpus
-    * words are <= 8 chars, 12 layers carried for headroom); vch picks
+    * words are <= 8 chars, 12 layers carried for headroom, and `lguard`
+    * error()s if any word ever exceeds the unroll instead of silently
+    * dropping continuation options, ADVICE r14); vch picks
     * each position's argmin option under (total cost, immediate rank) —
     * a total order because ranks are unique — and the q192 recursive
     * walk emits exactly the chosen positions.
@@ -1204,7 +1207,10 @@ object OracleSql {
        |$wordpieceVocabCtes,
        |dw AS MATERIALIZED (SELECT word FROM w),
        |pos AS MATERIALIZED (SELECT word, unnest(generate_series(1, length(word))) AS p FROM dw),
-       |fb AS (SELECT coalesce((SELECT max(rank) FROM vocab), 0) + 1 AS frank),
+       |lguard AS (SELECT CASE WHEN max(length(word)) > $nLayers + 1 THEN
+       |    error('viterbiEncodeSql: corpus word longer than the $nLayers-layer DP unroll — raise nLayers')
+       |    ELSE 0 END AS ok FROM dw),
+       |fb AS (SELECT coalesce((SELECT max(rank) FROM vocab), 0) + 1 + (SELECT ok FROM lguard) AS frank),
        |vopt AS MATERIALIZED (
        |  SELECT pos.word, pos.p, v.piece, length(v.piece) AS l,
        |         v.rank, 100000 + v.rank AS rcost

@@ -10,7 +10,7 @@ import graft.operators.{Dbscan, Dedup, WordPiece}
   *
   * 1. Bucketed DBSCAN (the q190 path) at 2.02M vectors / 20 sign planes:
   *    200 planted clusters of 100 same-direction members (cluster mass in
-  *    dims 0..31) sit in a sea of 2M noise vectors (mass in dims 32..63 —
+  *    dims 0..30) sit in a sea of 2M noise vectors (mass in dims 32..63 —
   *    cluster×noise cosine is EXACTLY 0, so noise can never bleed into a
   *    planted cluster). Every planted member must come back role=core
   *    with cluster = its block's min id, 20,000/20,000 exactly; bucket
@@ -100,9 +100,8 @@ object ScaleProofR14 {
     val dbscanOk = pAgg.getLong(0) == nPlanted && pAgg.getLong(1) == nPlanted
 
     // ---- 2. incremental vs full at +101k arrivals --------------------
-    // 1k joiners: one new same-direction member per even cluster id and
-    // 4 more spread over clusters 0..99; simplest exact form: ids
-    // [5M, 5M+1k) joining cluster (id % 100), plus 100k fresh noise
+    // 1k joiners = 10 new same-direction members per cluster 0..99:
+    // ids [5M, 5M+1k) join cluster (id % 100); plus 100k fresh noise
     val joiners = spark.range(1000L).select((col("id") + 5000000L).as("vec_id"),
       clusterVec(pmod(col("id"), lit(100L)) * lit(perCluster)).as("embedding"))
     val incNoise = spark.range(100000L).select((col("id") + 6000000L).as("vec_id"),
