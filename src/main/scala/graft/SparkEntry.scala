@@ -244,7 +244,11 @@ object SparkEntry {
     "q197_incremental_wordpiece_vocab" -> (D.q197IncrementalWordpieceVocab(_, _)),
     // optimal (Viterbi) segmentation: fewest pieces, then min rank sum —
     // the DP the greedy q192 approximates, layer-replayed in the oracle
-    "q198_viterbi_encode" -> (D.q198ViterbiEncode(_, _))
+    "q198_viterbi_encode" -> (D.q198ViterbiEncode(_, _)),
+    // unigram-LM (SentencePiece) training: EM unrolled in exact integer
+    // path weights + the coverage-preserving prune
+    "q199_unigram_train" -> (D.q199UnigramTrain(_, _)),
+    "q200_unigram_prune" -> (D.q200UnigramPrune(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -20,29 +20,31 @@ import org.apache.spark.storage.StorageLevel
   * collects exactly vocabulary-cardinality scalars for the M-step. 1000
   * executors see the same plan as local[32].
   *
-  * Determinism / engine parity — the q198 "integer ranks instead of float
-  * log-probs" idea carried one step further: probabilities are quantized
-  * to INTEGER TEN-THOUSANDTHS (`p4` = max(1, round(p·10⁴))), so the
-  * forward/backward DP over segmentations is PURE INTEGER arithmetic —
-  * alpha/beta/Z are exact BigInt path-weight sums, order-independent and
-  * replayable in DuckDB HUGEINT with zero float drift. Floats appear in
-  * exactly two places, both the [[LogReg]] sigmoid9 shape (one correctly-
-  * rounded division of identical integers/decimals, then round-half-away):
-  * the per-(word, piece) expected count γ = round(Σ alpha·p4·beta / Z, 9),
-  * and the M-step renormalization p4' = max(1, round((e/Σe)·10⁴, 0)).
-  * Expected counts accumulate in DECIMAL(28,12) (exact, partition-order-
-  * invariant). The max(·, 1) floor keeps every piece segmentable (a
-  * single-char path always exists), so Z > 0 for every word whose
-  * characters are in the vocabulary — and the seed includes every
-  * occurring character by construction.
+  * Determinism / engine parity — the q198 "integers instead of float
+  * log-probs" idea carried all the way through TRAINING: the entire EM
+  * trajectory is INTEGER-EXACT, floats exist only in the final report
+  * column. Probabilities are integer thousandths (`p3` = max(1,
+  * round½(p·10³))), so forward/backward path weights are exact BigInt
+  * sums (order-independent, replayable in DuckDB HUGEINT); the
+  * per-(word, piece) expected count is an integer count of BILLIONTHS,
+  * γ9 = ⌊(2·num·10⁹ + Z) / (2Z)⌋ (round-half-up of num·10⁹/Z computed in
+  * integer arithmetic — no engine's `round(double)` is ever consulted,
+  * which is the whole trick: DuckDB rounds doubles by `x·10⁹` tricks,
+  * the JVM by decimal expansion, and they disagree near 9-dp boundaries);
+  * the M-step is the same integer rounding, p3' = max(1,
+  * ⌊(2·e9·10³ + Σe9) / (2·Σe9)⌋). The max(·, 1) floor keeps every piece
+  * segmentable (a single-char path always exists), so Z > 0 for every
+  * word whose characters are in the vocabulary — and [[seedCounts]]
+  * includes every occurring character by construction.
   *
   * HUGEINT headroom (the oracle's 128-bit bound, documented not assumed):
-  * with p4 ≤ 10⁴ and maxPieceLen ≥ 2, an n-char word has < 2ⁿ⁻¹
-  * segmentations, so Z < 2ⁿ⁻¹·10⁴ⁿ and the largest oracle intermediate
-  * (alpha·p4 during the γ numerator) stays under 2ⁿ⁻¹·10⁴⁽ⁿ⁺¹⁾ — at the
-  * oracle's n ≤ 8 guard that is ~1.3e38 < 1.7e38 (HUGEINT max). The Scala
-  * kernel uses BigInt and has no bound; the oracle error()s loudly on
-  * longer words rather than silently truncating (the q198 lguard rule).
+  * with edge weights w = p3·10³⁽ˡ⁻¹⁾ ≤ 10³ˡ, every n-char path weight is
+  * ≤ 10³ⁿ and an n-char word has < 2ⁿ⁻¹ segmentations, so Z < 2ⁿ⁻¹·10³ⁿ;
+  * the largest oracle intermediate is the γ9 numerator
+  * 2·(Σ_occ alpha·w·beta)·10⁹ ≤ 2·8·Z·10⁹ ≈ 2e36 at the oracle's n ≤ 8
+  * guard — under HUGEINT's 1.7e38. The Scala kernel uses BigInt and has
+  * no bound; the oracle error()s loudly on longer words rather than
+  * silently truncating (the q198 lguard rule).
   */
 object UnigramLm {
 
@@ -63,31 +65,53 @@ object UnigramLm {
     top.unionByName(chars).groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
   }
 
-  /** p4 = max(1, round((cnt / total)·10⁴, 0)) half-away-from-zero — both
-    * engines' `round` on one correctly-rounded double division of exact
-    * integers. The floor keeps zero-probability pieces segmentable.
+  /** Round-half-up of num/den in pure integer arithmetic:
+    * ⌊(2·num + den) / (2·den)⌋ for non-negative num, positive den.
     */
-  def initProb4(seed: Seq[(String, Long)]): Map[String, Long] = {
-    val total = seed.map(_._2).sum
-    require(total > 0, "seed counts must be positive")
+  private def divRoundHalfUp(num: BigInt, den: BigInt): BigInt =
+    (num * 2 + den) / (den * 2)
+
+  /** p3 = max(1, round½((cnt·10³) / total)) — integer arithmetic, no
+    * float ever. The floor keeps zero-probability pieces segmentable.
+    */
+  def initProb3(seed: Seq[(String, Long)]): Map[String, Long] = {
+    val total = seed.map(c => BigInt(c._2)).sum
+    require(total.signum > 0, "seed counts must be positive")
     seed.map { case (piece, cnt) =>
-      piece -> math.max(1L, roundHalfAway((cnt.toDouble / total.toDouble) * 10000.0))
+      piece -> divRoundHalfUp(BigInt(cnt) * 1000, total).toLong.max(1L)
     }.toMap
   }
 
-  /** One word's E-step: exact integer forward/backward over all
-    * segmentations into vocabulary pieces (lengths 1..maxPieceLen), then
-    * the per-piece expected count γ = round(num/Z, 9) where num =
-    * Σ_occurrences alpha(p)·p4·beta(p+l) — the total path weight through
-    * each occurrence. Emits one row per piece OCCURRING in the word
-    * (γ may round to 0; the row still exists, mirroring the oracle's
-    * option join). A word with an out-of-vocabulary character has Z = 0
-    * and contributes nothing — impossible for [[seedCounts]]-seeded
-    * vocabularies, which carry every occurring character.
+  /** A piece's DP edge weight at the COMMON DENOMINATOR: a k-piece path
+    * of an n-char word has true probability Π(p3ᵢ/10³) = Πp3ᵢ / 10³ᵏ, so
+    * raw Πp3 products of different k are NOT comparable (a spec fixture
+    * caught the unscaled form silently favoring many-piece paths).
+    * Scaling each piece by 10³⁽ˡ⁻¹⁾ makes every path weight
+    * Πp3 · 10³⁽ⁿ⁻ᵏ⁾ — the numerator over the shared denominator 10³ⁿ —
+    * and keeps the bound Z < 2ⁿ⁻¹·10³ⁿ of the scaladoc.
     */
-  private[operators] def expectedCounts(word: String, prob4: Map[String, Long],
-                                        maxPieceLen: Int): Seq[(String, Double)] = {
+  private def edgeWeight(p3: Long, pieceLen: Int): BigInt =
+    BigInt(p3) * BigInt(1000).pow(pieceLen - 1)
+
+  /** One word's E-step: exact integer forward/backward over all
+    * segmentations into vocabulary pieces (lengths 1..maxPieceLen) with
+    * [[edgeWeight]] path weights, then the per-piece expected count in
+    * integer BILLIONTHS, γ9 = round½(num·10⁹ / Z) where num =
+    * Σ_occurrences alpha(p)·w·beta(p+l) — the total path weight through
+    * each occurrence. Emits one row per piece occurring in the word with
+    * a positive-weight path through it (γ9 itself may round to 0; the
+    * row still exists, mirroring the oracle's option join). A word with
+    * an out-of-vocabulary character has Z = 0 and contributes nothing —
+    * impossible for [[seedCounts]]-seeded vocabularies, which carry
+    * every occurring character.
+    */
+  private[operators] def expectedCounts(word: String, prob3: Map[String, Long],
+                                        maxPieceLen: Int): Seq[(String, Long)] = {
     val n = word.length
+    def w(piece: String): BigInt = prob3.get(piece) match {
+      case Some(p3) if p3 > 0 => edgeWeight(p3, piece.length)
+      case _ => BigInt(0)
+    }
     val alpha = new Array[BigInt](n + 1)
     alpha(0) = BigInt(1)
     var j = 1
@@ -95,12 +119,12 @@ object UnigramLm {
       var s = BigInt(0)
       var l = math.min(maxPieceLen, j)
       while (l >= 1) {
-        val p4 = prob4.getOrElse(word.substring(j - l, j), 0L)
-        if (p4 > 0 && alpha(j - l).signum != 0) s += alpha(j - l) * p4
+        val ew = w(word.substring(j - l, j))
+        if (ew.signum > 0 && alpha(j - l).signum != 0) s += alpha(j - l) * ew
         l -= 1
       }
       alpha(j) = s
-      j -= -1
+      j += 1
     }
     val z = alpha(n)
     if (z.signum == 0) return Seq.empty
@@ -111,8 +135,8 @@ object UnigramLm {
       var s = BigInt(0)
       var l = math.min(maxPieceLen, n - p)
       while (l >= 1) {
-        val p4 = prob4.getOrElse(word.substring(p, p + l), 0L)
-        if (p4 > 0 && beta(p + l).signum != 0) s += beta(p + l) * p4
+        val ew = w(word.substring(p, p + l))
+        if (ew.signum > 0 && beta(p + l).signum != 0) s += beta(p + l) * ew
         l -= 1
       }
       beta(p) = s
@@ -124,32 +148,31 @@ object UnigramLm {
       var l = math.min(maxPieceLen, n - p)
       while (l >= 1) {
         val piece = word.substring(p, p + l)
-        val p4 = prob4.getOrElse(piece, 0L)
-        if (p4 > 0)
+        val ew = w(piece)
+        if (ew.signum > 0 && alpha(p).signum != 0 && beta(p + l).signum != 0)
           num.update(piece,
-            num.getOrElse(piece, BigInt(0)) + alpha(p) * p4 * beta(p + l))
+            num.getOrElse(piece, BigInt(0)) + alpha(p) * ew * beta(p + l))
         l -= 1
       }
       p += 1
     }
-    val zd = z.doubleValue
     num.toSeq.map { case (piece, nm) =>
-      piece -> java.math.BigDecimal.valueOf(nm.doubleValue / zd)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      piece -> divRoundHalfUp(nm * 1000000000L, z).toLong
     }
   }
 
   /** One EM iteration over a (word, cnt) table: E-step kernel per
     * distinct word (broadcast probabilities), one map-side-combinable
-    * DECIMAL(28,12) sum per piece, vocabulary-cardinality collect, then
-    * the M-step renormalization on the driver. Returns (expected counts
-    * by piece, updated p4 map).
+    * DECIMAL(38,0) sum of γ9·cnt per piece (exact — the billionths stay
+    * integers), vocabulary-cardinality collect, then the integer M-step
+    * on the driver. Returns (expected counts in billionths by piece,
+    * updated p3 map).
     */
-  def emIterate(words: DataFrame, prob4: Map[String, Long],
-                maxPieceLen: Int): (Seq[(String, java.math.BigDecimal)], Map[String, Long]) = {
+  def emIterate(words: DataFrame, prob3: Map[String, Long],
+                maxPieceLen: Int): (Seq[(String, BigInt)], Map[String, Long]) = {
     val spark = words.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(prob4)
+    val bc = spark.sparkContext.broadcast(prob3)
     val contrib = words.select(col("word").cast("string"), col("cnt").cast("long"))
       .as[(String, Long)]
       .flatMap { case (w, c) =>
@@ -158,25 +181,25 @@ object UnigramLm {
       .toDF("piece", "g9", "cnt")
     val rows = contrib
       .groupBy(col("piece"))
-      .agg(sum((col("g9").cast("decimal(19,9)") * col("cnt")).cast("decimal(28,12)"))
-        .as("e"))
+      .agg(sum((col("g9").cast("decimal(38,0)") * col("cnt")).cast("decimal(38,0)"))
+        .as("e9"))
       .collect()
-    val e = rows.map(r => r.getString(0) -> r.getDecimal(1)).toSeq
-    val tot = e.map(_._2).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
-    require(tot.signum > 0, "unigram EM: zero total expected count — empty corpus?")
-    val totD = tot.doubleValue
-    val next = e.map { case (piece, ev) =>
-      piece -> math.max(1L, roundHalfAway((ev.doubleValue / totD) * 10000.0))
+    val e9 = rows.map(r => r.getString(0) -> BigInt(r.getDecimal(1).toBigIntegerExact)).toSeq
+    val tot9 = e9.map(_._2).sum
+    require(tot9.signum > 0, "unigram EM: zero total expected count — empty corpus?")
+    val next = e9.map { case (piece, ev) =>
+      piece -> divRoundHalfUp(ev * 1000, tot9).toLong.max(1L)
     }.toMap
-    (e, next)
+    (e9, next)
   }
 
   /** `iters` EM rounds from the [[seedCounts]] initialization. Returns the
     * trained table as a local literal (the [[LogReg.fit]] contract):
-    * (piece, p4 — probability in ten-thousandths after the last M-step,
-    * e — the last E-step's expected count, DECIMAL(28,12)). Pieces the EM
-    * starved keep p4 = 1 (the floor), so the output always carries the
-    * full seed vocabulary: pruning is [[prune]]'s job, not a side effect.
+    * (piece, p3 — probability in thousandths after the last M-step,
+    * e9 — the last E-step's expected count in billionths, DECIMAL(38,0)).
+    * Pieces the EM starved keep p3 = 1 (the floor), so the output always
+    * carries the full seed vocabulary: pruning is [[prune]]'s job, not a
+    * side effect.
     */
   def train(df: DataFrame, textCol: String, maxPieceLen: Int, seedSize: Int,
             iters: Int): DataFrame = {
@@ -185,43 +208,39 @@ object UnigramLm {
     import spark.implicits._
     val seed = seedCounts(df, textCol, maxPieceLen, seedSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    var p4 = initProb4(seed)
+    var p3 = initProb3(seed)
     val words = Bpe.wordTable(df, textCol).select(col("word"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var e: Seq[(String, java.math.BigDecimal)] = Seq.empty
+    var e9: Seq[(String, BigInt)] = Seq.empty
     var i = 0
     while (i < iters) {
-      val (ei, ni) = emIterate(words, p4, maxPieceLen)
-      e = ei; p4 = ni
+      val (ei, ni) = emIterate(words, p3, maxPieceLen)
+      e9 = ei; p3 = ni
       i += 1
     }
     words.unpersist()
-    e.map { case (piece, ev) => (piece, p4(piece), new java.math.BigDecimal(ev.toPlainString)) }
-      .toDF("piece", "p4", "e")
-      .select(col("piece"), col("p4"), col("e").cast("decimal(28,12)").as("e"))
+    e9.map { case (piece, ev) => (piece, p3(piece), new java.math.BigDecimal(ev.bigInteger)) }
+      .toDF("piece", "p3", "e9")
+      .select(col("piece"), col("p3"), col("e9").cast("decimal(38,0)").as("e9"))
   }
 
   /** Prune a [[train]] output to the top `keep` pieces by
-    * (e desc, piece asc) PLUS every single-character piece (coverage is
-    * non-negotiable — dropping a character makes some word unsegmentable),
-    * re-ranked 1..m by the same order. Monotone by construction: the
-    * retained set at keep=k is a subset of the retained set at any
-    * k' > k (top-k by a fixed total order nests), which the spec pins.
-    * Bounded input (vocabulary-cardinality), so the rank window is the
-    * q88-bounds class of global window.
+    * (e9 desc, piece asc) PLUS every single-character piece (coverage is
+    * non-negotiable — dropping a character makes some word
+    * unsegmentable), re-ranked 1..m by the same order. Monotone by
+    * construction: the retained set at keep=k is a subset of the
+    * retained set at any k' > k (top-k by a fixed total order nests),
+    * which the spec pins. Bounded input (vocabulary-cardinality), so the
+    * rank window is the q88-bounds class of global window.
     */
   def prune(trained: DataFrame, keep: Int): DataFrame = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("e").desc, col("piece"))
+      .orderBy(col("e9").desc, col("piece"))
     trained
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= keep || length(col("piece")) === 1)
       .withColumn("rank", row_number().over(w).cast("long"))
       .drop("__r")
   }
-
-  private def roundHalfAway(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 }

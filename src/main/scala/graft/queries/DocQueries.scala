@@ -2024,4 +2024,40 @@ object DocQueries {
     graft.operators.Dbscan.fromPairs(emb, "vec_id", pairs, "id_a", "id_b", minPts = 2)
       .orderBy("vid")
   }
+
+  /** Unigram-LM (SentencePiece) TRAINING — two EM iterations from the
+    * 64-seed + all-chars initialization (UnigramLm.train): the tokenizer
+    * shelf's missing third trainer next to BPE merges (q108) and
+    * WordPiece counts (q191). The E-step is exact integer forward/
+    * backward per DISTINCT word — probabilities in integer thousandths,
+    * expected counts in integer billionths, every rounding the pure-
+    * integer ⌊(2n+d)/(2d)⌋: the q198 "integers instead of float
+    * log-probs" idea carried through TRAINING, so the whole EM
+    * trajectory is exact in both engines (the float form of this query
+    * diverged at 9-dp round boundaries; the integer form cannot). One
+    * map-side-combinable sum per piece per iteration, vocabulary-
+    * cardinality collect per M-step. The oracle unrolls BOTH EM
+    * iterations layer by layer in HUGEINT — every alpha/beta path
+    * weight is hash-checked, not just the final probs.
+    */
+  def q199UnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.train(Tables(spark, dir).documents, "text",
+        maxPieceLen = 5, seedSize = 64, iters = 2)
+      .select(col("piece"), col("p3"),
+        (col("e9").cast("double") / lit(1000000000.0)).as("e"))
+      .orderBy("piece")
+
+  /** q199's PRUNING tail: keep the top-24 pieces by (expected count
+    * desc, piece asc) plus every single-character piece — coverage is
+    * non-negotiable — re-ranked under the same order
+    * (UnigramLm.prune). Monotone by construction: the kept set at k
+    * nests inside the kept set at any k' > k (spec-pinned), which is
+    * what makes staged vocabulary-size sweeps consistent.
+    */
+  def q200UnigramPrune(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.prune(
+        graft.operators.UnigramLm.train(Tables(spark, dir).documents, "text",
+          maxPieceLen = 5, seedSize = 64, iters = 2), keep = 24)
+      .select(col("piece"), col("p3"), col("rank"))
+      .orderBy("rank")
 }

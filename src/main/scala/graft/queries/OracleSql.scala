@@ -1097,7 +1097,7 @@ object OracleSql {
     * kept), top-64 pieces by (count desc, piece asc). Shared by the vocab
     * report and the encode replay.
     */
-  private val wordpieceVocabCtes: String =
+  private val wordpiecePieceCountCtes: String =
     s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |       SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
        |       FROM documents WHERE text IS NOT NULL)
@@ -1107,7 +1107,10 @@ object OracleSql {
        |                i -> list_transform(generate_series(1, least(5, length(word) - i + 1)),
        |                     l -> substr(word, i, l)))) AS pieces
        |       FROM w)),
-       |pc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+       |pc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM sub GROUP BY 1)""".stripMargin
+
+  private val wordpieceVocabCtes: String =
+    s"""$wordpiecePieceCountCtes,
        |vocab AS (SELECT piece, cnt,
        |                 CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank
        |          FROM (SELECT * FROM pc ORDER BY cnt DESC, piece LIMIT 64))""".stripMargin
@@ -1254,6 +1257,100 @@ object OracleSql {
        |WHERE ws.word <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** q199/q200: unigram-LM (SentencePiece) EM training unrolled — both
+    * iterations replayed layer by layer, INTEGER-EXACT end to end.
+    * Probabilities are integer thousandths (`p3` = GREATEST(1,
+    * round½(cnt·10³/total)) via the pure-integer ⌊(2n+d)/(2d)⌋), so the
+    * forward/backward DP is exact HUGEINT arithmetic: alpha layers by
+    * absolute position (2..9), beta layers by remaining length (1..8),
+    * Z = alpha(len+1); the per-(word, piece) expected count is an integer
+    * count of BILLIONTHS, g9 = ⌊(2·num·10⁹ + Z) / (2Z)⌋ — no engine's
+    * `round(double)` is ever consulted (DuckDB rounds doubles by x·10⁹
+    * tricks, the JVM by decimal expansion; they disagree near 9-dp
+    * boundaries — observed on this very query before the integer form).
+    * The M-step is the same integer rounding over e9 sums. The only
+    * float in either engine is the final report division e9/10⁹.
+    * `wguard` error()s if any corpus word exceeds the 8-char unroll
+    * (past it the al/bl joins would silently drop paths AND the γ9
+    * numerator 2·8·Z·10⁹ ≈ 2e36 would approach HUGEINT's 1.7e38).
+    * Mirrors graft.operators.UnigramLm exactly.
+    */
+  private def unigramEmCtes(iters: Int): String = {
+    val maxLen = 8
+    def iter(i: Int): String = {
+      val alphaLayers = (2 to maxLen + 1).map { j =>
+        s"""a${i}_$j AS (SELECT o.word, $j AS j, CAST(sum(pa.a * o.w) AS HUGEINT) AS a
+           |      FROM opt$i o JOIN al${i}_${j - 1} pa ON pa.word = o.word AND pa.j = o.p
+           |      WHERE o.p + o.l = $j GROUP BY 1),
+           |al${i}_$j AS (SELECT * FROM al${i}_${j - 1} UNION ALL SELECT * FROM a${i}_$j)""".stripMargin
+      }.mkString(",\n")
+      val betaLayers = (1 to maxLen).map { r =>
+        s"""b${i}_$r AS (SELECT o.word, o.p, CAST(sum(o.w * nb.b) AS HUGEINT) AS b
+           |      FROM opt$i o JOIN bl${i}_${r - 1} nb ON nb.word = o.word AND nb.p = o.p + o.l
+           |      WHERE length(o.word) - o.p + 1 = $r GROUP BY 1, 2),
+           |bl${i}_$r AS (SELECT * FROM bl${i}_${r - 1} UNION ALL SELECT * FROM b${i}_$r)""".stripMargin
+      }.mkString(",\n")
+      val guard = if (i == 1) " + (SELECT ok FROM wguard)" else ""
+      // edge weight at the common denominator: w = p3·1000^(l-1), so
+      // paths with different piece counts compare correctly (the
+      // numerator of Π(p3/1000) over the shared 1000^n); integer CASE
+      // rather than power() — doubles are exact only to ~9e15
+      val pow1000 = (1 to maxLen).map(l =>
+        s"WHEN ${l} THEN CAST(${BigInt(1000).pow(l - 1)} AS HUGEINT)").mkString(" ")
+      s"""opt$i AS MATERIALIZED (SELECT pos.word, pos.p, v.piece, length(v.piece) AS l,
+         |      CAST(v.p3 AS HUGEINT) * (CASE length(v.piece) $pow1000 END) AS w
+         |      FROM pos JOIN pr$i v ON substr(pos.word, pos.p, length(v.piece)) = v.piece),
+         |al${i}_1 AS (SELECT word, 1 AS j, CAST(1 AS HUGEINT)$guard AS a FROM dw),
+         |$alphaLayers,
+         |bl${i}_0 AS (SELECT word, length(word) + 1 AS p, CAST(1 AS HUGEINT) AS b FROM dw),
+         |$betaLayers,
+         |z$i AS (SELECT word, a AS z FROM al${i}_${maxLen + 1} WHERE j = length(word) + 1),
+         |g$i AS MATERIALIZED (SELECT o.word, o.piece,
+         |        (2 * sum(al.a * o.w * bt.b) * 1000000000 + max(z.z)) // (2 * max(z.z)) AS g9
+         |      FROM opt$i o
+         |      JOIN al${i}_${maxLen + 1} al ON al.word = o.word AND al.j = o.p
+         |      JOIN bl${i}_$maxLen bt ON bt.word = o.word AND bt.p = o.p + o.l
+         |      JOIN z$i z ON z.word = o.word
+         |      GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (SELECT g.piece, CAST(sum(g.g9 * dw.cnt) AS HUGEINT) AS e9
+         |      FROM g$i g JOIN dw ON dw.word = g.word GROUP BY 1),
+         |et$i AS (SELECT CAST(sum(e9) AS HUGEINT) AS t FROM e$i),
+         |pr${i + 1} AS (SELECT piece, GREATEST(1, (2 * e9 * 1000 + (SELECT t FROM et$i))
+         |        // (2 * (SELECT t FROM et$i))) AS p3 FROM e$i)""".stripMargin
+    }
+    s"""$wordpiecePieceCountCtes,
+       |seedtop AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64),
+       |seed AS (SELECT piece, CAST(max(cnt) AS BIGINT) AS cnt FROM (
+       |       SELECT piece, cnt FROM seedtop
+       |       UNION ALL SELECT piece, cnt FROM pc WHERE length(piece) = 1) GROUP BY 1),
+       |st AS (SELECT CAST(sum(cnt) AS HUGEINT) AS t FROM seed),
+       |pr1 AS (SELECT piece, GREATEST(1, (2 * cnt * 1000 + (SELECT t FROM st))
+       |       // (2 * (SELECT t FROM st))) AS p3 FROM seed),
+       |dw AS MATERIALIZED (SELECT word, cnt FROM w),
+       |wguard AS (SELECT CASE WHEN max(length(word)) > $maxLen THEN
+       |       error('unigram oracle: corpus word longer than the $maxLen-char HUGEINT-safe unroll')
+       |       ELSE 0 END AS ok FROM dw),
+       |pos AS MATERIALIZED (SELECT word, unnest(generate_series(1, length(word))) AS p FROM dw),
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val unigramTrainSql: String =
+    s"""WITH
+       |${unigramEmCtes(2)}
+       |SELECT p.piece, CAST(p.p3 AS BIGINT) AS p3,
+       |       CAST(e.e9 AS DOUBLE) / 1000000000.0 AS e
+       |FROM pr3 p JOIN e2 e USING (piece) ORDER BY piece""".stripMargin
+
+  private val unigramPruneSql: String =
+    s"""WITH
+       |${unigramEmCtes(2)},
+       |tr AS (SELECT p.piece, p.p3, e.e9 FROM pr3 p JOIN e2 e USING (piece)),
+       |r0 AS (SELECT piece, p3, e9, row_number() OVER (ORDER BY e9 DESC, piece) AS r FROM tr),
+       |kept AS (SELECT * FROM r0 WHERE r <= 24 OR length(piece) = 1)
+       |SELECT piece, CAST(p3 AS BIGINT) AS p3,
+       |       CAST(row_number() OVER (ORDER BY e9 DESC, piece) AS BIGINT) AS rank
+       |FROM kept ORDER BY rank""".stripMargin
 
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
@@ -4012,6 +4109,10 @@ object OracleSql {
 
     // q198: optimal segmentation — the backward DP unrolled per layer
     "q198_viterbi_encode" -> viterbiEncodeSql,
+    // q199/q200: unigram-LM EM training (2 iterations unrolled in
+    // HUGEINT) + the coverage-preserving pruning tail
+    "q199_unigram_train" -> unigramTrainSql,
+    "q200_unigram_prune" -> unigramPruneSql,
 
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
