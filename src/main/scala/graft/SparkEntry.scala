@@ -248,7 +248,8 @@ object SparkEntry {
     // unigram-LM (SentencePiece) training: EM unrolled in exact integer
     // path weights + the coverage-preserving prune
     "q199_unigram_train" -> (D.q199UnigramTrain(_, _)),
-    "q200_unigram_prune" -> (D.q200UnigramPrune(_, _))
+    "q200_unigram_prune" -> (D.q200UnigramPrune(_, _)),
+    "q201_unigram_encode" -> (D.q201UnigramEncode(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -105,8 +105,8 @@ object UnigramLm {
     * impossible for [[seedCounts]]-seeded vocabularies, which carry
     * every occurring character.
     */
-  private[operators] def expectedCounts(word: String, prob3: Map[String, Long],
-                                        maxPieceLen: Int): Seq[(String, Long)] = {
+  private[graft] def expectedCounts(word: String, prob3: Map[String, Long],
+                                    maxPieceLen: Int): Seq[(String, Long)] = {
     val n = word.length
     def w(piece: String): BigInt = prob3.get(piece) match {
       case Some(p3) if p3 > 0 => edgeWeight(p3, piece.length)
@@ -222,6 +222,101 @@ object UnigramLm {
     e9.map { case (piece, ev) => (piece, p3(piece), new java.math.BigDecimal(ev.bigInteger)) }
       .toDF("piece", "p3", "e9")
       .select(col("piece"), col("p3"), col("e9").cast("decimal(38,0)").as("e9"))
+  }
+
+  /** One word's Viterbi (max-probability) segmentation under a trained
+    * p3 table: backward DP maximizing the integer path weight
+    * Π p3·1000^(len-1) — exact BigInt comparisons, so the argmax is a
+    * total order: ties break to the SHORTEST piece at each position
+    * (ascending-l scan with strict >), and at a fixed (position, length)
+    * at most one option exists (vocab pieces are unique; the single-char
+    * OOV fallback, weight one quantum, is only generated when that char
+    * is NOT in the vocabulary — a vocab char always beats-or-ties its
+    * own fallback, and the tie would flip only the oov flag, so the
+    * fallback simply never coexists with it). Returns
+    * (pieces, n_oov, path weight).
+    */
+  private[operators] def viterbiSegment3(word: String, prob3: Map[String, Long],
+                                         maxPieceLen: Int): (Array[String], Int, BigInt) = {
+    val n = word.length
+    val best = new Array[BigInt](n + 1)
+    val choicePiece = new Array[String](n)
+    val choiceOov = new Array[Boolean](n)
+    best(n) = BigInt(1)
+    var p = n - 1
+    while (p >= 0) {
+      var bs = BigInt(-1)
+      var bp: String = null
+      var bo = false
+      val charInVocab = prob3.get(word.substring(p, p + 1)).exists(_ > 0)
+      if (!charInVocab) {
+        // OOV fallback: one quantum, flagged
+        bs = best(p + 1); bp = word.substring(p, p + 1); bo = true
+      }
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - p)
+      while (l <= lMax) {
+        val piece = word.substring(p, p + l)
+        val p3 = prob3.getOrElse(piece, 0L)
+        if (p3 > 0) {
+          val score = edgeWeight(p3, l) * best(p + l)
+          if (score > bs) { bs = score; bp = piece; bo = false }
+        }
+        l += 1
+      }
+      best(p) = bs; choicePiece(p) = bp; choiceOov(p) = bo
+      p -= 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var oov = 0
+    var q = 0
+    while (q < n) {
+      out += choicePiece(q)
+      if (choiceOov(q)) oov += 1
+      q += choicePiece(q).length
+    }
+    (out.toArray, oov, best(0))
+  }
+
+  /** Encode the corpus by max-probability segmentation against a TRAINED
+    * p3 table — how a SentencePiece model serves ([[train]] → [[prune]] →
+    * here completes the unigram chain the way BPE's q121 merges →
+    * vocab → encode does). Same scale shape as [[WordPiece.encode]]: the
+    * DP runs once per DISTINCT word over the broadcast p3 map, the
+    * corpus pays one equi-join on the word. Output: (idCol, n_pieces,
+    * n_oov, weight — the summed integer path weights as DOUBLE, pieces).
+    * The path weight leaves the kernel as a STRING (a java BigDecimal
+    * would hit the encoder's default (38,18) scale and overflow at
+    * 1000⁸-scale weights) and is cast to DECIMAL(38,0) for the exact
+    * per-document sum.
+    */
+  def viterbiEncode3(df: DataFrame, textCol: String, idCol: String,
+                     prob3: Seq[(String, Long)], maxPieceLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = prob3.toMap
+    require(probs.size == prob3.size, "vocab pieces must be unique")
+    val words = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__w")))
+      .where(col("__w") =!= "")
+    val encoded = words.select(col("__w")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          val (pieces, oov, weight) = viterbiSegment3(w, probs, maxPieceLen)
+          (w, pieces, oov, weight.toString)
+        }
+      }
+      .toDF("__w", "__pieces", "__oov", "__weight")
+    words.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("__pieces"))).cast("long").as("n_pieces"),
+        sum(col("__oov")).cast("long").as("n_oov"),
+        sum(col("__weight").cast("decimal(38,0)")).cast("double").as("weight"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__pieces")))),
+          p => p.getField("__pieces"))), " ").as("pieces"))
   }
 
   /** Prune a [[train]] output to the top `keep` pieces by

@@ -2060,4 +2060,26 @@ object DocQueries {
           maxPieceLen = 5, seedSize = 64, iters = 2), keep = 24)
       .select(col("piece"), col("p3"), col("rank"))
       .orderBy("rank")
+
+  /** The SERVING tail of the unigram chain — max-probability (Viterbi)
+    * encoding of the corpus against the trained + pruned LM
+    * (UnigramLm.viterbiEncode3), the way a SentencePiece model actually
+    * tokenizes: train (q199) → prune (q200) → encode, mirroring BPE's
+    * q108 → q121 arc. The DP maximizes the exact integer path weight per
+    * DISTINCT word over the broadcast p3 table (ties: shortest piece —
+    * a total order), the corpus pays one equi-join; the oracle replays
+    * the argmax layer by layer and walks the chosen segmentation
+    * position-exactly, q198-style.
+    */
+  def q201UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pruned = graft.operators.UnigramLm.prune(
+        graft.operators.UnigramLm.train(docs, "text",
+          maxPieceLen = 5, seedSize = 64, iters = 2), keep = 24)
+      .select("piece", "p3").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.operators.UnigramLm.viterbiEncode3(docs, "text", "doc_id", pruned,
+        maxPieceLen = 5)
+      .orderBy("doc_id")
+  }
 }

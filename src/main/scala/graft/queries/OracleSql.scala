@@ -1352,6 +1352,76 @@ object OracleSql {
        |       CAST(row_number() OVER (ORDER BY e9 DESC, piece) AS BIGINT) AS rank
        |FROM kept ORDER BY rank""".stripMargin
 
+  /** q201: max-probability (Viterbi) encoding against the TRAINED +
+    * PRUNED unigram LM — the serving tail of the q199/q200 chain. The
+    * backward DP maximizes the exact integer path weight
+    * Π p3·1000^(l-1) (HUGEINT; ties break score desc then SHORTEST
+    * piece, a total order because at fixed (position, length) at most
+    * one option exists); the q192/q198 recursive jump walk then replays
+    * the chosen segmentation position by position. The OOV fallback
+    * (weight one quantum, flagged) is generated only where the single
+    * char is NOT in the pruned vocabulary — which [[unigramEmCtes]]'s
+    * char-preserving prune makes impossible on this corpus; the branch
+    * exists for schema parity with the kernel.
+    */
+  private val unigramEncodeSql: String = {
+    val maxLen = 8
+    val pow1000 = (1 to maxLen).map(l =>
+      s"WHEN $l THEN CAST(${BigInt(1000).pow(l - 1)} AS HUGEINT)").mkString(" ")
+    val mLayers = (1 to maxLen).map { r =>
+      s"""mb_$r AS (SELECT o.word, o.p, max(o.w * nb.m) AS m
+         |      FROM eopt o JOIN mbl_${r - 1} nb ON nb.word = o.word AND nb.p = o.p + o.l
+         |      WHERE length(o.word) - o.p + 1 = $r GROUP BY 1, 2),
+         |mbl_$r AS (SELECT * FROM mbl_${r - 1} UNION ALL SELECT * FROM mb_$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |${unigramEmCtes(2)},
+       |tr AS (SELECT p.piece, p.p3, e.e9 FROM pr3 p JOIN e2 e USING (piece)),
+       |r0 AS (SELECT piece, p3, e9, row_number() OVER (ORDER BY e9 DESC, piece) AS r FROM tr),
+       |kept AS (SELECT * FROM r0 WHERE r <= 24 OR length(piece) = 1),
+       |vw AS (SELECT piece, length(piece) AS l,
+       |       CAST(p3 AS HUGEINT) * (CASE length(piece) $pow1000 END) AS w FROM kept),
+       |eopt AS MATERIALIZED (
+       |  SELECT pos.word, pos.p, v.piece, v.l, v.w, 0 AS oov
+       |  FROM pos JOIN vw v ON substr(pos.word, pos.p, v.l) = v.piece
+       |  UNION ALL
+       |  SELECT pos.word, pos.p, substr(pos.word, pos.p, 1), 1, CAST(1 AS HUGEINT), 1
+       |  FROM pos WHERE NOT EXISTS (
+       |    SELECT 1 FROM vw WHERE vw.piece = substr(pos.word, pos.p, 1))),
+       |mbl_0 AS (SELECT word, length(word) + 1 AS p, CAST(1 AS HUGEINT) AS m FROM dw),
+       |$mLayers,
+       |vch AS MATERIALIZED (SELECT word, p, piece, l, oov FROM (
+       |    SELECT o.word, o.p, o.piece, o.l, o.oov,
+       |           row_number() OVER (PARTITION BY o.word, o.p
+       |             ORDER BY o.w * nb.m DESC, o.l) AS rn
+       |    FROM eopt o JOIN mbl_$maxLen nb ON nb.word = o.word AND nb.p = o.p + o.l)
+       |    WHERE rn = 1),
+       |walk(word, p) AS (
+       |  SELECT word, 1 FROM dw
+       |  UNION ALL
+       |  SELECT j.word, wk.p + j.l FROM walk wk JOIN vch j
+       |    ON j.word = wk.word AND j.p = wk.p
+       |  WHERE wk.p + j.l <= length(j.word)),
+       |seg AS (SELECT walk.word, walk.p, j.piece, j.oov
+       |        FROM walk JOIN vch j ON j.word = walk.word AND j.p = walk.p),
+       |venc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces,
+       |                CAST(sum(oov) AS BIGINT) AS n_oov,
+       |                string_agg(piece, ' ' ORDER BY p) AS pieces
+       |         FROM seg GROUP BY 1),
+       |wwt AS (SELECT word, m AS weight FROM mbl_$maxLen WHERE p = 1),
+       |ws AS (SELECT doc_id, unnest(wlist) AS word, generate_subscripts(wlist, 1) AS wpos
+       |       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS wlist
+       |             FROM documents WHERE text IS NOT NULL))
+       |SELECT ws.doc_id,
+       |       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(e.n_oov) AS BIGINT) AS n_oov,
+       |       CAST(CAST(sum(w.weight) AS HUGEINT) AS DOUBLE) AS weight,
+       |       string_agg(e.pieces, ' ' ORDER BY wpos) AS pieces
+       |FROM ws JOIN venc e ON e.word = ws.word JOIN wwt w ON w.word = ws.word
+       |WHERE ws.word <> ''
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Cosine in DuckDB list arithmetic — the exact formula of the q25/q29
     * chains, shared by the generated MMR and rank-eval oracles.
     */
@@ -4113,6 +4183,9 @@ object OracleSql {
     // HUGEINT) + the coverage-preserving pruning tail
     "q199_unigram_train" -> unigramTrainSql,
     "q200_unigram_prune" -> unigramPruneSql,
+    // q201: max-probability serving against the trained+pruned LM — the
+    // chosen segmentation replayed position by position
+    "q201_unigram_encode" -> unigramEncodeSql,
 
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can

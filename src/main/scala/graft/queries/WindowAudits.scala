@@ -41,7 +41,8 @@ object WindowAudits {
     "q192_wordpiece_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the returned encode plan itself is window-free)",
     "q195_wordpiece_fertility" -> "composes q192 — the same construction-time 64-piece vocab rank",
     "q197_incremental_wordpiece_vocab" -> "q191's vocab rank over the top-64 MERGED piece rows (LIMIT 64 upstream of the window)",
-    "q198_viterbi_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the q192 pattern)")
+    "q198_viterbi_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the q192 pattern)",
+    "q200_unigram_prune" -> "prune rank over the TRAINED vocabulary literal (<= seedSize + alphabet rows — UnigramLm.train returns a local literal, never corpus data); two row_numbers: the keep filter and the re-rank")
 
   /** Bounded global windows the PLAN census cannot see — they execute
     * inside internally-persisted (InMemoryRelation) or construction-time
@@ -56,7 +57,8 @@ object WindowAudits {
   val runtimeOnlyGlobalWindowByDesign: Map[String, String] = Map(
     "q102_pq_adc_topk" -> "q100's k=8 seed rank, executed when the internally-persisted PQ codes subtree materializes (cached plan — invisible to the plan census)",
     "q103_pq_rerank" -> "same cached-codes k=8 seed rank as q102 (shared pqTopK chain)",
-    "q134_snapshot_drift" -> "KS cumulative window over the persisted DISTINCT-VALUE count table (bounded by the drifted column's value domain — the q127 contract), executed when driftFromCounts materializes its cache")
+    "q134_snapshot_drift" -> "KS cumulative window over the persisted DISTINCT-VALUE count table (bounded by the drifted column's value domain — the q127 contract), executed when driftFromCounts materializes its cache",
+    "q201_unigram_encode" -> "q200's prune rank over the trained-vocabulary literal, executed at construction when the pruned p3 table collects (the q192/q198 pattern — the returned encode plan itself is window-free)")
 
   /** The union the RUNTIME census checks against. */
   val allAudited: Set[String] =

@@ -120,6 +120,45 @@ class UnigramLmSpec extends SparkTestBase {
     trained.unpersist()
   }
 
+  test("viterbiSegment3 finds the max-weight path (brute-force parity) with shortest-piece ties") {
+    val prob3 = Map("a" -> 300L, "b" -> 150L, "ab" -> 400L, "ba" -> 50L,
+      "aba" -> 90L, "c" -> 10L)
+    def bruteBest(word: String, maxPieceLen: Int): (BigInt, Int) = {
+      def paths(p: Int): Seq[(Int, BigInt)] =
+        if (p == word.length) Seq((0, BigInt(1)))
+        else (1 to math.min(maxPieceLen, word.length - p)).flatMap { l =>
+          val piece = word.substring(p, p + l)
+          val w = prob3.get(piece).filter(_ > 0)
+            .map(v => BigInt(v) * BigInt(1000).pow(l - 1))
+            .getOrElse(if (l == 1 && !prob3.get(piece).exists(_ > 0)) BigInt(1) else BigInt(0))
+          if (w.signum == 0) Nil
+          else paths(p + l).map { case (k, pw) => (k + 1, pw * w) }
+        }
+      paths(0).maxBy(_._2) match { case (k, w) => (w, k) }
+    }
+    for (word <- Seq("ab", "aba", "abab", "ababa", "cabab", "axb")) {
+      val (pieces, _, weight) = UnigramLm.viterbiSegment3(word, prob3, 3)
+      val (bw, _) = bruteBest(word, 3)
+      assert(weight == bw, s"word=$word weight=$weight brute=$bw")
+      assert(pieces.mkString("") == word, s"word=$word pieces must tile the word")
+    }
+    // deterministic tie: "ab" with p3(ab)=p3(a)*p3(b)/1000 scaled equal —
+    // w(ab)=400*1000 vs w(a)*w(b)=300*150=45000: ab wins outright here;
+    // construct a true tie instead: x/y singles 100 each vs "xy" 10:
+    // w(xy)=10*1000=10000, w(x)*w(y)=10000 — equal; shortest piece wins
+    val tie = Map("x" -> 100L, "y" -> 100L, "xy" -> 10L)
+    val (tp, to2, _) = UnigramLm.viterbiSegment3("xy", tie, 2)
+    assert(tp.toSeq == Seq("x", "y") && to2 == 0)
+  }
+
+  test("viterbiSegment3 flags OOV fallback chars and never double-generates vocab chars") {
+    val prob3 = Map("a" -> 500L, "b" -> 500L)
+    val (pieces, oov, weight) = UnigramLm.viterbiSegment3("axb", prob3, 2)
+    assert(pieces.toSeq == Seq("a", "x", "b") && oov == 1)
+    // weight = 500 * 1 * 500
+    assert(weight == BigInt(500) * 1 * 500)
+  }
+
   test("E-step plan: one shuffle (piece aggregation) with partial aggregation pushed map-side") {
     val docs = Seq((1L, "abab ab"), (2L, "ba ab")).toDF("doc_id", "text")
     val words = Bpe.wordTable(docs, "text").select(col("word"), col("cnt"))
