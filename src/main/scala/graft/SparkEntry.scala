@@ -249,7 +249,10 @@ object SparkEntry {
     // path weights + the coverage-preserving prune
     "q199_unigram_train" -> (D.q199UnigramTrain(_, _)),
     "q200_unigram_prune" -> (D.q200UnigramPrune(_, _)),
-    "q201_unigram_encode" -> (D.q201UnigramEncode(_, _))
+    "q201_unigram_encode" -> (D.q201UnigramEncode(_, _)),
+    // q199's incremental sibling: additive piece+word count-state merge,
+    // EM retrain from state — oracle is the full recompute
+    "q202_incremental_unigram_train" -> (D.q202IncrementalUnigramTrain(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

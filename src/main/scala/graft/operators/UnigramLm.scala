@@ -202,27 +202,57 @@ object UnigramLm {
     * side effect.
     */
   def train(df: DataFrame, textCol: String, maxPieceLen: Int, seedSize: Int,
-            iters: Int): DataFrame = {
+            iters: Int): DataFrame =
+    trainFromCounts(
+      WordPiece.substringCounts(df, textCol, maxPieceLen),
+      Bpe.wordTable(df, textCol).select(col("word"), col("cnt")),
+      maxPieceLen, seedSize, iters)
+
+  /** [[train]] from pre-aggregated state — the INCREMENTAL entry point:
+    * both inputs are ADDITIVE over any document partition (substring
+    * counts are the q197 theorem; word counts are one groupBy sum), so
+    * training on merged stored+increment counts is EXACTLY the full
+    * retrain while touching only count-state, never stored documents.
+    * `pieceCounts` is (piece, cnt) — [[WordPiece.substringCounts]]'s
+    * shape; `words` is (word, cnt) — [[Bpe.wordTable]]'s.
+    */
+  def trainFromCounts(pieceCounts: DataFrame, words: DataFrame,
+                      maxPieceLen: Int, seedSize: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = df.sparkSession
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    val spark = pieceCounts.sparkSession
     import spark.implicits._
-    val seed = seedCounts(df, textCol, maxPieceLen, seedSize)
+    val pc = pieceCounts.persist(StorageLevel.MEMORY_AND_DISK)
+    val top = pc.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+    val chars = pc.where(length(col("piece")) === 1)
+    val seed = top.unionByName(chars)
+      .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    pc.unpersist()
     var p3 = initProb3(seed)
-    val words = Bpe.wordTable(df, textCol).select(col("word"), col("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = words.persist(StorageLevel.MEMORY_AND_DISK)
     var e9: Seq[(String, BigInt)] = Seq.empty
     var i = 0
     while (i < iters) {
-      val (ei, ni) = emIterate(words, p3, maxPieceLen)
+      val (ei, ni) = emIterate(w, p3, maxPieceLen)
       e9 = ei; p3 = ni
       i += 1
     }
-    words.unpersist()
+    w.unpersist()
     e9.map { case (piece, ev) => (piece, p3(piece), new java.math.BigDecimal(ev.bigInteger)) }
       .toDF("piece", "p3", "e9")
       .select(col("piece"), col("p3"), col("e9").cast("decimal(38,0)").as("e9"))
   }
+
+  /** Merge stored word-count state with an increment's — the same
+    * additive full-outer sum as [[WordPiece.mergeCounts]], keyed on
+    * `word`. O(stored words ∪ increment words).
+    */
+  def mergeWordCounts(stored: DataFrame, inc: DataFrame): DataFrame =
+    stored.select(col("word"), col("cnt").as("__s"))
+      .join(inc.select(col("word"), col("cnt").as("__n")), Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("__s"), lit(0L)) + coalesce(col("__n"), lit(0L))).as("cnt"))
 
   /** One word's Viterbi (max-probability) segmentation under a trained
     * p3 table: backward DP maximizing the integer path weight

@@ -2082,4 +2082,36 @@ object DocQueries {
         maxPieceLen = 5)
       .orderBy("doc_id")
   }
+
+  /** q199's INCREMENTAL sibling: even doc_ids are YESTERDAY'S corpus —
+    * only their substring-count AND word-count states survive
+    * (materialized like q146's/q197's); odd doc_ids arrive today. BOTH
+    * statistics the trainer consumes are ADDITIVE over any document
+    * partition, so one full-outer per-key sum each
+    * (WordPiece.mergeCounts / UnigramLm.mergeWordCounts) makes EM
+    * retraining from merged state EXACTLY the full retrain — the
+    * trainer-shelf member of the q72/q107/q146/q188/q193/q197
+    * incremental family, and the retrain itself costs O(distinct words ×
+    * iterations), never a stored-document rescan. Oracle = q199's full
+    * recompute: a hash match is the incremental==full theorem.
+    */
+  def q202IncrementalUnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    val U = graft.operators.UnigramLm
+    val storedPieces = WordPiece.substringCounts(even, "text", maxPieceLen = 5)
+      .localCheckpoint(true)
+    val storedWords = graft.operators.Bpe.wordTable(even, "text")
+      .select(col("word"), col("cnt")).localCheckpoint(true)
+    val mergedPieces = WordPiece.mergeCounts(storedPieces,
+      WordPiece.substringCounts(odd, "text", maxPieceLen = 5))
+    val mergedWords = U.mergeWordCounts(storedWords,
+      graft.operators.Bpe.wordTable(odd, "text").select(col("word"), col("cnt")))
+    U.trainFromCounts(mergedPieces, mergedWords,
+        maxPieceLen = 5, seedSize = 64, iters = 2)
+      .select(col("piece"), col("p3"),
+        (col("e9").cast("double") / lit(1000000000.0)).as("e"))
+      .orderBy("piece")
+  }
 }

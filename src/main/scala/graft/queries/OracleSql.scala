@@ -4186,6 +4186,9 @@ object OracleSql {
     // q201: max-probability serving against the trained+pruned LM — the
     // chosen segmentation replayed position by position
     "q201_unigram_encode" -> unigramEncodeSql,
+    // q202: incremental unigram retrain — the oracle IS the full
+    // recompute (q199's), the incremental==full theorem for EM training
+    "q202_incremental_unigram_train" -> unigramTrainSql,
 
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can

@@ -159,6 +159,26 @@ class UnigramLmSpec extends SparkTestBase {
     assert(weight == BigInt(500) * 1 * 500)
   }
 
+  test("incremental==full: training from merged stored+increment counts equals the full retrain") {
+    val stored = Seq((1L, "abab baba ab"), (2L, "bb aa abab")).toDF("doc_id", "text")
+    val inc = Seq((3L, "cab ab ababa"), (4L, "ba cc")).toDF("doc_id", "text")
+    val full = stored.unionByName(inc)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("piece", "p3", "e9").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toBigInteger)).sorted.toSeq
+    val fullTrain = key(UnigramLm.train(full, "text", maxPieceLen = 3,
+      seedSize = 8, iters = 2))
+    val mergedPieces = WordPiece.mergeCounts(
+      WordPiece.substringCounts(stored, "text", 3),
+      WordPiece.substringCounts(inc, "text", 3))
+    val mergedWords = UnigramLm.mergeWordCounts(
+      Bpe.wordTable(stored, "text").select(col("word"), col("cnt")),
+      Bpe.wordTable(inc, "text").select(col("word"), col("cnt")))
+    val incTrain = key(UnigramLm.trainFromCounts(mergedPieces, mergedWords,
+      maxPieceLen = 3, seedSize = 8, iters = 2))
+    assert(incTrain == fullTrain)
+  }
+
   test("E-step plan: one shuffle (piece aggregation) with partial aggregation pushed map-side") {
     val docs = Seq((1L, "abab ab"), (2L, "ba ab")).toDF("doc_id", "text")
     val words = Bpe.wordTable(docs, "text").select(col("word"), col("cnt"))
