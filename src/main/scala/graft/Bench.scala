@@ -144,8 +144,14 @@ object Bench {
       // 50 ms fixed-overhead epsilon so a registry of sub-ms queries
       // can't project zero). The first query always gets full runs — no
       // average exists yet and it pays the JIT bill for everyone.
+      // LAST-RESORT tier: on a host degraded enough that even one run
+      // per query overruns (the r15 window ran single-run sweeps 7.5×
+      // slow), queries past 95% of TOTAL budget are SKIPPED (med −1,
+      // runs_used 0) — a record with explicit holes beats the rc-124
+      // nothing the driver got in r14.
       val runsThis =
-        if (runCount == 0) nRuns
+        if (wallElapsed() > budgetSec * 0.95) 0
+        else if (runCount == 0) nRuns
         else {
           val perRun = runSecsSum / runCount + 0.05
           val remainQ = totalQ - doneQ
@@ -170,7 +176,7 @@ object Bench {
         spark.catalog.clearCache()
         t
       }.sorted
-      val failed = runs.contains(-1.0)
+      val failed = runs.isEmpty || runs.contains(-1.0)
       // LOWER median for even run counts: SPARK_GRAFT_RUNS=2 then reports
       // the faster run (the old min-of-2 behavior), not the slower
       val med = if (failed) -1.0 else runs((runs.size - 1) / 2)
@@ -356,7 +362,7 @@ object Bench {
     // LAST, after the session is released, so no Spark shutdown logging
     // can interleave into or follow the parseable line.
     val budgetJson =
-      s"""{"budget_sec":$budgetSec,"sweep_wall_sec":$sweepWall,"wall_sec":${wallElapsed()},"degraded_queries":${degraded.size},"iso_skipped":$isoSkipped,"adjudication":"$adjStatus"}"""
+      s"""{"budget_sec":$budgetSec,"sweep_wall_sec":$sweepWall,"wall_sec":${wallElapsed()},"degraded_queries":${degraded.size},"skipped_queries":${degraded.count(_._2 == 0)},"iso_skipped":$isoSkipped,"adjudication":"$adjStatus"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$nRuns,"runs_used":$runsUsedJson,"budget":$budgetJson,"recheck":$recheck,"window_warns":$winJson,"telemetry":$telemetryJson,"window_unaudited":$unauditedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
