@@ -155,6 +155,13 @@ object BaselineJar {
     env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
     val timeoutSec = sys.env.get("SPARK_GRAFT_ADJ_TIMEOUT_SEC")
       .map(_.toLong).getOrElse(1800L)
+    // Both child sides must run UN-BUDGETED (ADVICE r15): a HEAD-side
+    // child would otherwise enforce Bench's wall-clock budget (degrading
+    // run counts / skipping queries on a slow host) while the pinned old
+    // jar's Bench predates the knob and ignores it — an asymmetry that
+    // biases minima toward 'code' labels. The existing ADJ timeout above
+    // is the only wall-clock bound either side gets.
+    env.put("SPARK_GRAFT_BENCH_BUDGET_SEC", timeoutSec.toString)
     val proc = pb.start()
     val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) {
