@@ -252,7 +252,10 @@ object SparkEntry {
     "q201_unigram_encode" -> (D.q201UnigramEncode(_, _)),
     // q199's incremental sibling: additive piece+word count-state merge,
     // EM retrain from state — oracle is the full recompute
-    "q202_incremental_unigram_train" -> (D.q202IncrementalUnigramTrain(_, _))
+    "q202_incremental_unigram_train" -> (D.q202IncrementalUnigramTrain(_, _)),
+    // exact heavy hitters: Misra–Gries candidate pruning (shuffle ∝
+    // partitions·k, never distinct-cardinality) + broadcast exact verify
+    "q203_heavy_hitters" -> (D.q203HeavyHitters(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

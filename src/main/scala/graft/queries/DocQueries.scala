@@ -2114,4 +2114,20 @@ object DocQueries {
         (col("e9").cast("double") / lit(1000000000.0)).as("e"))
       .orderBy("piece")
   }
+
+  /** EXACT heavy hitters with Misra–Gries candidate pruning
+    * (HeavyHitters.ofText): all tokens holding more than 1/(k+1) of the
+    * corpus token stream, with EXACT counts — candidates from k bounded
+    * counters per partition (shuffle ∝ partitions·k, independent of
+    * distinct-token cardinality), exact counts from one broadcast
+    * semi-join verify pass. The candidate set is partitioning-dependent;
+    * the OUTPUT is not (the pigeonhole theorem makes candidates a
+    * superset of the truth under any split, and the verify join
+    * recounts exactly) — which is why DuckDB can replay it as a plain
+    * GROUP BY … HAVING cnt·(k+1) > n.
+    */
+  def q203HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.ofText(
+        Tables(spark, dir).documents, "text", k = 32)
+      .orderBy("rank")
 }

@@ -4189,6 +4189,20 @@ object OracleSql {
     // q202: incremental unigram retrain — the oracle IS the full
     // recompute (q199's), the incremental==full theorem for EM training
     "q202_incremental_unigram_train" -> unigramTrainSql,
+    // q203: exact heavy hitters — the Misra–Gries candidate pass is pure
+    // pruning (candidates ⊇ truth under any partitioning, pigeonhole),
+    // so the data-defined output replays as GROUP BY + HAVING with the
+    // same integer threshold cnt·(k+1) > n (k = 32)
+    "q203_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |             FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT tok FROM toks WHERE tok <> ''),
+         |n AS (SELECT count(*) AS n FROM t),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+         |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+         |FROM c WHERE cnt * 33 > (SELECT n FROM n)
+         |ORDER BY rank""".stripMargin,
 
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
