@@ -255,7 +255,11 @@ object SparkEntry {
     "q202_incremental_unigram_train" -> (D.q202IncrementalUnigramTrain(_, _)),
     // exact heavy hitters: Misra–Gries candidate pruning (shuffle ∝
     // partitions·k, never distinct-cardinality) + broadcast exact verify
-    "q203_heavy_hitters" -> (D.q203HeavyHitters(_, _))
+    "q203_heavy_hitters" -> (D.q203HeavyHitters(_, _)),
+    // q203's incremental sibling: additive exact token-count segments,
+    // the pigeonhole candidate filter lifted to segments — oracle is
+    // the full recompute
+    "q204_incremental_heavy_hitters" -> (D.q204IncrementalHeavyHitters(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -71,6 +71,21 @@ object HeavyHitters {
     counters.toMap
   }
 
+  /** The shared tail: threshold candidate counts against the stream
+    * total with the pure-integer test cnt·(k+1) > n, rank (cnt desc,
+    * tok asc). `counted` must carry exact (tok, cnt); `total` is the
+    * 1-row exact stream length. At most k rows can pass (fewer than
+    * k+1 tokens can each hold more than a 1/(k+1) share), so the rank
+    * window is the q88-bounds class of global window.
+    */
+  private def thresholdAndRank(counted: DataFrame, total: DataFrame, k: Int): DataFrame =
+    counted
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * (k + 1) > col("__n"))
+      .select(col("tok"), col("cnt"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))).cast("long").as("rank"))
+
   /** Exact heavy hitters of a single-column token frame: all tokens with
     * exact count·(k+1) > total tokens, with exact counts, ranked
     * (cnt desc, tok asc). Output: (tok STRING, cnt LONG, rank LONG) —
@@ -89,22 +104,71 @@ object HeavyHitters {
       .mapPartitions(it => misraGries(it, k).keysIterator)
       .toDF("tok").distinct()
     val total = t.groupBy().agg(count(lit(1)).as("__n"))
-    t.join(broadcast(candidates), Seq("tok")) // semi-join shape: candidate tokens only
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .where(col("cnt") * (k + 1) > col("__n"))
-      .select(col("tok"), col("cnt"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("tok"))).cast("long").as("rank"))
+    thresholdAndRank(
+      t.join(broadcast(candidates), Seq("tok")) // semi-join shape: candidate tokens only
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      total, k)
   }
+
+  /** The additive count-state for the incremental/streaming forms: exact
+    * (tok, cnt) of one corpus segment — DISTINCT-token cardinality (the
+    * same state class as [[WordPiece.substringCounts]] / the unigram
+    * word counts), map-side combined, never corpus-cardinality. Exact
+    * counts are what make [[fromSegments]]'s output a data-defined set.
+    */
+  def tokenCounts(toks: DataFrame, tokCol: String): DataFrame =
+    toks.select(col(tokCol).cast("string").as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** [[tokenCounts]] over a text column with the [[ofText]] tokenization. */
+  def textTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    tokenCounts(textTokens(df, textCol), "tok")
+
+  /** Exact heavy hitters off stored count segments (seg, tok, cnt) —
+    * the O(state) serving read for the incremental/streaming forms, and
+    * the SAME pigeonhole theorem lifted from partitions to segments:
+    * if a token's global count exceeds n/(k+1) = Σn_i/(k+1), then in at
+    * least one segment its count exceeds that segment's n_i/(k+1) — so
+    * the per-segment local-share filter (cnt_i·(k+1) > n_i, at most k
+    * survivors per segment, pure integers) yields candidates ⊇ the true
+    * heavy hitters under ANY segmentation, and the broadcast verify sum
+    * recounts the candidates exactly. Output is byte-identical to
+    * [[ofTokens]] over the concatenated segments — which is what makes
+    * incremental == full a theorem, not a heuristic. Never shuffles the
+    * distinct-token state: the only shuffles are the S-row per-segment
+    * totals and the ≤ S·k candidate verify. Segments are expected to be
+    * stored tables (LSM); compaction = per-tok sum of any subset of
+    * segments, which only TIGHTENS the candidate filter (pigeonhole
+    * holds over every coarsening).
+    */
+  def fromSegments(segments: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val segs = segments.select(col("seg"), col("tok"), col("cnt").cast("long").as("cnt"))
+    val perSegTotal = segs.groupBy(col("seg")).agg(sum(col("cnt")).as("__ni"))
+    val candidates = segs
+      .join(broadcast(perSegTotal), Seq("seg"))
+      .where(col("cnt") * (k + 1) > col("__ni"))
+      .select(col("tok")).distinct()
+    val total = segs.groupBy().agg(sum(col("cnt")).as("__n"))
+    thresholdAndRank(
+      segs.join(broadcast(candidates), Seq("tok"))
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt")),
+      total, k)
+  }
+
+  /** The [[ofText]] tokenization: whitespace-lowered tokens, the
+    * [[Bpe.wordTable]] normalization — shared by the batch path and the
+    * count-state builders so the two can never drift.
+    */
+  private def textTokens(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
 
   /** Convenience form over a text column: whitespace-lowered tokens, the
     * [[Bpe.wordTable]] normalization.
     */
   def ofText(df: DataFrame, textCol: String, k: Int): DataFrame =
-    ofTokens(
-      df.where(col(textCol).isNotNull)
-        .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-        .where(col("tok") =!= ""),
-      "tok", k)
+    ofTokens(textTokens(df, textCol), "tok", k)
 }

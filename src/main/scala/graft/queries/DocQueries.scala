@@ -2130,4 +2130,30 @@ object DocQueries {
     graft.operators.HeavyHitters.ofText(
         Tables(spark, dir).documents, "text", k = 32)
       .orderBy("rank")
+
+  /** q203's INCREMENTAL sibling: even doc_ids are YESTERDAY'S corpus —
+    * only their exact token-count state survives (distinct-token
+    * cardinality, materialized like q197's); odd doc_ids arrive today
+    * and contribute one O(increment) count pass. The serving read is
+    * HeavyHitters.fromSegments — the Misra–Gries partition-pigeonhole
+    * theorem lifted to LSM segments (a token above the global 1/(k+1)
+    * share must be above some segment's LOCAL share, so the per-segment
+    * integer filter yields candidates ⊇ truth and the broadcast verify
+    * sum recounts exactly) — so incremental == full is a THEOREM under
+    * any batch split, the frequency-mining member of the q72/q107/q146/
+    * q188/q193/q197/q202 incremental family. Oracle = q203's full
+    * recompute.
+    */
+  def q204IncrementalHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val H = graft.operators.HeavyHitters
+    val stored = H.textTokenCounts(docs.where(col("doc_id") % 2 === 0), "text")
+      .localCheckpoint(true)
+    val inc = H.textTokenCounts(docs.where(col("doc_id") % 2 === 1), "text")
+    H.fromSegments(
+        stored.select(lit("stored").as("seg"), col("tok"), col("cnt"))
+          .unionByName(inc.select(lit("inc").as("seg"), col("tok"), col("cnt"))),
+        k = 32)
+      .orderBy("rank")
+  }
 }

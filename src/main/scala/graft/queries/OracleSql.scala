@@ -4204,6 +4204,22 @@ object OracleSql {
          |FROM c WHERE cnt * 33 > (SELECT n FROM n)
          |ORDER BY rank""".stripMargin,
 
+    // q204: incremental heavy hitters — the oracle IS the full recompute
+    // (q203's): the segment-pigeonhole candidate filter is pure pruning
+    // (candidates ⊇ truth over any segmentation) and the verify sum of
+    // exact additive counts recounts exactly, so incremental == full is
+    // a theorem, replayed as the same GROUP BY … HAVING
+    "q204_incremental_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |             FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT tok FROM toks WHERE tok <> ''),
+         |n AS (SELECT count(*) AS n FROM t),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+         |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+         |FROM c WHERE cnt * 33 > (SELECT n FROM n)
+         |ORDER BY rank""".stripMargin,
+
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
     // never straddle splits

@@ -43,7 +43,8 @@ object WindowAudits {
     "q197_incremental_wordpiece_vocab" -> "q191's vocab rank over the top-64 MERGED piece rows (LIMIT 64 upstream of the window)",
     "q198_viterbi_encode" -> "q191's vocab rank, executed at construction when the 64-piece vocabulary collects (the q192 pattern)",
     "q200_unigram_prune" -> "prune rank over the TRAINED vocabulary literal (<= seedSize + alphabet rows — UnigramLm.train returns a local literal, never corpus data); two row_numbers: the keep filter and the re-rank",
-    "q203_heavy_hitters" -> "final rank over the verified heavy-hitter rows — at most k rows survive cnt·(k+1) > n (fewer than k+1 tokens can each hold more than a 1/(k+1) share)")
+    "q203_heavy_hitters" -> "final rank over the verified heavy-hitter rows — at most k rows survive cnt·(k+1) > n (fewer than k+1 tokens can each hold more than a 1/(k+1) share)",
+    "q204_incremental_heavy_hitters" -> "q203's final rank, over the segment-verified heavy-hitter rows — the same <= k bound (cnt·(k+1) > n on exact summed counts)")
 
   /** Bounded global windows the PLAN census cannot see — they execute
     * inside internally-persisted (InMemoryRelation) or construction-time

@@ -68,5 +68,63 @@ class HeavyHittersSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       HeavyHitters.ofTokens(Seq("a").toDF("tok"), "tok", 0)
     }
+    intercept[IllegalArgumentException] {
+      HeavyHitters.fromSegments(
+        Seq(("s", "a", 1L)).toDF("seg", "tok", "cnt"), 0)
+    }
+  }
+
+  test("fromSegments == ofTokens under ANY segmentation (segment pigeonhole)") {
+    val toks = stream(600, Map("alpha" -> 500, "beta" -> 200, "gamma" -> 90))
+    val want = HeavyHitters.ofTokens(toks.toDF("tok"), "tok", k = 8)
+      .orderBy("rank").as[(String, Long, Long)].collect().toSeq
+    assert(want.nonEmpty)
+    // three adversarial segmentations: one lump, balanced thirds, and a
+    // skewed split that starves the heavy tokens in one segment
+    val splits = Seq[Seq[Seq[String]]](
+      Seq(toks),
+      toks.grouped((toks.size + 2) / 3).toSeq,
+      Seq(toks.take(10), toks.slice(10, 30), toks.drop(30)))
+    for ((segsOfToks, si) <- splits.zipWithIndex) {
+      val segments = segsOfToks.zipWithIndex.flatMap { case (ts, i) =>
+        ts.groupBy(identity).map { case (t, xs) => (s"seg$i", t, xs.size.toLong) }
+      }.toDF("seg", "tok", "cnt")
+      val got = HeavyHitters.fromSegments(segments, k = 8)
+        .orderBy("rank").as[(String, Long, Long)].collect().toSeq
+      assert(got == want, s"split=$si got=$got want=$want")
+    }
+  }
+
+  test("a token can be globally heavy while below the local share in some segment") {
+    // seg0: alpha 4 of 40 (below 1/4 local share, k=3) — seg1: alpha 26
+    // of 40 (above). Global: alpha 30 of 80 > 80/4. The candidate filter
+    // must recover alpha via seg1 (pigeonhole) and the verify sum must
+    // report the EXACT global 30, not seg1's 26.
+    val seg0 = Seq.fill(4)("alpha") ++ (0 until 36).map(i => s"r$i")
+    val seg1 = Seq.fill(26)("alpha") ++ (0 until 14).map(i => s"s$i")
+    assert(seg0.count(_ == "alpha") * 4 <= seg0.size) // fixture really is below-local-share
+    val segments = Seq(("seg0", seg0), ("seg1", seg1)).flatMap { case (s, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (s, t, xs.size.toLong) }
+    }.toDF("seg", "tok", "cnt")
+    val got = HeavyHitters.fromSegments(segments, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("alpha", 30L, 1L)), got.toString)
+  }
+
+  test("textTokenCounts segments merge to q203's batch answer (incremental == full)") {
+    val docs = Seq(
+      (0L, "the quick the lazy the"),
+      (1L, "the miss quick"),
+      (2L, "THE  the\tquick"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val stored = HeavyHitters.textTokenCounts(docs.where($"doc_id" % 2 === 0), "text")
+      .select(lit("stored").as("seg"), $"tok", $"cnt")
+    val inc = HeavyHitters.textTokenCounts(docs.where($"doc_id" % 2 === 1), "text")
+      .select(lit("inc").as("seg"), $"tok", $"cnt")
+    val got = HeavyHitters.fromSegments(stored.unionByName(inc), k = 4)
+      .orderBy("rank").as[(String, Long, Long)].collect().toSeq
+    val want = HeavyHitters.ofText(docs, "text", k = 4)
+      .orderBy("rank").as[(String, Long, Long)].collect().toSeq
+    assert(got == want && want.nonEmpty, s"got=$got want=$want")
   }
 }
