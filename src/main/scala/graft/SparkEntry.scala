@@ -259,7 +259,11 @@ object SparkEntry {
     // q203's incremental sibling: additive exact token-count segments,
     // the pigeonhole candidate filter lifted to segments — oracle is
     // the full recompute
-    "q204_incremental_heavy_hitters" -> (D.q204IncrementalHeavyHitters(_, _))
+    "q204_incremental_heavy_hitters" -> (D.q204IncrementalHeavyHitters(_, _)),
+    // multi-pattern blocklist scan: broadcast Aho–Corasick automaton,
+    // one corpus pass independent of pattern count
+    "q205_phrase_match" -> (D.q205PhraseMatch(_, _)),
+    "q206_blocklist_filter" -> (D.q206BlocklistFilter(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -2156,4 +2156,35 @@ object DocQueries {
         k = 32)
       .orderBy("rank")
   }
+
+  /** Multi-pattern blocklist scan (PhraseMatch.matchCounts): per-(doc,
+    * phrase) occurrence counts from ONE corpus pass over a broadcast
+    * Aho–Corasick automaton — O(len + matches) per document independent
+    * of the pattern count, vs the naive |patterns| corpus scans.
+    * The pattern set is chosen adversarially for the automaton's
+    * structure: "scan" ⊃ "can" ⊃ "an" exercises the dictionary-suffix
+    * output closure (every "scan" ending must also report "can"/"an"
+    * there), "sort merge"/"window w" cross token boundaries. The oracle
+    * replays every (position, pattern) pair by brute substring
+    * comparison — overlapping occurrences and suffix outputs are
+    * hash-checked position by position, not just totals.
+    */
+  def q205PhraseMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PhraseMatch.matchCounts(
+        Tables(spark, dir).documents, "text", "doc_id",
+        Seq("scan", "can", "an", "sort merge", "merge", "window w"))
+      .orderBy("doc_id", "pat")
+
+  /** The blocklist CURATION verdict (PhraseMatch.filterClean): documents
+    * with no banned-phrase hit survive — q205's match table turned into
+    * a left-anti join (match side ∝ matched docs, never docs×patterns).
+    * The phrase set quarantines a nontrivial slice (~17% at sf0.01) so
+    * both branches of the verdict carry weight.
+    */
+  def q206BlocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PhraseMatch.filterClean(
+        Tables(spark, dir).documents, "text", "doc_id",
+        Seq("sort merge", "vector join", "dup"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
 }

@@ -4220,6 +4220,35 @@ object OracleSql {
          |FROM c WHERE cnt * 33 > (SELECT n FROM n)
          |ORDER BY rank""".stripMargin,
 
+    // q205: multi-pattern substring counts — the Aho–Corasick automaton
+    // replayed by brute force: every (position, pattern) pair compared
+    // (scalar generate_series is the q194 list-comprehension device), so
+    // overlapping occurrences AND dictionary-suffix outputs ("scan"
+    // ending => "can"/"an" end there too) are position-checked
+    "q205_phrase_match" ->
+      s"""WITH pats(pat) AS (VALUES ('scan'),('can'),('an'),('sort merge'),('merge'),('window w')),
+         |d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+         |m AS (
+         |  SELECT d.doc_id, p.pat,
+         |         len(list_filter(generate_series(1, length(d.t) - length(p.pat) + 1),
+         |             i -> substr(d.t, i, length(p.pat)) = p.pat)) AS cnt
+         |  FROM d CROSS JOIN pats p)
+         |SELECT doc_id, pat, CAST(cnt AS BIGINT) AS cnt
+         |FROM m WHERE cnt > 0
+         |ORDER BY doc_id, pat""".stripMargin,
+
+    // q206: the blocklist curation verdict — survivors are the anti-join
+    // of documents against any-hit docs (position(pat IN t) replays the
+    // automaton's "any occurrence" decision)
+    "q206_blocklist_filter" ->
+      s"""WITH pats(pat) AS (VALUES ('sort merge'),('vector join'),('dup')),
+         |d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+         |hit AS (SELECT DISTINCT d.doc_id
+         |        FROM d CROSS JOIN pats p WHERE position(p.pat IN d.t) > 0)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         |ORDER BY doc_id""".stripMargin,
+
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
     // never straddle splits
