@@ -67,7 +67,13 @@ import graft.operators.{AsOfJoin, Bpe, Curriculum, Dedup, Diff, Drift, Index, Pa
   *   - `graft_profile(table, 'col1,col2'[, exact])` —
   *     [[graft.operators.Profile.profile]]'s per-column verification
   *     profile (the q77 operator); pass `false` for the approx
-  *     (HLL, single-scan) 100-TB form.
+  *     (HLL, single-scan) 100-TB form;
+  *   - `graft_heavy_hitters(table, textCol, k)` —
+  *     [[graft.operators.HeavyHitters.ofText]]'s exact heavy hitters
+  *     (the q203 operator);
+  *   - `graft_phrase_match(table, textCol, idCol, 'pat1,pat2')` —
+  *     [[graft.operators.PhraseMatch.matchCounts]]'s blocklist scan
+  *     (the q205 operator), patterns comma-joined.
   *
   * Each builder resolves its table arguments against the ACTIVE session's
   * catalog (temp views, warehouse tables, anything `spark.table` reaches),
@@ -408,6 +414,39 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  /** `graft_heavy_hitters(table, textCol, k)` —
+    * [[graft.operators.HeavyHitters.ofText]]: the q203 exact
+    * heavy-hitter mining from SQL (Misra–Gries candidate pruning +
+    * broadcast exact verify).
+    */
+  val heavyHittersFn: TableFn = (
+    FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(operators.HeavyHitters.getClass.getName, "graft_heavy_hitters"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_heavy_hitters takes (table, textCol, k)")
+      operators.HeavyHitters.ofText(table(str(args(0), "table")),
+          str(args(1), "textCol"), int(args(2), "k"))
+        .queryExecution.analyzed
+    })
+
+  /** `graft_phrase_match(table, textCol, idCol, patternsCsv)` —
+    * [[graft.operators.PhraseMatch.matchCounts]]: the q205 blocklist
+    * scan from SQL; patterns comma-separated (blocklist phrases with
+    * literal commas need the Scala API).
+    */
+  val phraseMatchFn: TableFn = (
+    FunctionIdentifier("graft_phrase_match"),
+    new ExpressionInfo(operators.PhraseMatch.getClass.getName, "graft_phrase_match"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "graft_phrase_match takes (table, textCol, idCol, patternsCsv)")
+      operators.PhraseMatch.matchCounts(table(str(args(0), "table")),
+          str(args(1), "textCol"), str(args(2), "idCol"),
+          str(args(3), "patternsCsv").split(',').toSeq.map(_.trim))
+        .queryExecution.analyzed
+    })
+
   /** Every table function, in registration order — shared by
     * [[GraftExtensions]] and the specs so the two cannot drift.
     */
@@ -417,5 +456,5 @@ object GraftTableFunctions {
       pageRankFn, curriculumFn, budgetSelectFn,
       retainCanonicalFn, driftFn, kAnonymityFn, keySkewFn,
       asOfJoinFn, profileFn, domainQuotaFn, longestDupFn,
-      dbscanFn, wordpieceVocabFn)
+      dbscanFn, wordpieceVocabFn, heavyHittersFn, phraseMatchFn)
 }

@@ -111,6 +111,21 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(got == Seq(("alpha", 30L, 1L)), got.toString)
   }
 
+  test("graft_heavy_hitters SQL table function equals the Column API") {
+    graft.GraftTableFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+    Seq((1L, "the the the miss"), (2L, "the quick")).toDF("doc_id", "text")
+      .createOrReplaceTempView("hh_docs_v")
+    // two ofText invocations can never be sameResult (each plants its own
+    // localCheckpoint) — the contract here is output equality
+    val sqlRows = spark.sql("SELECT * FROM graft_heavy_hitters('hh_docs_v', 'text', 2)")
+      .orderBy("rank").collect().map(_.toString).toSeq
+    val apiRows = HeavyHitters.ofText(spark.table("hh_docs_v"), "text", 2)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(sqlRows == apiRows && sqlRows.nonEmpty, s"sql=$sqlRows api=$apiRows")
+  }
+
   test("textTokenCounts segments merge to q203's batch answer (incremental == full)") {
     val docs = Seq(
       (0L, "the quick the lazy the"),
