@@ -141,6 +141,16 @@ object HeavyHitters {
     * stored tables (LSM); compaction = per-tok sum of any subset of
     * segments, which only TIGHTENS the candidate filter (pigeonhole
     * holds over every coarsening).
+    *
+    * INPUT CONTRACT (load-bearing, spec-pinned): rows must be
+    * per-(seg, tok) UNIQUE — the shape [[tokenCounts]] and every
+    * LSM writer produce. The candidate filter tests ROW counts; a
+    * token's within-segment count split across duplicate sub-rows can
+    * sit below the local share in every piece while the segment total
+    * is above it, silently dropping a true heavy hitter. (The safe
+    * repair — pre-aggregating (seg, tok) on read — would shuffle the
+    * entire distinct-token state, the exact cost this operator exists
+    * to avoid, so the contract is on the writer.)
     */
   def fromSegments(segments: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

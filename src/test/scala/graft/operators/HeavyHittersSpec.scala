@@ -126,6 +126,22 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(sqlRows == apiRows && sqlRows.nonEmpty, s"sql=$sqlRows api=$apiRows")
   }
 
+  test("the per-(seg,tok)-unique input contract is load-bearing") {
+    // one segment, alpha 30 of 40 (heavy at k=3): as ONE row the filter
+    // sees it; split into 30 unit sub-rows every piece is below the
+    // local share and the true heavy hitter is silently lost — which is
+    // exactly why fromSegments documents the writer-side contract
+    val rare = (0 until 10).map(i => ("s0", s"r$i", 1L))
+    val whole = (("s0", "alpha", 30L) +: rare).toDF("seg", "tok", "cnt")
+    val split = ((0 until 30).map(_ => ("s0", "alpha", 1L)) ++ rare).toDF("seg", "tok", "cnt")
+    val gotWhole = HeavyHitters.fromSegments(whole, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    val gotSplit = HeavyHitters.fromSegments(split, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gotWhole == Seq(("alpha", 30L, 1L)), gotWhole.toString)
+    assert(gotSplit.isEmpty, s"contract violation should lose the hitter (doc'd): $gotSplit")
+  }
+
   test("textTokenCounts segments merge to q203's batch answer (incremental == full)") {
     val docs = Seq(
       (0L, "the quick the lazy the"),
