@@ -263,7 +263,10 @@ object SparkEntry {
     // multi-pattern blocklist scan: broadcast Aho–Corasick automaton,
     // one corpus pass independent of pattern count
     "q205_phrase_match" -> (D.q205PhraseMatch(_, _)),
-    "q206_blocklist_filter" -> (D.q206BlocklistFilter(_, _))
+    "q206_blocklist_filter" -> (D.q206BlocklistFilter(_, _)),
+    // per-language heavy hitters: the q203 pigeonhole per group,
+    // group-partitioned rank over pre-thresholded rows
+    "q207_lang_heavy_hitters" -> (D.q207LangHeavyHitters(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -167,6 +167,79 @@ object HeavyHitters {
       total, k)
   }
 
+  /** PER-GROUP exact heavy hitters — the per-language stopword-discovery
+    * form: for every group, all tokens holding more than a 1/(k+1) share
+    * of THAT GROUP's token stream, exact counts, ranked within the
+    * group. The pigeonhole theorem holds per group (a token above group
+    * g's global share exceeds g's LOCAL share in some partition, because
+    * group streams partition independently), so one pass of per-group
+    * Misra–Gries counters per partition (shuffle ∝ partitions·groups·k)
+    * + one broadcast (group, tok) verify pass gives the exact
+    * data-defined answer — the rank window is partitioned by group over
+    * ≤ k pre-thresholded rows per group, never a global window. Group
+    * cardinality is assumed dimension-like (languages, sources): the
+    * per-group totals broadcast at G rows.
+    * Output: (<groupCol>, tok, cnt, rank).
+    */
+  def perGroup(pairs: DataFrame, groupCol: String, tokCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val t = pairs.select(col(groupCol).cast("string").as("grp"),
+        col(tokCol).cast("string").as("tok"))
+      .where(col("grp").isNotNull && col("tok").isNotNull)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = t.as[(String, String)]
+      .mapPartitions { it =>
+        // one incremental MG per group key (buffering each group's
+        // sub-stream to reuse the single-stream kernel would hold the
+        // whole partition in memory)
+        val counters = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, tok) =>
+          val c = counters.getOrElseUpdate(g, scala.collection.mutable.HashMap.empty)
+          c.get(tok) match {
+            case Some(n) => c.update(tok, n + 1)
+            case None =>
+              if (c.size < k) c.update(tok, 1L)
+              else {
+                val dead = new scala.collection.mutable.ArrayBuffer[String]
+                c.mapValuesInPlace((_, n) => n - 1)
+                c.foreach { case (key, n) => if (n == 0L) dead += key }
+                dead.foreach(c.remove)
+              }
+          }
+        }
+        counters.iterator.flatMap { case (g, c) => c.keysIterator.map(g -> _) }
+      }
+      .toDF("grp", "tok").distinct()
+    val totals = t.groupBy(col("grp")).agg(count(lit(1)).as("__n"))
+    perGroupThreshold(
+      t.join(broadcast(candidates), Seq("grp", "tok"))
+        .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("cnt")),
+      totals, groupCol, k)
+  }
+
+  /** The per-group tail: threshold exact (grp, tok, cnt) against the
+    * per-group totals, rank within each group. */
+  private def perGroupThreshold(counted: DataFrame, totals: DataFrame,
+                                groupCol: String, k: Int): DataFrame =
+    counted
+      .join(broadcast(totals), Seq("grp"))
+      .where(col("cnt") * (k + 1) > col("__n"))
+      .select(col("grp").as(groupCol), col("tok"), col("cnt"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("cnt").desc, col("tok")))
+          .cast("long").as("rank"))
+
+  /** [[perGroup]] over a text column with the [[ofText]] tokenization. */
+  def ofTextPerGroup(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame =
+    perGroup(
+      df.where(col(textCol).isNotNull)
+        .select(col(groupCol),
+          explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+        .where(col("tok") =!= ""),
+      groupCol, "tok", k)
+
   /** The [[ofText]] tokenization: whitespace-lowered tokens, the
     * [[Bpe.wordTable]] normalization — shared by the batch path and the
     * count-state builders so the two can never drift.

@@ -2187,4 +2187,18 @@ object DocQueries {
         Seq("sort merge", "vector join", "dup"))
       .select(col("doc_id"))
       .orderBy("doc_id")
+
+  /** PER-LANGUAGE heavy hitters (HeavyHitters.ofTextPerGroup) — the
+    * stopword-discovery report curation actually ships: for every
+    * language, the tokens above a 1/(k+1) share of THAT language's
+    * stream, exact counts, ranked within the language. The q203
+    * pigeonhole holds per group (group streams partition
+    * independently), so the shuffle stays ∝ partitions·groups·k and
+    * the rank window is group-partitioned over pre-thresholded rows —
+    * never global, never distinct-cardinality.
+    */
+  def q207LangHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.ofTextPerGroup(
+        Tables(spark, dir).documents, "lang", "text", k = 32)
+      .orderBy("lang", "rank")
 }

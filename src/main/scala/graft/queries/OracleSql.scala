@@ -4249,6 +4249,22 @@ object OracleSql {
          |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
          |ORDER BY doc_id""".stripMargin,
 
+    // q207: per-language heavy hitters — the q203 replay grouped by
+    // lang: GROUP BY lang, tok HAVING cnt·33 > that language's total,
+    // rank partitioned by lang (the per-group pigeonhole is pure
+    // pruning, invisible to the data-defined result)
+    "q207_lang_heavy_hitters" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |             FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+         |n AS (SELECT lang, count(*) AS n FROM t GROUP BY 1),
+         |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+         |SELECT c.lang, c.tok, CAST(c.cnt AS BIGINT) AS cnt,
+         |       CAST(row_number() OVER (PARTITION BY c.lang ORDER BY c.cnt DESC, c.tok) AS BIGINT) AS rank
+         |FROM c JOIN n ON n.lang = c.lang
+         |WHERE c.cnt * 33 > n.n
+         |ORDER BY c.lang, rank""".stripMargin,
+
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
     // never straddle splits

@@ -111,6 +111,46 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(got == Seq(("alpha", 30L, 1L)), got.toString)
   }
 
+  test("perGroup == per-group exact recompute, invariant to partitioning") {
+    // gA: alpha heavy; gB: alpha present but light, beta heavy; gC: tiny
+    // group where a 3-count token IS heavy (group-local shares — an
+    // ungrouped pass over the union would find none of these)
+    val pairs =
+      (Seq.fill(40)("alpha") ++ (0 until 60).map(i => s"a$i")).map(("gA", _)) ++
+      (Seq.fill(2)("alpha") ++ Seq.fill(40)("beta") ++ (0 until 70).map(i => s"b$i")).map(("gB", _)) ++
+      Seq(("gC", "tiny"), ("gC", "tiny"), ("gC", "tiny"), ("gC", "other"))
+    val k = 4
+    val want = pairs.groupBy(_._1).toSeq.flatMap { case (g, ps) =>
+      val n = ps.size.toLong
+      ps.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .filter { case (_, c) => c * (k + 1) > n }
+        .sortBy { case (t, c) => (-c, t) }.zipWithIndex
+        .map { case ((t, c), i) => (g, t, c, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._4))
+    assert(want.map(_._1).distinct.size == 3) // every group contributes
+    val ungrouped = HeavyHitters.ofTokens(pairs.map(_._2).toDF("tok"), "tok", k).count()
+    assert(ungrouped == 0L) // group-local shares invisible to the global pass
+    for (parts <- Seq(1, 5)) {
+      val got = HeavyHitters.perGroup(
+          pairs.toDF("grp", "tok").repartition(parts), "grp", "tok", k)
+        .orderBy("grp", "rank").as[(String, String, Long, Long)].collect().toSeq
+      assert(got == want, s"parts=$parts got=$got want=$want")
+    }
+  }
+
+  test("ofTextPerGroup normalizes text and drops null groups and texts") {
+    val docs = Seq(
+      ("en", "THE the\tthe miss"),
+      ("en", "the x"),
+      (null.asInstanceOf[String], "the the the"),
+      ("de", null.asInstanceOf[String]),
+      ("de", "der der zzz")).toDF("lang", "text")
+    val got = HeavyHitters.ofTextPerGroup(docs, "lang", "text", k = 2)
+      .orderBy("lang", "rank").as[(String, String, Long, Long)].collect().toSeq
+    // en: 6 toks, the=4 (4*3>6); de: 3 toks, der=2 (2*3>3)
+    assert(got == Seq(("de", "der", 2L, 1L), ("en", "the", 4L, 1L)), got.toString)
+  }
+
   test("graft_heavy_hitters SQL table function equals the Column API") {
     graft.GraftTableFunctions.all.foreach { case (ident, info, builder) =>
       spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
