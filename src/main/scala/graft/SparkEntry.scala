@@ -266,7 +266,11 @@ object SparkEntry {
     "q206_blocklist_filter" -> (D.q206BlocklistFilter(_, _)),
     // per-language heavy hitters: the q203 pigeonhole per group,
     // group-partitioned rank over pre-thresholded rows
-    "q207_lang_heavy_hitters" -> (D.q207LangHeavyHitters(_, _))
+    "q207_lang_heavy_hitters" -> (D.q207LangHeavyHitters(_, _)),
+    // content-defined chunking: rolling-hash boundaries, row-local
+    // array HOFs, zero exchange; + the chunk-sharing dedup report
+    "q208_cdc_chunks" -> (D.q208CdcChunks(_, _)),
+    "q209_cdc_dedup_stats" -> (D.q209CdcDedupStats(_, _))
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

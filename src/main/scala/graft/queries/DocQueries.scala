@@ -2201,4 +2201,28 @@ object DocQueries {
     graft.operators.HeavyHitters.ofTextPerGroup(
         Tables(spark, dir).documents, "lang", "text", k = 32)
       .orderBy("lang", "rank")
+
+  /** Content-defined chunking (Cdc.chunks): Rabin-style rolling-hash
+    * boundaries, so chunk identity survives edits that shift offsets —
+    * the storage-dedup primitive for near-identical crawl snapshots.
+    * A pure row-local array-HOF projection (split → transform → filter
+    * → zip_with → posexplode), zero exchange; the oracle replays the
+    * 8-term polynomial and the slicing position by position, with an
+    * error() guard on the documented ASCII assumption.
+    */
+  def q208CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.chunks(
+        Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id", "chunk_ix")
+
+  /** Chunk-level dedup accounting (Cdc.chunkDedupStats): per document,
+    * how many of its content-defined chunks also occur in ANOTHER
+    * document — the "redundant storage / near-identical snapshot"
+    * report; only md5 digests shuffle (the exact-dedup doctrine),
+    * never chunk text.
+    */
+  def q209CdcDedupStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.chunkDedupStats(
+        Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("doc_id")
 }

@@ -67,6 +67,50 @@ object OracleSql {
 
   private val minhashCandCtes: String = minhashCandCtesFrom("documents")
 
+  /** q208/q209 shared CTEs: content-defined chunking replayed — the
+    * 8-term B=101 polynomial over trailing chars (BIGINT casts force
+    * 64-bit arithmetic; DuckDB would otherwise overflow INT32 on the
+    * ascii()·power products), boundaries at H % 61 == 0, slices
+    * between consecutive boundaries, empty slices dropped, 0-based
+    * chunk_ix over the survivors. `aguard` error()s on non-ASCII text
+    * — the documented ascii() cross-engine parity assumption — forced
+    * into evaluation through the chunk_ix expression (the lguard/wguard
+    * device).
+    */
+  private val cdcCtes: String =
+    s"""d AS (SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL),
+       |aguard AS (SELECT CASE WHEN count(*) > 0 THEN
+       |       error('cdc oracle: non-ASCII text breaks ascii() parity') ELSE 0 END AS ok
+       |       FROM d WHERE regexp_matches(t, '[^\\x00-\\x7F]')),
+       |b AS (
+       |  SELECT doc_id, t,
+       |    list_filter(generate_series(8, length(t)),
+       |      i -> (CAST(ascii(t[i:i]) AS BIGINT)
+       |            + ascii(t[i-1:i-1])*CAST(101 AS BIGINT)
+       |            + ascii(t[i-2:i-2])*CAST(10201 AS BIGINT)
+       |            + ascii(t[i-3:i-3])*CAST(1030301 AS BIGINT)
+       |            + ascii(t[i-4:i-4])*CAST(104060401 AS BIGINT)
+       |            + ascii(t[i-5:i-5])*10510100501
+       |            + ascii(t[i-6:i-6])*1061520150601
+       |            + ascii(t[i-7:i-7])*107213535210701) % 61 = 0) AS bnds
+       |  FROM d),
+       |cx AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(
+       |      list_transform(generate_series(1, len(bnds) + 1),
+       |        ix -> struct_pack(
+       |          ix := ix,
+       |          chv := t[(CASE WHEN ix = 1 THEN 0 ELSE bnds[ix-1] END) + 1 :
+       |                   CASE WHEN ix = len(bnds) + 1 THEN length(t) ELSE bnds[ix] END])),
+       |      s -> s.chv <> '')) AS u
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.ix) - 1
+       |         + (SELECT ok FROM aguard) AS BIGINT) AS chunk_ix,
+       |    u.chv AS chunk
+       |  FROM cx)""".stripMargin
+
   /** q124/q125/q127/q128: the logistic-regression TRAINING unrolled — one
     * (gradient, weight-update) CTE pair per GD step, generated so the SQL
     * cannot drift from the step count. Arithmetic mirrors
@@ -4264,6 +4308,26 @@ object OracleSql {
          |FROM c JOIN n ON n.lang = c.lang
          |WHERE c.cnt * 33 > n.n
          |ORDER BY c.lang, rank""".stripMargin,
+
+    // q208: content-defined chunking — the 8-term polynomial rolling
+    // hash (B=101, D=61) and the boundary slicing replayed position by
+    // position; `aguard` error()s on non-ASCII text (the documented
+    // ascii() cross-engine parity assumption) instead of diverging
+    "q208_cdc_chunks" ->
+      s"""WITH $cdcCtes
+         |SELECT doc_id, chunk_ix, chunk FROM ch
+         |ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    // q209: chunk-level dedup accounting — a chunk is shared iff its
+    // text occurs in >= 2 distinct documents (the engine groups md5
+    // digests; grouping the text itself is the same data-defined count)
+    "q209_cdc_dedup_stats" ->
+      s"""WITH $cdcCtes,
+         |s AS (SELECT chunk, count(DISTINCT doc_id) AS docs FROM ch GROUP BY 1)
+         |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN s.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |FROM ch JOIN s USING (chunk) GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
 
     // q194: q61's near-dup chain -> components -> md5 split keyed on the
     // cluster canonical (singletons key on themselves), so near-dups can
