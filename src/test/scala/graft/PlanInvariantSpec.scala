@@ -45,7 +45,8 @@ class PlanInvariantSpec extends SparkTestBase {
     "q167_merge_collocations", // composes q165's 1-row corpus-total cross joins into the phrase inventory
     "q174_term_associations", // composes q165's cross joins; the rank window runs over the pair-bounded PMI table
     "q168_robust_scale",    // 1-row median then 1-row MAD broadcast-crossed onto the scan, as q88's bounds
-    "q203_heavy_hitters"    // 1-row token-total broadcast-crossed onto the <= k verified candidate rows, as q58/q88's bounds
+    "q203_heavy_hitters",   // 1-row token-total broadcast-crossed onto the <= k verified candidate rows, as q58/q88's bounds
+    "q204_incremental_heavy_hitters" // 1-row segment-summed total broadcast-crossed onto the <= S*k verified candidate rows, as q203
   )
 
   /** Queries whose DataFrame construction EXECUTES the heavy pipeline
