@@ -484,6 +484,13 @@ object Multimodal {
         case None    => AHashRow(m.media_id, decoded = false, 0L)
       }
     }.toDF()
+      // materialize the ~17-byte/asset hash rows ONCE (r16 opt): the
+      // decode kernel is an opaque typed map, so every downstream consumer
+      // — the band self-join's two scans, retention's verdict join, even a
+      // final orderBy's range-partition SAMPLE pass — would otherwise
+      // re-decode the whole corpus per scan. The guide-§8 proxy-rows rule:
+      // heavy bytes decode once, every decision reads the tiny hash table.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Per-image 64-bit average hash ([[MediaCodecs.aHash64]]) — the
@@ -499,6 +506,8 @@ object Multimodal {
         case None    => AHashRow(m.media_id, decoded = false, 0L)
       }
     }.toDF()
+      // one decode pass per corpus — see [[audioFingerprint]]'s note
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** All (id_a < id_b) pairs within `maxHamming` bits of a 64-bit

@@ -82,14 +82,25 @@ object TextAnalysis {
   def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val docFreq = toks.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df(term) = number of DISTINCT docs containing term = row count per
+    // term of the (doc, term)-unique tf table — a term-partitioned window
+    // count over tf instead of a SECOND tokenize+distinct pass over the
+    // corpus (r16 opt: the old two-branch form exploded every token twice
+    // and paid a second (doc, term)-keyed exchange; deriving df from tf
+    // via a plain aggregation does not survive the optimizer — count on a
+    // non-null column rewrites to count(1) and prunes back to a distinct,
+    // so the subtrees never canonicalize equal and ReuseExchange cannot
+    // fire). One corpus pass, one term-keyed exchange of the tf table,
+    // identical (idCol, term, tf, df, tfidf) output.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))))
     // corpus size N stays INSIDE the plan (broadcast 1-row cross join, the
     // unigramLogProb pattern): an eager count at construction would run an
     // extra full corpus pass per call and freeze a stale N if the source
     // grows before execution — df and N must come from the same snapshot
     val total = df.agg(countDistinct(col(idCol)).cast("double").as("__N"))
-    tf.join(broadcast(docFreq), Seq("term"))
+    withDf
       .crossJoin(broadcast(total))
       .select(
         col(idCol), col("term"), col("tf"),

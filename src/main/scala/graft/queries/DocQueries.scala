@@ -1228,6 +1228,10 @@ object DocQueries {
   def q130MjpegFrameStats(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mjpegFrameStats(
         Multimodal.mediaRealAssets(spark, Tables(spark, dir).documents))
+      // bounded per-asset stats materialize once (r16 opt): without this
+      // the final sort's range-partition sample pass re-demuxes and
+      // re-decodes every frame a second time (opaque kernel — no pruning)
+      .localCheckpoint(true)
       .orderBy("media_id")
 
   /** REAL MP4 frame decode (Multimodal.mp4FrameStats): every MJPEG-in-MP4
@@ -1242,6 +1246,8 @@ object DocQueries {
   def q161Mp4FrameStats(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mp4FrameStats(
         Multimodal.mediaMp4Videos(spark, Tables(spark, dir).documents))
+      // one demux+decode pass — the q130 sample-pass note
+      .localCheckpoint(true)
       .orderBy("media_id")
 
   /** Semi-supervised label propagation (LabelProp.propagate): the lang
