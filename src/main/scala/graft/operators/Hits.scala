@@ -43,11 +43,18 @@ object Hits {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 2): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // LAZY checkpoints throughout (r16 opt): the first half-step's l1
+    // collect materializes edge table, init vector and first raw iterate
+    // in ONE job instead of three — same checkpointed bytes, same
+    // truncated lineage, fewer scheduler round-trips. Each later raw
+    // iterate is materialized by its own l1 collect; no unpersist below
+    // ever frees blocks a still-pending plan reads (every lazy plan is a
+    // projection over the PREVIOUS, already-materialized checkpoint).
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct()
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
     var h = e.select(col("__s")).distinct().withColumn("__h", lit(1.0))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // each half-step's edge-join aggregation runs exactly ONCE: the raw
     // vertex table (O(|vertices|), tiny beside the edge join that builds
     // it) is eagerly checkpointed and its L1 normalizer read back as a
@@ -74,7 +81,7 @@ object Hits {
       val aRaw = e.join(h, Seq("__s"))
         .groupBy(col("__d"))
         .agg(sum(col("__h").cast("decimal(20,9)")).as("__ar"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (aRawPrev != null) aRawPrev.unpersist()
       aRawPrev = aRaw
       a = aRaw
@@ -83,7 +90,7 @@ object Hits {
       val hRaw = e.join(a, Seq("__d"))
         .groupBy(col("__s"))
         .agg(sum(col("__a").cast("decimal(20,9)")).as("__hr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (i == 0) h.unpersist() else if (hRawPrev != null) hRawPrev.unpersist()
       hRawPrev = hRaw
       h = hRaw

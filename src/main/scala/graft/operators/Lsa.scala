@@ -248,9 +248,13 @@ object Lsa {
     val a = m.df
     // EVERY matvec executes exactly once: each raw half-step vector —
     // O(|rows|) or O(|columns|), tiny beside the nnz join that builds
-    // it — is eagerly localCheckpointed, its norm read back as a 1-row
-    // scalar (the anti-pattern sweep's sanctioned 1-row collect), and
-    // the normalization becomes a cheap projection over the checkpoint.
+    // it — is LAZILY localCheckpointed and MATERIALIZED BY the norm
+    // collect that immediately follows (r16 opt: the eager checkpoint
+    // spent one job materializing and the norm a second job reading the
+    // cache — the lazy form persists the partitions inside the norm's
+    // own job, halving the scheduler round-trips per half-step; same
+    // checkpointed bytes, same truncated lineage), and the
+    // normalization becomes a cheap projection over the checkpoint.
     // The round-9 in-plan form (crossJoin(broadcast(norm agg))) paid
     // every matvec TWICE: the norm's broadcast subtree and the
     // consuming plan are separate exchanges and Spark never CSEs across
@@ -267,10 +271,10 @@ object Lsa {
       // EXACT matvec products on the value/iterate grids (scaled-long
       // fast path or exact-decimal fallback — see the arithmetic
       // doctrine above; both are bit-for-bit the same result).
-      val uRaw = matvec(m, v, "__c", "__r", "__u").localCheckpoint(true)
+      val uRaw = matvec(m, v, "__c", "__r", "__u").localCheckpoint(false)
       val u = uRaw.select(col("__r"),
         round(col("__u") / lit(norm2(uRaw, "__u")), 9).as("__x"))
-      val wRaw = matvec(m, u, "__r", "__c", "__w").localCheckpoint(true)
+      val wRaw = matvec(m, u, "__r", "__c", "__w").localCheckpoint(false)
       // Hotelling deflation: strip each prior topic's component out of
       // the raw column iterate, one scalar dot per topic. FULLY decimal
       // arithmetic, rounding in DECIMAL, double only at the end: w, d
@@ -285,7 +289,7 @@ object Lsa {
       // subtraction share one execution.
       val wDef = deflate.foldLeft(wRaw) { (w, p) =>
         val pp = p.select(col("__c"), col("__x").as("__p"))
-        val joined = w.join(pp, Seq("__c")).localCheckpoint(true)
+        val joined = w.join(pp, Seq("__c")).localCheckpoint(false)
         val dRow = joined.agg(
           round(sum(col("__w").cast("decimal(20,9)") * col("__p").cast("decimal(10,9)")), 9)
             .cast("double")).head()
@@ -295,9 +299,14 @@ object Lsa {
             - lit(d).cast("decimal(20,9)") * col("__p").cast("decimal(10,9)"), 9)
             .cast("double").as("__w"))
       }
+      // lazy: the next iteration's norm collect (or the caller's first
+      // action) materializes it — its lineage is one projection over the
+      // already-checkpointed wDef, so the deferred compute never re-runs
+      // a matvec, and the unpersist of the PREVIOUS iterate below is safe
+      // (this plan does not read it)
       val next = wDef.select(col("__c"),
           round(col("__w") / lit(norm2(wDef, "__w")), 9).as("__x"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       v.unpersist()
       v = next
       i += 1
