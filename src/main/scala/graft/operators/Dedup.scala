@@ -123,14 +123,23 @@ object Dedup {
   def minhashSignaturesMd5(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, shingleK: Int = 5): DataFrame = {
-    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val exploded = TextAnalysis.explodedShingles(df, textCol, idCol, shingleK)
-      .withColumn("__h", conv(substring(md5(col("__sh")), 1, 7), 16, 10).cast("long"))
-    val aggs = (0 until numHashes).map { i =>
-      val (a, b) = minhashMd5Coeffs(i)
-      min((col("__h") * a + b) % P).as(s"mh$i")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // r16 opt: the fused per-document kernel ([[graft.functions
+    // .MinHashSigsMd5]]) computes all `numHashes` minima in ONE row-local
+    // pass — replacing the explodedShingles → md5 → min-agg pipeline that
+    // paid a generator row, an UnsafeRow conversion and a 64-expression
+    // agg-map probe PER SHINGLE, plus a groupBy(id) exchange, to maintain
+    // 64 longs of per-document state. Bit-identical (same UTF8String
+    // tokenize walk, same md5-prefix arithmetic, same coefficients —
+    // spec-pinned against the relational formulation); callers must pass
+    // one row per id, which every caller does (the old groupBy would have
+    // merged duplicate ids instead). The two-Project split below stays
+    // un-collapsed (a 64-reference non-cheap alias), so the kernel runs
+    // once per row — pinned by MinHashSigsMd5Spec's plan assertion.
+    val sigs = df.where(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.MinHashSigsMd5
+        .minhashSigsMd5(col(textCol), shingleK, numHashes).as("__sigs"))
+    sigs.select(col(idCol) +:
+      (0 until numHashes).map(i => col("__sigs")(i).as(s"mh$i")): _*)
   }
 
   /** The i-th affine coefficients of the md5 MinHash family — shared with
