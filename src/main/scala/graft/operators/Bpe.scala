@@ -48,15 +48,24 @@ object Bpe {
     * symbol array with its own tail — single-symbol words contribute
     * nothing — then ONE map-side-combinable aggregation on the pair.
     */
-  def pairCounts(words: DataFrame): DataFrame =
-    words
-      .select(col("cnt"), explode(
-        zip_with(
-          slice(col("symbols"), lit(1), size(col("symbols")) - 1),
-          slice(col("symbols"), lit(2), size(col("symbols")) - 1),
-          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
-      .groupBy(col("p").getField("lhs").as("lhs"), col("p").getField("rhs").as("rhs"))
+  def pairCounts(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    // r16 opt: a typed flatMap kernel instead of the zip_with/slice HOF
+    // explode — HOF lambdas run INTERPRETED per element (the object doc's
+    // 60× note), and BPE training replays this on the word table once per
+    // merge round. The kernel emits the identical (lhs, rhs, cnt) pair
+    // stream; the map-side-combinable aggregation is unchanged.
+    words.select(col("cnt").cast("long"), col("symbols"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (c, syms) =>
+        if (syms == null || syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, c) }
+      }
+      .toDF("lhs", "rhs", "cnt")
+      .groupBy(col("lhs"), col("rhs"))
       .agg(sum(col("cnt")).as("pair_count"))
+  }
 
   /** Leftmost-first greedy merge of adjacent pair (a, b) → a+b, as a pure
     * fold over the symbol array (an `aggregate` HOF — interpreted, see
@@ -107,8 +116,20 @@ object Bpe {
         val (a, b, c) = (top.head.getAs[String]("lhs"),
           top.head.getAs[String]("rhs"), top.head.getAs[Long]("pair_count"))
         merges += ((i, a, b, a + b, c))
-        words = words.withColumn("symbols", mergePair(col("symbols"), a, b))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // r16 opt: apply the merge with the Scala kernel ([[applyMerge]],
+        // the replayMerges inner loop — spec-pinned identical to the
+        // mergePair fold) instead of the interpreted `aggregate` HOF;
+        // same greedy-leftmost rewrite, vocabulary-cardinality rows
+        val prevWords = words
+        words = {
+          val (ma, mb) = (a, b)
+          prevWords.select(col("word"), col("cnt").cast("long"), col("symbols"))
+            .as[(String, Long, Seq[String])]
+            .map { case (w, cnt, syms) =>
+              (w, cnt, if (syms == null) null else applyMerge(syms, ma, mb)) }
+            .toDF("word", "cnt", "symbols")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
       }
     }
     prev.foreach(_.unpersist())
@@ -139,27 +160,35 @@ object Bpe {
     * same overlap behavior), as a plain Scala loop. Runs on executors
     * inside [[encode]]'s typed map over the DISTINCT-word table.
     */
+  /** One greedy-leftmost merge application — the replayMerges inner loop,
+    * shared by [[train]]'s per-round kernel rewrite. Exactly
+    * [[mergePair]]'s accumulator scan (same overlap behavior).
+    */
+  private[operators] def applyMerge(cur: Seq[String], a: String, b: String): Seq[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+    var i = 0
+    while (i < cur.length) {
+      val s = cur(i)
+      if (buf.nonEmpty && buf.last == a && s == b) buf(buf.length - 1) = a + s
+      else buf += s
+      i += 1
+    }
+    buf.toSeq
+  }
+
   private[operators] def replayMerges(
       word: String, merges: Array[(String, String)]): Array[String] = {
     // String.split("") splits at code-point boundaries (regex-based, like
     // Spark's split expression), so the kernel and mergePair agree on
     // multibyte text
-    var cur: Array[String] = word.split("").filter(_.nonEmpty)
+    var cur: Seq[String] = word.split("").filter(_.nonEmpty).toSeq
     var m = 0
     while (m < merges.length) {
       val (a, b) = merges(m)
-      val buf = new scala.collection.mutable.ArrayBuffer[String](cur.length)
-      var i = 0
-      while (i < cur.length) {
-        val s = cur(i)
-        if (buf.nonEmpty && buf.last == a && s == b) buf(buf.length - 1) = a + s
-        else buf += s
-        i += 1
-      }
-      cur = buf.toArray
+      cur = applyMerge(cur, a, b)
       m += 1
     }
-    cur
+    cur.toArray
   }
 
   /** Encode the corpus with a trained merge table: replay the merges in
