@@ -278,9 +278,17 @@ object SuffixDedup {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok"))).as("__stripped"),
         count(lit(1)).as("__kept"))
+    // __before is a ROW-LOCAL projection (r16 opt): the token count per doc
+    // is size(split(...)) on the document row itself — the old form
+    // re-exploded the whole corpus into toks a second time and paid an
+    // aggregation exchange plus a join to recover a number each row already
+    // knows. Same rlike gate as toks, so the counts are identical (null /
+    // whitespace-only docs fall to the 0 coalesce exactly as the left join
+    // did).
     df.select(col(idCol), col(textCol))
-      .join(toks.groupBy(col(idCol)).agg(count(lit(1)).as("__before")),
-        Seq(idCol), "left")
+      .withColumn("__before",
+        when(col(textCol).rlike("\\S"),
+          size(split(trim(lower(col(textCol))), "\\s+")).cast("long")))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__before"), lit(0L)).as("n_tokens_before"),
