@@ -119,6 +119,14 @@ object Dedup {
     * posexplode+lead shingling and map-side-combining min-agg shape as
     * [[minhashSignatures]]; use that (xxhash64) family when oracle
     * replayability is not needed — one xxhash64 beats an md5 per shingle.
+    *
+    * PRECONDITION (since the r16 fused kernel): `idCol` must be unique —
+    * the kernel emits ONE signature row per INPUT row, where the previous
+    * relational form's groupBy(id) would have merged duplicate-id rows
+    * into one min-signature. Every in-repo caller feeds distinct ids
+    * (warehouse contract); an external caller with duplicate ids gets one
+    * row per duplicate. Signature elements are non-null longs (the old
+    * min-agg typed them nullable).
     */
   def minhashSignaturesMd5(
       df: DataFrame, textCol: String, idCol: String,

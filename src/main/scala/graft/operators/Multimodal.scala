@@ -490,6 +490,15 @@ object Multimodal {
       // final orderBy's range-partition SAMPLE pass — would otherwise
       // re-decode the whole corpus per scan. The guide-§8 proxy-rows rule:
       // heavy bytes decode once, every decision reads the tiny hash table.
+      // LIFECYCLE NOTE (ADVICE r16): the checkpoint's MEMORY_AND_DISK
+      // blocks are freed only when the ContextCleaner GCs the owning RDD —
+      // neither this operator nor its callers unpersist (the consumers
+      // hold the frame through lazy multi-job pipelines, so no caller owns
+      // a safe unpersist point). Per invocation the retained state is
+      // ~17 bytes/asset; long-lived sessions invoking it repeatedly rely
+      // on GC-driven cleanup (Bench clears between runs; a service would
+      // localCheckpoint onto a bounded session or call reliable
+      // checkpoint with a managed directory instead).
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

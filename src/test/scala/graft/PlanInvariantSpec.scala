@@ -54,6 +54,17 @@ class PlanInvariantSpec extends SparkTestBase {
     * LocalTableScan and the guard would be vacuous while burning minutes.
     * Their upstream stages are guarded through their lazy twins: q57's
     * pair generation is q32's plan, q61's candidate join is q27's.
+    *
+    * DELIBERATELY NOT in this set (ADVICE r16): the media family
+    * (q130/q147/q148/q149/q150/q154/q157/q161), whose construction since
+    * r16 materializes an eager localCheckpoint of the per-asset hash/stat
+    * proxy rows. Their RESIDUAL post-checkpoint plans are exactly the
+    * part worth guarding — the band self-joins, verdict joins and final
+    * sorts that could silently degrade to a nested-loop — and at this
+    * spec's sf0.001 the decode-at-construction costs milliseconds, not
+    * the minutes this set exists to avoid. The pre-checkpoint decode
+    * segment is not plan-guarded here (it is an opaque typed map with no
+    * join to degrade); its shape is pinned by MultimodalSpec.
     */
   private val eagerByConstruction = Set("q57_dedup_clusters", "q61_dedup_retention",
     "q180_dedup_clusters_lsh", // q57's bucketed sibling — same eager Components

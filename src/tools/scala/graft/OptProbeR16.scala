@@ -35,7 +35,11 @@ object OptProbeR16 {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = jobs.getOrElseUpdate(e.jobId, Job(e.jobId))
         j.t0 = e.time
-        j.site = Option(e.properties.getProperty("callSite.short")).getOrElse("")
+        // properties can be null on jobs submitted without a properties
+        // bag (ADVICE r16): an NPE here is swallowed by the listener bus
+        // and silently drops the job's attribution row
+        j.site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
         j.stages = e.stageIds.size
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
