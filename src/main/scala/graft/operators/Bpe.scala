@@ -90,11 +90,34 @@ object Bpe {
     * pair_count) — the artifact a tokenizer consumes, in merge order.
     * Stops early if no pair remains (every word fully merged).
     */
-  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+            driverThreshold: Long = 1L << 21): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = df.sparkSession
     import spark.implicits._
     var words = wordTable(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // Adaptive driver path (r17 opt, the [[Components]] driverThreshold
+    // philosophy): BPE statistics live on the DISTINCT-WORD table (object
+    // doc), and the driver already coordinates every round (one argmax
+    // collect per merge). When that table is small enough to hold in
+    // driver memory — vocabulary cardinality, NOT corpus cardinality; the
+    // collect ships (cnt, symbols) rows, ~100 bytes/word — the
+    // nMerges-round job cascade (each round: a full-table aggregation job
+    // + a persisted full-table rewrite) collapses into ONE count + ONE
+    // collect, and the merge loop runs as local compute in milliseconds.
+    // Above the threshold the distributed loop below runs unchanged (the
+    // 100-TB escape hatch for vocabularies past ~2M words).
+    // [[BpeSpec]] pins the two paths' merge tables identical, including
+    // the count-desc/lhs/rhs tie-break (UTF8-binary string order, exactly
+    // Spark's binary string collation) and multibyte symbols.
+    val nWords = words.count()
+    if (nWords <= driverThreshold) {
+      val rows = words.select(col("cnt").cast("long"), col("symbols"))
+        .as[(Long, Seq[String])].collect()
+      words.unpersist()
+      val merges = trainDriver(rows, nMerges)
+      return merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    }
     // ONE pass per round: the argmax collect is itself the action that
     // materializes the current generation's cache, so no separate
     // count() job runs. The unpersist is DELAYED one generation — the
@@ -126,7 +149,13 @@ object Bpe {
           prevWords.select(col("word"), col("cnt").cast("long"), col("symbols"))
             .as[(String, Long, Seq[String])]
             .map { case (w, cnt, syms) =>
-              (w, cnt, if (syms == null) null else applyMerge(syms, ma, mb)) }
+              // the hasAdjacentPair gate skips the ArrayBuffer rebuild for
+              // the (vast) majority of words the winning pair never
+              // touches; applyMerge is the identity on those
+              (w, cnt,
+                if (syms == null) null
+                else if (hasAdjacentPair(syms, ma, mb)) applyMerge(syms, ma, mb)
+                else syms) }
             .toDF("word", "cnt", "symbols")
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
@@ -152,8 +181,10 @@ object Bpe {
     * per-round word table shrinks with the sample, not the corpus.
     */
   def trainSampled(df: DataFrame, textCol: String, idCol: String,
-                   nMerges: Int, fraction: Double): DataFrame =
-    train(Sampling.deterministicSample(df, idCol, fraction), textCol, nMerges)
+                   nMerges: Int, fraction: Double,
+                   driverThreshold: Long = 1L << 21): DataFrame =
+    train(Sampling.deterministicSample(df, idCol, fraction), textCol, nMerges,
+      driverThreshold)
 
   /** Replay a merge table over one word's character symbols — the exact
     * greedy-leftmost semantics of [[mergePair]] (same accumulator scan,
@@ -174,6 +205,91 @@ object Bpe {
       i += 1
     }
     buf.toSeq
+  }
+
+  /** Adjacent (a, b) occurrence test — the cheap gate that lets a merge
+    * round skip rewriting the (vast majority of) words the winning pair
+    * never touches. Sound because [[applyMerge]] is the identity on a
+    * symbol sequence with no adjacent (a, b).
+    */
+  private[operators] def hasAdjacentPair(s: Seq[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      if (s(i) == a && s(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Spark's binary string collation (UTF8String.compareTo: unsigned
+    * byte-wise comparison of the UTF-8 encoding) — the driver path must
+    * break pair-count ties EXACTLY like the distributed orderBy, and
+    * java.lang.String.compareTo (UTF-16 code units) disagrees with it on
+    * supplementary-plane characters.
+    */
+  private def utf8BinaryCmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The driver-side merge loop of [[train]]'s adaptive small-vocabulary
+    * path: identical semantics to the distributed rounds — exact weighted
+    * pair counts, argmax by (count desc, lhs, rhs) under binary string
+    * order, greedy-leftmost [[applyMerge]] rewrite, early exhaustion when
+    * no pair remains — as plain local compute over the collected
+    * (cnt, symbols) rows.
+    */
+  private[operators] def trainDriver(rows: Array[(Long, Seq[String])],
+                                     nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var syms: Array[Seq[String]] = rows.map(_._2)
+    val cnts: Array[Long] = rows.map(_._1)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w)
+        if (s != null && s.length >= 2) {
+          val c = cnts(w)
+          var j = 0
+          while (j < s.length - 1) {
+            counts.merge((s(j), s(j + 1)), c, (x, y) => x + y)
+            j += 1
+          }
+        }
+        w += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestK: (String, String) = null
+        var bestV = 0L
+        counts.forEach { (k, v) =>
+          if (bestK == null || v > bestV ||
+            (v == bestV && {
+              val c1 = utf8BinaryCmp(k._1, bestK._1)
+              c1 < 0 || (c1 == 0 && utf8BinaryCmp(k._2, bestK._2) < 0)
+            })) { bestK = k; bestV = v }
+        }
+        val (a, b) = bestK
+        merges += ((r, a, b, a + b, bestV))
+        var w2 = 0
+        while (w2 < syms.length) {
+          val s = syms(w2)
+          if (s != null && hasAdjacentPair(s, a, b)) syms(w2) = applyMerge(s, a, b)
+          w2 += 1
+        }
+      }
+    }
+    merges.toSeq
   }
 
   private[operators] def replayMerges(

@@ -1079,7 +1079,7 @@ object DocQueries {
     bpePackedWithMerges(Tables(spark, dir).documents, q121Merges)
 
   /** The q121 encode→vocab→pack chain for an arbitrary merge table. */
-  private def bpePackedWithMerges(docs: DataFrame,
+  private[graft] def bpePackedWithMerges(docs: DataFrame,
                                   merges: Seq[(String, String)]): DataFrame = {
     val bpe = Bpe.encode(docs, "text", "doc_id", merges)
       .select(col("doc_id"), array_join(col("bpe_tokens"), " ").as("bpe_text"))

