@@ -64,7 +64,12 @@ object Components {
       // (the distributed equi-join would drop it silently; the driver
       // union-find would NPE on unboxing)
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      // LAZY checkpoint (r17, the r16 LSA/HITS fusion): the path-deciding
+      // count below is itself the action that materializes the edge list,
+      // so the checkpoint costs no separate job — same bytes, same
+      // one-step lineage, one scheduler round-trip instead of two. Safe:
+      // nothing unpersists fwd before the count has materialized it.
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
     val nEdges = fwd.count()
     if (nEdges <= driverThreshold) {
       // driver union-find (union by min root + path compression)
@@ -105,11 +110,20 @@ object Components {
     * ContextCleaner unpersists their blocks asynchronously.
     */
   private[operators] def distributedComponents(fwd: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    // LAZY checkpoints throughout (r17, the r16 LSA/HITS fusion): each
+    // round's lblSum scalar collect is the action that materializes that
+    // round's checkpoint — half the scheduler round-trips per round, same
+    // bytes, same one-step lineage. `edges` and the initial `labels` both
+    // materialize inside the first lblSum job (labels derives from edges,
+    // and fwd below them is already materialized by the entry count).
+    // Safe: no unpersist runs in this loop — superseded generations are
+    // freed by the ContextCleaner when their frames become unreachable,
+    // never while a pending plan still reads them.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
     // decimal(38,0) keeps the sum exact for any realistic node count even
     // with 60-bit hash ids — a wrapped long sum could (astronomically
     // rarely) alias across an iteration and stop one round early
@@ -125,8 +139,9 @@ object Components {
         .select(col("dst").as("id"), col("lbl"))
       val stepped = labels.union(received)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        // the round's one materialization point — disk-backed (see above)
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+        // the round's one materialization point — disk-backed (see above),
+        // lazily: the lblSum(next) collect below materializes it
+        .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: follow one extra hop through the label forest
       // (lbl := lbl(lbl)). Every lbl value is itself a node id, so the
       // inner self-join is total; lbl(lbl) <= lbl by monotonicity. Left
