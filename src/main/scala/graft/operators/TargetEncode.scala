@@ -45,18 +45,44 @@ object TargetEncode {
         col(targetCol).cast("double").as("__y"),
         fold(col(idCol), folds).as("fold"))
       .where(col("__y").isNotNull)
+    // ONE broadcast stats table instead of three (r17 opt). The old form
+    // broadcast byCatFold, byCat and the prior separately; broadcast
+    // builds run CONCURRENTLY on the exchange thread pool, so the three
+    // builds raced to compute the shared aggregation underneath and each
+    // re-ran the full rows scan + per-row md5 fold hashing (probe: 4
+    // corpus passes for q152, three of them ~0.4 s broadcast-build jobs;
+    // a persist cannot fix a concurrent first-materialization race).
+    // Folding everything into one (category × fold)-row stats table puts
+    // all three aggregation levels in ONE build plan, where the byCat and
+    // prior levels stack over byCatFold's exchange and ReuseExchange
+    // dedupes the scan. Plan: 4 scans of df → 2 (stats build + row join),
+    // 3 broadcast exchanges → 1.
+    //
+    // The prior also now derives from the per-category sums, not a rescan:
+    // decimal addition is exact and associative, so sum(cs)/sum(cc) over
+    // the category rollup is bit-identical to sum(__y)/count(*) over rows
+    // — same decimal total, same single double division.
     val byCatFold = rows.groupBy(col("__cat"), col("fold"))
       .agg(sum(col("__y").cast("decimal(28,9)")).as("fs"),
         count(lit(1)).as("fc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization of the bounded stats (categories × folds
+    // rows): broadcast builds run concurrently, so a lazy cache is a
+    // first-materialization RACE — each nested build re-ran the full scan
+    // + md5 fold hashing underneath (measured: three ~0.4-0.6 s 11-task
+    // build jobs for q152; AQE's runtime stage cache does not span
+    // concurrently-built broadcast subtrees either). One count()
+    // materializes the table before any consumer; every build then reads
+    // the 25 cached rows. Freed by caller cache hygiene (the FuzzyJoin
+    // variants precedent).
+    byCatFold.count()
     val byCat = byCatFold.groupBy(col("__cat"))
       .agg(sum(col("fs")).as("cs"), sum(col("fc")).as("cc"))
-    val prior = rows.agg(
-      (sum(col("__y").cast("decimal(28,9)")).cast("double") / count(lit(1)))
-        .as("__prior"))
+    val prior = byCat.agg(
+      (sum(col("cs")).cast("double") / sum(col("cc"))).as("__prior"))
+    val stats = byCatFold.join(byCat, Seq("__cat")).crossJoin(prior)
     rows
-      .join(broadcast(byCatFold), Seq("__cat", "fold"))
-      .join(broadcast(byCat), Seq("__cat"))
-      .crossJoin(broadcast(prior))
+      .join(broadcast(stats), Seq("__cat", "fold"))
       .select(col(idCol), col("__cat").as(catCol), col("fold"),
         round(((col("cs") - col("fs")).cast("double")
             + col("__prior") * smoothing)

@@ -29,8 +29,12 @@ object OptProbeR16 {
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
 
     case class Job(id: Int, var site: String = "", var t0: Long = 0L,
-                   var t1: Long = 0L, var nTasks: Int = 0, var stages: Int = 0)
+                   var t1: Long = 0L, var nTasks: Int = 0, var stages: Int = 0,
+                   var stageIds: Seq[Int] = Nil)
     val jobs = scala.collection.concurrent.TrieMap.empty[Int, Job]
+    // r17: stage names (the RDD call sites) give the attribution the empty
+    // job-level callSite.short never did under the SQL execution engine
+    val stageNames = scala.collection.concurrent.TrieMap.empty[Int, String]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = jobs.getOrElseUpdate(e.jobId, Job(e.jobId))
@@ -41,10 +45,13 @@ object OptProbeR16 {
         j.site = Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
         j.stages = e.stageIds.size
+        j.stageIds = e.stageIds
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.get(e.jobId).foreach(_.t1 = e.time)
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stageNames.put(e.stageInfo.stageId,
+          e.stageInfo.name.take(90) + " [" + e.stageInfo.numTasks + " tasks]")
     }
 
     // warm run (JIT/codegen/file listing), untimed, unlisten-ed
@@ -67,6 +74,9 @@ object OptProbeR16 {
     println(f"--- per-job (id, sec, stages, site) ---")
     rows.foreach { j =>
       println(f"${j.id}%4d ${(j.t1 - j.t0) / 1e3}%8.3f ${j.stages}%3d  ${j.site}")
+      j.stageIds.sorted.foreach { sid =>
+        stageNames.get(sid).foreach(n => println(f"        s$sid%-5d $n"))
+      }
     }
     println(f"--- by call site (sec, njobs, site) ---")
     bySite.foreach { case (s, sec, n) => println(f"$sec%8.3f $n%4d  $s") }
