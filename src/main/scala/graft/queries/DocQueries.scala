@@ -1614,9 +1614,14 @@ object DocQueries {
         .join(drops, Seq("media_id"), "left")
         .withColumn("keep", when(col("dup_of").isNull, 1L).otherwise(0L))
     }
-    retain(Multimodal.imageAHash(Multimodal.mediaBlockImages(spark, docs)), "image")
-      .unionByName(
-        retain(Multimodal.audioFingerprint(Multimodal.mediaBlockAudio(spark, docs)), "audio"))
+    // the two modality decodes materialize concurrently (r17 opt: the
+    // eager checkpoint jobs are independent and split-bounded — see
+    // Multimodal.imageAndAudioHashes)
+    val (imageHashes, audioHashes) = Multimodal.imageAndAudioHashes(
+      Multimodal.mediaBlockImages(spark, docs),
+      Multimodal.mediaBlockAudio(spark, docs))
+    retain(imageHashes, "image")
+      .unionByName(retain(audioHashes, "audio"))
       .select(col("modality"), col("media_id"), col("keep"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
       .orderBy("modality", "media_id")
